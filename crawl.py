@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Crawl driver — the spark-submit entry point (SURVEY.md §3.1).
+
+Usage:
+  spark-submit --py-files engine.zip crawl.py \
+      --web DIR [--state DIR] [--rounds N] [--salts S] [--fresh]
+
+  python crawl.py --tier web1k ...   # also runs standalone (local mode)
+
+Resumable: re-running with the same --state picks up from the last
+committed round checkpoint (BASELINE.json:6,14).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--web", help="generated web dir (sources/web.py layout)")
+    p.add_argument("--tier", choices=["web1k", "web10k", "web100k", "web1m", "web10m"],
+                   help="generate/reuse a synthetic tier instead of --web")
+    p.add_argument("--fixtures", default=".fixtures_cache",
+                   help="cache dir for --tier generation")
+    p.add_argument("--state", default=None, help="state dir (default: <web>/.state)")
+    p.add_argument("--rounds", type=int, default=100)
+    p.add_argument("--salts", type=int, default=16)
+    p.add_argument("--fresh", action="store_true",
+                   help="ignore any existing checkpoint (restart from seeds)")
+    p.add_argument("--master", default=None,
+                   help="override master when run standalone (e.g. local[8])")
+    args = p.parse_args(argv)
+
+    if not args.web and not args.tier:
+        p.error("one of --web / --tier is required")
+
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("data_crawler_spark.crawl")
+    if args.master:
+        b = b.master(args.master)
+    spark = (b.config("spark.sql.session.timeZone", "UTC")
+              .config("spark.sql.adaptive.enabled", "true")
+              .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+
+    from data_crawler_spark.plans.crawl import run_crawl
+    from data_crawler_spark.sources.web import gen_tier
+
+    web = gen_tier(args.fixtures, args.tier) if args.tier else args.web
+    state = args.state or f"{web}/.state"
+    if args.fresh:
+        import shutil
+        shutil.rmtree(state, ignore_errors=True)
+
+    t0 = time.time()
+    res = run_crawl(spark, web, state, max_rounds=args.rounds,
+                    resume=not args.fresh, n_salts=args.salts)
+    wall = time.time() - t0
+    out = {
+        "web": str(web),
+        "state": str(state),
+        "rounds_run": res["rounds_run"],
+        "scheduled_total": res["scheduled_total"],
+        "seen_count": res["seen_count"],
+        "wall_s": round(wall, 2),
+        "urls_per_s": round(res["scheduled_total"] / wall, 1) if wall > 0 else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

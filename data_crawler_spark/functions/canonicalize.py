@@ -1,0 +1,117 @@
+"""URL canonicalization + href resolution — the executable spec.
+
+``canonicalize_series`` is the single implementation used by BOTH the
+single-node oracle crawler and the Spark pandas UDF, so the engine's
+URL-seen set matches the oracle's by construction (BASELINE.json:2,14
+"crawl-order + URL-seen exact match"; SURVEY.md §2 op 05).
+
+Spec (idempotent — property-tested in tests/test_canonicalize.py):
+  1. strip surrounding whitespace
+  2. drop the fragment (first '#' to end), then strip again
+  3. lowercase scheme and host:port
+  4. strip default ports (http:80, https:443)
+  5. resolve dot segments and collapse '//' runs in the path
+  6. empty path -> '/'; strip trailing '/' except for the root path
+  7. query kept verbatim (empty '?' dropped)
+Non-URL strings (no "scheme://") pass through steps 1-2 only; the
+scheme predicate filter (op 07) removes them downstream.
+
+Everything here is vectorized pandas (Arrow-batched when run as a UDF)
+— no per-row Python in the engine path (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?]*)(?:\?(.*))?$"
+_MAX_DOT_PASSES = 64
+
+
+def canonicalize_series(s: pd.Series) -> pd.Series:
+    """Vectorized canonicalizer. Nulls stay null."""
+    orig_na = s.isna()
+    u = s.astype("string").str.strip()
+    # drop fragment, then re-strip (the fragment may have shielded
+    # trailing whitespace — idempotence requires stripping again)
+    u = u.str.replace(r"#.*$", "", regex=True).str.strip()
+
+    m = u.str.extract(_URL_RE)
+    scheme = m[0].str.lower()
+    hostport = m[1].str.lower()
+    path = m[2]
+    query = m[3]
+    ok = scheme.notna()
+
+    for sch, port in _DEFAULT_PORTS.items():
+        mask = ok & (scheme == sch) & hostport.str.endswith(port)
+        if mask.any():
+            hostport = hostport.mask(mask, hostport.str.slice(0, -len(port)))
+
+    path = path.fillna("")
+    path = path.mask(ok & (path == ""), "/")
+    for _ in range(_MAX_DOT_PASSES):
+        before = path
+        path = path.str.replace(r"//+", "/", regex=True)
+        path = path.str.replace(r"/\./", "/", regex=True)
+        path = path.str.replace(r"/\.$", "/", regex=True)
+        path = path.str.replace(r"/(?!\.\.(?:/|$))[^/]+/\.\./", "/", regex=True)
+        path = path.str.replace(r"/(?!\.\.(?:/|$))[^/]+/\.\.$", "/", regex=True)
+        path = path.str.replace(r"^/\.\.(?=/|$)", "", regex=True)
+        path = path.mask(ok & (path == ""), "/")
+        if before.equals(path):
+            break
+    path = path.str.replace(r"(.+?)/+$", r"\1", regex=True)
+
+    res = scheme + "://" + hostport + path
+    has_q = query.notna() & (query != "")
+    res = res.mask(has_q, res + "?" + query)
+
+    out = u.where(~ok, res)
+    return out.astype(object).where(~orig_na, None)
+
+
+def canonicalize_one(url: str) -> str:
+    """Scalar convenience wrapper — same code path as the series form."""
+    return canonicalize_series(pd.Series([url]))[0]
+
+
+# ---------------------------------------------------------------------------
+# href resolution (SURVEY.md §2 op 43 + 05). The Spark engine resolves
+# hrefs with NATIVE column expressions (see operators/links.py) for
+# JVM-side speed; this pure function is the oracle-side mirror and the
+# equivalence test asserts both agree on every generated link.
+# ---------------------------------------------------------------------------
+
+_ROOT_RE = re.compile(r"^(https?://[^/?#]+)")
+_BASEDIR_RE = re.compile(r"^(https?://.*/)[^/]*$")
+
+
+def resolve_href(base: str, href: str) -> str:
+    """Resolve ``href`` found on page ``base`` to an absolute URL."""
+    if href.startswith("http://") or href.startswith("https://"):
+        return href
+    m = _ROOT_RE.match(base)
+    if not m:
+        return href
+    root = m.group(1)
+    if href.startswith("/"):
+        return root + href
+    md = _BASEDIR_RE.match(base)
+    prefix = md.group(1) if md else root + "/"
+    return prefix + href
+
+
+def host_of_series(urls: pd.Series) -> pd.Series:
+    """host[:port] of an (already canonical) URL; vectorized."""
+    return urls.astype("string").str.extract(r"^[a-z][a-z0-9+.\-]*://([^/?#]*)")[0].astype(object)
+
+
+def path_of_series(urls: pd.Series) -> pd.Series:
+    """path ('/' if empty) of an (already canonical) URL; vectorized."""
+    p = urls.astype("string").str.extract(r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)")[0]
+    p = p.mask(p.notna() & (p == ""), "/")
+    return p.astype(object)

@@ -1,0 +1,84 @@
+"""The scheduler core: per-host politeness priority queue (SURVEY.md §2
+ops 22/26/27) with explicit host-hash SALTED skew breaking (op 15 —
+demanded by BASELINE.json:6,14; AQE skew handling does not cover
+window partitionBy, which is exactly where Zipf-head event-listing
+domains land).
+
+Ordering spec (shared with oracle/crawler.py — total orders only):
+  within host : (priority DESC, depth ASC, discovered_round ASC, url ASC)
+  crawl order : (priority DESC, depth ASC, host ASC, url ASC)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUDGET = 8
+
+def _host_order() -> list:
+    return [F.desc("priority"), F.asc("depth"),
+            F.asc("discovered_round"), F.asc("url")]
+
+
+def _with_budget(candidates: DataFrame, hosts: DataFrame) -> DataFrame:
+    b = F.broadcast(hosts.select("host", "budget_per_round"))
+    return candidates.join(b, "host", "left").withColumn(
+        "budget", F.coalesce("budget_per_round", F.lit(DEFAULT_BUDGET))
+    ).drop("budget_per_round")
+
+
+def schedule_per_host(candidates: DataFrame, hosts: DataFrame) -> DataFrame:
+    """Unsalted op 22: rank per host, keep rank <= budget_per_round."""
+    w = Window.partitionBy("host").orderBy(*_host_order())
+    return (
+        _with_budget(candidates, hosts)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("budget"))
+        .drop("budget")
+    )
+
+
+def schedule_per_host_salted(candidates: DataFrame, hosts: DataFrame,
+                             n_salts: int = 16) -> DataFrame:
+    """Salted two-phase op 22 — semantics-preserving (op 15).
+
+    Phase 1: rank within (host, salt) where salt = pmod(xxhash64(url),
+    S); keep top ``budget`` per salt group. Because the per-host winners
+    are necessarily among the per-(host,salt) top-budget rows, phase 2
+    re-ranks only S*budget rows per host — the Zipf-head host's millions
+    of candidates never pass through a single task.
+    Result is provably identical to schedule_per_host for every S
+    (property-tested in tests/test_scheduler.py).
+    """
+    salted = _with_budget(candidates, hosts).withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("host", "salt").orderBy(*_host_order())
+    survivors = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= F.col("budget"))
+        .drop("rn1", "salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*_host_order())
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= F.col("budget"))
+        .drop("budget")
+    )
+
+
+def crawl_order(scheduled: DataFrame) -> DataFrame:
+    """op 26: the emitted visit order — a TOTAL order (url unique), so
+    the output sequence is deterministic regardless of partitioning."""
+    return scheduled.orderBy(
+        F.desc("priority"), F.asc("depth"), F.asc("host"), F.asc("url")
+    )
+
+
+def with_crawl_seq(scheduled: DataFrame) -> DataFrame:
+    """Attach the within-round visit sequence number (1-based) without
+    collecting: a window over the same total order. Used for lineage
+    and the golden-order tests; the global sort only happens on write."""
+    w = Window.orderBy(F.desc("priority"), F.asc("depth"), F.asc("host"), F.asc("url"))
+    return scheduled.withColumn("seq", F.row_number().over(w))

@@ -1,0 +1,262 @@
+"""The crawl loop: each round = one batch job committing one snapshot
+set (SURVEY.md §2 op 41, §3.1). Distributed mirror of the executable
+spec in oracle/crawler.py — tests assert exact visit-order / seen-set /
+extracted-bytes equality (BASELINE.json:2,14,15).
+
+Scale notes (designed for a 10^10-URL frontier on 1000 executors,
+tested on local[32]):
+- the frontier/seen tables are hash-distributed on url; the only
+  global (single-task) step is the per-round visit-sequence window,
+  which runs over the SCHEDULED set — bounded by Σ host budgets, i.e.
+  O(#hosts), orders of magnitude smaller than the frontier.
+- robots rules + host budgets are broadcast; the frontier is never
+  shuffled for gating.
+- per-host ranking is salted two-phase (operators/scheduler.py) so the
+  Zipf-head domains never serialize into one task.
+- `html` is projected away everywhere except the extraction stage
+  (column pruning keeps it out of every shuffle — SURVEY.md §4.1).
+- every state write is a new snapshot version + atomic manifest
+  commit; the round checkpoint commits LAST, so a crash anywhere
+  replays the round idempotently.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_crawler_spark import schemas
+from data_crawler_spark.functions.spark_udfs import (
+    canonicalize_udf,
+    extract_links_udf,
+    extract_text_udf,
+)
+from data_crawler_spark.operators.links import (
+    host_col,
+    is_http_col,
+    path_col,
+    resolve_href_col,
+)
+from data_crawler_spark.operators.robots import robots_gate
+from data_crawler_spark.operators.scheduler import (
+    schedule_per_host_salted,
+    with_crawl_seq,
+)
+from data_crawler_spark.plans.snapshots import Checkpoint, SnapshotTable
+
+
+@dataclass
+class CrawlContext:
+    spark: SparkSession
+    web_dir: Path
+    state_dir: Path
+    pages: DataFrame
+    hosts: DataFrame
+    rules: DataFrame
+    frontier: SnapshotTable
+    seen: SnapshotTable
+    scheduled: SnapshotTable
+    extracted: SnapshotTable
+    lineage: SnapshotTable
+    checkpoint: Checkpoint
+    n_salts: int = 16
+
+
+def open_crawl(spark: SparkSession, web_dir: str | Path,
+               state_dir: str | Path, n_salts: int = 16) -> CrawlContext:
+    web = Path(web_dir)
+    state = Path(state_dir)
+    state.mkdir(parents=True, exist_ok=True)
+    # The ground-truth `text` column must never leak into the engine:
+    # extraction works from `html` alone (byte-identity is then a real
+    # check, not a tautology).
+    pages = spark.read.schema(schemas.PAGES).parquet(str(web / "pages.parquet")).drop("text")
+    hosts = spark.read.parquet(str(web / "hosts.parquet"))
+    rules = spark.read.parquet(str(web / "robots_rules.parquet"))
+    return CrawlContext(
+        spark=spark, web_dir=web, state_dir=state,
+        pages=pages, hosts=hosts, rules=rules,
+        frontier=SnapshotTable(spark, state, "frontier", schemas.FRONTIER),
+        seen=SnapshotTable(spark, state, "seen", schemas.SEEN),
+        scheduled=SnapshotTable(spark, state, "scheduled", schemas.SCHEDULED),
+        extracted=SnapshotTable(spark, state, "extracted", schemas.EXTRACTED),
+        lineage=SnapshotTable(spark, state, "lineage", schemas.LINEAGE),
+        checkpoint=Checkpoint(state),
+        n_salts=n_salts,
+    )
+
+
+def _frontier_cols(df: DataFrame) -> DataFrame:
+    return df.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        host_col(F.col("url")).alias("host"),
+        F.col("depth").cast("int").alias("depth"),
+        (F.lit(1.0) / (F.lit(1.0) + F.col("depth"))).alias("priority"),
+        F.col("discovered_round").cast("int").alias("discovered_round"),
+        "parent_url",
+    )
+
+
+def bootstrap(ctx: CrawlContext) -> None:
+    """Round-0 frontier from the seed list (SURVEY.md §2 op 03)."""
+    seeds = (
+        ctx.spark.read.text(str(ctx.web_dir / "seeds.txt"))
+        .select(canonicalize_udf(F.trim("value")).alias("url"))
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        .filter(is_http_col(F.col("url")))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .withColumn("discovered_round", F.lit(0))
+        .withColumn("parent_url", F.lit(None).cast("string"))
+    )
+    ctx.frontier.write(_frontier_cols(seeds))
+    ctx.checkpoint.commit({
+        "round": 0,
+        "frontier_v": ctx.frontier.current_version(),
+        "seen_v": 0, "scheduled_v": 0, "extracted_v": 0, "lineage_v": 0,
+    })
+
+
+def _dedup_frontier(df: DataFrame) -> DataFrame:
+    """Same-url collisions keep min (discovered_round, depth, parent_url)
+    — the order-independent rule shared with the oracle."""
+    w = Window.partitionBy("url").orderBy(
+        F.asc("discovered_round"), F.asc("depth"), F.asc_nulls_first("parent_url")
+    )
+    return (df.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") == 1).drop("_rk"))
+
+
+def run_round(ctx: CrawlContext, rnd: int) -> int:
+    """One crawl round; returns the number of URLs scheduled."""
+    frontier = ctx.frontier.read()
+
+    # gate + schedule (ops 09/14/22/15/26)
+    cand = frontier.withColumn("path", path_col(F.col("url")))
+    allowed = robots_gate(cand, ctx.rules).drop("path")
+    sched = schedule_per_host_salted(allowed, ctx.hosts, ctx.n_salts)
+    sched = with_crawl_seq(sched).persist()
+    n_sched = sched.count()
+    if n_sched == 0:
+        sched.unpersist()
+        return 0
+
+    ctx.scheduled.write(
+        sched.select(F.lit(rnd).alias("round"), "seq", "url", "url_hash",
+                     "host", "depth", "priority", "rn"),
+        mode="append",
+    )
+
+    # seen += scheduled (op 10's right side; exactness is on `url`)
+    ctx.seen.write(
+        sched.select("url_hash", "url", F.lit(rnd).alias("first_round")),
+        mode="append",
+    )
+
+    # fetch + extract (ops 11/42): join the scheduled slice against the
+    # page store; html enters exactly one stage and is dropped after.
+    fetched = (
+        sched.select(F.col("url"), F.col("depth"))
+        .join(ctx.pages, "url", "inner")
+        .select("url", "depth", "warc_ts", "lang", "html")
+        .persist()
+    )
+    extracted = fetched.select(
+        "url", "warc_ts",
+        extract_text_udf("html").alias("text"),
+        "lang",
+    ).withColumn("n_chars", F.length("text").cast("long")) \
+     .withColumn("round", F.lit(rnd))
+    ctx.extracted.write(extracted.select([f.name for f in schemas.EXTRACTED]),
+                        mode="append")
+
+    # link discovery (ops 43/35/05/07): UDF -> explode -> native resolve
+    links = (
+        fetched.select(
+            F.col("url").alias("parent_url"), F.col("depth").alias("pdepth"),
+            F.explode(extract_links_udf("html")).alias("href"),
+        )
+        .withColumn("link", canonicalize_udf(resolve_href_col(F.col("parent_url"), F.col("href"))))
+        .filter(is_http_col(F.col("link")))
+    )
+    new_cand = links.select(
+        F.col("link").alias("url"),
+        (F.col("pdepth") + 1).alias("depth"),
+        F.lit(rnd + 1).alias("discovered_round"),
+        "parent_url",
+    )
+    # exact URL-seen dedup (op 10): anti-join on the full url string —
+    # url_hash alone would admit hash collisions at 10^10 rows.
+    seen_all = ctx.seen.read()
+    fresh = new_cand.join(seen_all.select("url"), "url", "left_anti")
+
+    remaining = frontier.join(sched.select("url"), "url", "left_anti")
+    frontier_next = _dedup_frontier(
+        remaining.unionByName(_frontier_cols(fresh))
+    )
+    ctx.frontier.write(frontier_next.select([f.name for f in schemas.FRONTIER]))
+
+    # lineage / metrics (ops 04b/18): per-partition scheduled counts
+    lin = (
+        sched.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("value"))
+        .select(F.lit(rnd).alias("round"),
+                F.col("partition_id").cast("int"),
+                F.lit("scheduled").alias("metric"), "value")
+    )
+    ctx.lineage.write(lin, mode="append")
+
+    # the commit point: everything above is replayable until this lands
+    ctx.checkpoint.commit({
+        "round": rnd + 1,
+        "frontier_v": ctx.frontier.current_version(),
+        "seen_v": ctx.seen.current_version(),
+        "scheduled_v": ctx.scheduled.current_version(),
+        "extracted_v": ctx.extracted.current_version(),
+        "lineage_v": ctx.lineage.current_version(),
+    })
+    fetched.unpersist()
+    sched.unpersist()
+    return n_sched
+
+
+def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
+              max_rounds: int = 100, resume: bool = True,
+              n_salts: int = 16) -> dict:
+    """Drive rounds to quiescence (or max_rounds). Resumable: picks up
+    from the last committed checkpoint when ``resume`` and one exists."""
+    ctx = open_crawl(spark, web_dir, state_dir, n_salts=n_salts)
+    cp = ctx.checkpoint.load() if resume else None
+    if cp is None:
+        bootstrap(ctx)
+        start = 0
+    else:
+        # discard any table commits from a round whose crawl-level
+        # checkpoint never landed (crash mid-round) -> exactly-once
+        ctx.frontier.rollback(cp["frontier_v"])
+        ctx.seen.rollback(cp["seen_v"])
+        ctx.scheduled.rollback(cp.get("scheduled_v", 0))
+        ctx.extracted.rollback(cp.get("extracted_v", 0))
+        ctx.lineage.rollback(cp.get("lineage_v", 0))
+        start = cp["round"]
+    total = 0
+    for rnd in range(start, max_rounds):
+        n = run_round(ctx, rnd)
+        if n == 0:
+            break
+        total += n
+    return {
+        "rounds_run": ctx.checkpoint.load()["round"],
+        "scheduled_total": total,
+        "seen_count": ctx.seen.read().count(),
+        "ctx": ctx,
+    }
+
+
+def visit_order_df(ctx: CrawlContext) -> DataFrame:
+    """The global visit order (round, seq, url) — total-ordered."""
+    return ctx.scheduled.read().orderBy("round", "seq").select("round", "seq", "url")

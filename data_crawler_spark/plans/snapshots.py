@@ -1,0 +1,141 @@
+"""Snapshot tables: checkpointed, versioned, atomically-committed state
+(SURVEY.md §2 ops 02/04/41).
+
+The north star names Iceberg snapshots (BASELINE.json:6). This sandbox
+has no Iceberg runtime jar (SURVEY.md §0), so the same semantics are
+provided by an offline backend with the same guarantees and the same
+scaling shape:
+
+  table_root/
+    d000001/part-*.parquet      (immutable data directories)
+    d000002/...
+    manifest.json               (single commit point, atomic rename)
+
+- a VERSION is a manifest entry listing the data dirs it comprises —
+  append commits ONE new data dir and a manifest entry referencing
+  previous dirs plus the new one (O(delta) I/O, like an Iceberg
+  fast-append snapshot; the table is never rewritten).
+- ``write`` stages the new data dir first, then commits by writing
+  manifest.tmp and ``os.replace``: a crash before the rename leaves the
+  previous version current, so a crawl round replays idempotently.
+- ``read(version=)`` is time travel; ``read()`` is the current snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str | os.PathLike,
+                 name: str, schema: StructType):
+        self.spark = spark
+        self.dir = Path(root) / name
+        self.name = name
+        self.schema = schema
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> Path:
+        return self.dir / "manifest.json"
+
+    def _manifest(self) -> dict:
+        if self._manifest_path.exists():
+            return json.loads(self._manifest_path.read_text())
+        return {"current": 0, "versions": {}, "next_dir": 1}
+
+    def current_version(self) -> int:
+        return self._manifest()["current"]
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = self.dir / "manifest.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        os.replace(tmp, self._manifest_path)  # the atomic commit point
+
+    def _dirs_for(self, m: dict, version: int) -> list[str]:
+        return m["versions"].get(str(version), [])
+
+    def read(self, version: int | None = None) -> DataFrame:
+        m = self._manifest()
+        v = m["current"] if version is None else version
+        dirs = self._dirs_for(m, v)
+        if not dirs:
+            return self.spark.createDataFrame([], self.schema)
+        paths = [str(self.dir / d) for d in dirs]
+        return self.spark.read.schema(self.schema).parquet(*paths)
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> int:
+        """Commit ``df`` as a new snapshot version.
+
+        mode="append": new version = previous dirs + one new dir
+        (O(delta)); mode="overwrite": new version = the new dir only
+        (old dirs stay readable for time travel until pruned).
+        """
+        m = self._manifest()
+        dname = f"d{m['next_dir']:06d}"
+        ddir = self.dir / dname
+        if ddir.exists():  # leftover from a crashed, uncommitted write
+            shutil.rmtree(ddir)
+        df.write.mode("overwrite").parquet(str(ddir))
+        new_v = m["current"] + 1
+        prev = self._dirs_for(m, m["current"]) if mode == "append" else []
+        m["versions"][str(new_v)] = prev + [dname]
+        m["current"] = new_v
+        m["next_dir"] += 1
+        self._commit(m)
+        return new_v
+
+    def rollback(self, version: int) -> None:
+        """Reset the current pointer to an earlier version — used on
+        resume to discard table commits from a round whose crawl-level
+        checkpoint never landed (makes round replay exactly-once)."""
+        m = self._manifest()
+        if version == m["current"]:
+            return
+        if version != 0 and str(version) not in m["versions"]:
+            raise ValueError(f"{self.name}: no version {version} to roll back to")
+        for v in [int(x) for x in m["versions"] if int(x) > version]:
+            del m["versions"][str(v)]
+        m["current"] = version
+        self._commit(m)
+
+    def prune(self, keep_last: int = 2) -> None:
+        """Drop versions (and now-unreferenced data dirs) older than the
+        last ``keep_last`` — snapshot GC."""
+        m = self._manifest()
+        vs = sorted(int(v) for v in m["versions"])
+        keep = set(vs[-keep_last:])
+        live: set[str] = set()
+        for v in keep:
+            live.update(m["versions"][str(v)])
+        for v in vs:
+            if v not in keep:
+                del m["versions"][str(v)]
+        self._commit(m)
+        for d in self.dir.iterdir():
+            if d.is_dir() and d.name.startswith("d") and d.name not in live:
+                shutil.rmtree(d)
+
+
+class Checkpoint:
+    """Crawl-level checkpoint: (round counter, table versions) committed
+    atomically AFTER all table writes of a round — the resume point."""
+
+    def __init__(self, state_dir: str | os.PathLike):
+        self.path = Path(state_dir) / "checkpoint.json"
+
+    def load(self) -> dict | None:
+        if self.path.exists():
+            return json.loads(self.path.read_text())
+        return None
+
+    def commit(self, payload: dict) -> None:
+        tmp = self.path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(payload))
+        os.replace(tmp, self.path)

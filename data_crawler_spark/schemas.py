@@ -1,0 +1,67 @@
+"""Fixed, explicit schemas (never inferred — SURVEY.md §1.2).
+
+``PAGES`` is fixed verbatim by BASELINE.json:15; the state-table
+schemas are fixed for the resume/equivalence tests (FIXTURES.md §B.4).
+"""
+
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("html", BinaryType(), True),
+    StructField("text", StringType(), True),
+    StructField("lang", StringType(), True),
+])
+
+FRONTIER = StructType([
+    StructField("url", StringType(), False),
+    StructField("url_hash", LongType(), False),
+    StructField("host", StringType(), True),
+    StructField("depth", IntegerType(), False),
+    StructField("priority", DoubleType(), False),
+    StructField("discovered_round", IntegerType(), False),
+    StructField("parent_url", StringType(), True),
+])
+
+SEEN = StructType([
+    StructField("url_hash", LongType(), False),
+    StructField("url", StringType(), False),
+    StructField("first_round", IntegerType(), False),
+])
+
+SCHEDULED = StructType([
+    StructField("round", IntegerType(), False),
+    StructField("seq", IntegerType(), False),
+    StructField("url", StringType(), False),
+    StructField("url_hash", LongType(), False),
+    StructField("host", StringType(), True),
+    StructField("depth", IntegerType(), False),
+    StructField("priority", DoubleType(), False),
+    StructField("rn", IntegerType(), False),
+])
+
+EXTRACTED = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("text", StringType(), True),
+    StructField("lang", StringType(), True),
+    StructField("n_chars", LongType(), True),
+    StructField("round", IntegerType(), False),
+])
+
+LINEAGE = StructType([
+    StructField("round", IntegerType(), False),
+    StructField("partition_id", IntegerType(), False),
+    StructField("metric", StringType(), False),
+    StructField("value", LongType(), False),
+])

@@ -1,0 +1,104 @@
+"""op 05/06: canonicalizer spec cases, idempotence property, and
+engine/oracle agreement on href resolution + host/path parsing."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_crawler_spark.functions.canonicalize import (
+    canonicalize_one,
+    canonicalize_series,
+    host_of_series,
+    path_of_series,
+    resolve_href,
+)
+from data_crawler_spark.functions.extract import extract_links_series
+from data_crawler_spark.operators.links import (
+    host_col,
+    path_col,
+    resolve_href_col,
+)
+
+SPEC = [
+    ("https://Example.COM/a/b", "https://example.com/a/b"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com/a/./b", "https://example.com/a/b"),
+    ("https://example.com/a/../b", "https://example.com/b"),
+    ("https://example.com/a//b///c", "https://example.com/a/b/c"),
+    ("https://example.com/a/b/", "https://example.com/a/b"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/", "https://example.com/"),
+    ("https://example.com/a#frag", "https://example.com/a"),
+    ("https://example.com/a?q=1#frag", "https://example.com/a?q=1"),
+    ("https://example.com/a?", "https://example.com/a"),
+    ("  https://example.com/a  ", "https://example.com/a"),
+    ("HTTPS://EXAMPLE.com/A/B", "https://example.com/A/B"),  # path case kept
+    ("https://example.com/../a", "https://example.com/a"),
+    ("https://example.com/a/b/../../c", "https://example.com/c"),
+    ("https://example.com/a/.", "https://example.com/a"),
+    ("mailto:x@y.z", "mailto:x@y.z"),  # non-URL passthrough (filtered later)
+    ("notaurl", "notaurl"),
+]
+
+
+def test_spec_cases():
+    got = canonicalize_series(pd.Series([s for s, _ in SPEC], dtype=object))
+    for (inp, want), out in zip(SPEC, got):
+        assert out == want, f"{inp!r}: {out!r} != {want!r}"
+
+
+def test_null_passthrough():
+    out = canonicalize_series(pd.Series([None, "https://a.com/"], dtype=object))
+    assert out[0] is None and out[1] == "https://a.com/"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcXYZ019:/.?#%~_- ", max_size=40))
+def test_idempotent_random(suffix):
+    u = "https://Ex.COM" + suffix
+    c1 = canonicalize_one(u)
+    assert canonicalize_one(c1) == c1
+
+
+def test_idempotent_on_generated_links(web1k):
+    pages = pq.read_table(web1k / "pages.parquet", columns=["url", "html"]).to_pandas()
+    # resolve each href against its own page
+    out = []
+    for url, links in zip(pages["url"], extract_links_series(pages["html"])):
+        out.extend(resolve_href(url, h) for h in links)
+    c1 = canonicalize_series(pd.Series(out, dtype=object))
+    c2 = canonicalize_series(c1)
+    assert c1.equals(c2)
+
+
+def test_native_resolution_matches_pure_python(spark, web1k):
+    """The engine resolves hrefs with JVM-native expressions; the oracle
+    uses resolve_href. They must agree on every generated link."""
+    pages = spark.read.parquet(str(web1k / "pages.parquet"))
+    from data_crawler_spark.functions.spark_udfs import extract_links_udf
+    df = (
+        pages.select("url", F.explode(extract_links_udf("html")).alias("href"))
+        .withColumn("resolved", resolve_href_col(F.col("url"), F.col("href")))
+    )
+    rows = df.collect()
+    assert len(rows) > 1000
+    for r in rows:
+        assert r.resolved == resolve_href(r.url, r.href), (r.url, r.href)
+
+
+def test_host_path_parsing_matches(spark, web1k):
+    pages = spark.read.parquet(str(web1k / "pages.parquet"))
+    rows = (
+        pages.select("url", host_col(F.col("url")).alias("h"),
+                     path_col(F.col("url")).alias("p"))
+        .limit(500).collect()
+    )
+    urls = pd.Series([r.url for r in rows], dtype=object)
+    hs = host_of_series(urls)
+    ps = path_of_series(urls)
+    for r, h, p in zip(rows, hs, ps):
+        assert r.h == h and r.p == p

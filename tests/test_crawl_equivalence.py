@@ -1,0 +1,59 @@
+"""THE correctness gate (BASELINE.json:2,14,15): the distributed engine
+reproduces the single-node executable-spec crawler exactly — visit
+order, URL-seen set, and extracted text bytes — on the web1k tier."""
+
+import pytest
+
+from data_crawler_spark.plans.crawl import run_crawl, visit_order_df
+
+MAX_ROUNDS = 8
+
+
+@pytest.fixture(scope="module")
+def crawl_result(spark, web1k, tmp_path_factory):
+    state = tmp_path_factory.mktemp("crawl_state")
+    return run_crawl(spark, web1k, state, max_rounds=MAX_ROUNDS)
+
+
+def test_visit_order_exact(crawl_result, oracle1k):
+    ctx = crawl_result["ctx"]
+    got = [(r.round, r.url) for r in visit_order_df(ctx).collect()]
+    assert got == oracle1k.visit_order
+
+
+def test_seen_set_exact(crawl_result, oracle1k):
+    ctx = crawl_result["ctx"]
+    got = {r.url for r in ctx.seen.read().select("url").collect()}
+    assert got == oracle1k.seen
+
+
+def test_extracted_bytes_exact(crawl_result, oracle1k):
+    ctx = crawl_result["ctx"]
+    got = {r.url: r.text for r in ctx.extracted.read().select("url", "text").collect()}
+    assert got == oracle1k.extracted
+
+
+def test_frontier_state_matches(crawl_result, oracle1k):
+    """Even the remaining frontier agrees (url -> depth/round/parent)."""
+    ctx = crawl_result["ctx"]
+    got = {
+        r.url: (r.depth, r.discovered_round, r.parent_url)
+        for r in ctx.frontier.read().collect()
+    }
+    want = {
+        u: (e.depth, e.discovered_round, e.parent_url)
+        for u, e in oracle1k.frontier.items()
+    }
+    assert got == want
+
+
+def test_lineage_totals(crawl_result, oracle1k):
+    """Per-round lineage 'scheduled' totals == oracle per-round counts."""
+    import pyspark.sql.functions as F
+    ctx = crawl_result["ctx"]
+    lin = (
+        ctx.lineage.read().filter(F.col("metric") == "scheduled")
+        .groupBy("round").agg(F.sum("value").alias("n"))
+        .orderBy("round").collect()
+    )
+    assert [r.n for r in lin] == oracle1k.scheduled_per_round

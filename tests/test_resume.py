@@ -1,0 +1,63 @@
+"""op 41: kill-and-resume — a crawl stopped after round k and resumed
+produces exactly the same state as an uninterrupted run; uncommitted
+partial rounds are rolled back (BASELINE.json:6,14 "resumable
+mid-crawl")."""
+
+from pyspark.sql import functions as F
+
+from data_crawler_spark.plans.crawl import open_crawl, run_crawl, visit_order_df
+
+ROUNDS = 5
+
+
+def _state_signature(ctx):
+    order = [(r.round, r.seq, r.url) for r in visit_order_df(ctx).collect()]
+    seen = sorted(r.url for r in ctx.seen.read().select("url").collect())
+    frontier = sorted(
+        (r.url, r.depth, r.discovered_round) for r in ctx.frontier.read().collect())
+    return order, seen, frontier
+
+
+def test_kill_resume_equals_uninterrupted(spark, web1k, tmp_path):
+    full = run_crawl(spark, web1k, tmp_path / "full", max_rounds=ROUNDS)
+
+    part = run_crawl(spark, web1k, tmp_path / "split", max_rounds=2)
+    assert part["ctx"].checkpoint.load()["round"] == 2
+    # "new driver": fresh context over the same state dir
+    resumed = run_crawl(spark, web1k, tmp_path / "split", max_rounds=ROUNDS)
+
+    assert _state_signature(resumed["ctx"]) == _state_signature(full["ctx"])
+
+
+def test_crash_mid_round_rolls_back(spark, web1k, tmp_path):
+    state = tmp_path / "crash"
+    r1 = run_crawl(spark, web1k, state, max_rounds=2)
+    ctx = r1["ctx"]
+    cp_before = ctx.checkpoint.load()
+
+    # simulate a crash AFTER some table commits of round 2 but BEFORE
+    # the round checkpoint: append junk to scheduled + seen
+    junk = ctx.spark.createDataFrame(
+        [(2, 1, "https://junk.example.com/x", 0, "junk.example.com", 0, 1.0, 1)],
+        ctx.scheduled.schema)
+    ctx.scheduled.write(junk, mode="append")
+    ctx.seen.write(
+        ctx.spark.createDataFrame([(0, "https://junk.example.com/x", 2)],
+                                  ctx.seen.schema), mode="append")
+    assert ctx.scheduled.current_version() != cp_before["scheduled_v"]
+
+    resumed = run_crawl(spark, web1k, state, max_rounds=ROUNDS)
+    rctx = resumed["ctx"]
+    urls = {r.url for r in rctx.seen.read().select("url").collect()}
+    assert "https://junk.example.com/x" not in urls
+
+    full = run_crawl(spark, web1k, tmp_path / "full2", max_rounds=ROUNDS)
+    assert _state_signature(rctx) == _state_signature(full["ctx"])
+
+
+def test_lineage_versions_tracked(spark, web1k, tmp_path):
+    res = run_crawl(spark, web1k, tmp_path / "lin", max_rounds=2)
+    ctx = res["ctx"]
+    lin = ctx.lineage.read()
+    assert lin.filter(F.col("metric") == "scheduled").count() > 0
+    assert ctx.checkpoint.load()["lineage_v"] == ctx.lineage.current_version()

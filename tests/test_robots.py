@@ -1,0 +1,63 @@
+"""op 09: robots gating — longest-prefix-match with allow-overrides —
+unit spec cases plus Spark-vs-oracle agreement on web1k."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_crawler_spark.operators.robots import robots_gate
+from oracle.crawler import _load_rules, robots_allows
+
+RULES = [
+    ("h1", "disallow", "/private/"),
+    ("h1", "allow", "/private/pub"),
+    ("h2", "disallow", "/"),
+    ("h3", "allow", "/a"),
+    ("h3", "disallow", "/a"),  # equal length: allow wins
+]
+
+CASES = [
+    ("h1", "/public/x", True),
+    ("h1", "/private/x", False),
+    ("h1", "/private/pub/x", True),
+    ("h1", "/private/pubx", True),
+    ("h2", "/anything", False),
+    ("h2", "/", False),
+    ("h3", "/a/x", True),
+    ("h4", "/whatever", True),  # no rules => allow
+]
+
+
+def test_oracle_spec():
+    rules = _load_rules(pd.DataFrame(RULES, columns=["host", "rule_type", "path_prefix"]))
+    for host, path, want in CASES:
+        assert robots_allows(rules, host, path) == want, (host, path)
+
+
+def test_spark_matches_oracle_spec(spark):
+    rules_df = spark.createDataFrame(RULES, "host string, rule_type string, path_prefix string")
+    cand = spark.createDataFrame(
+        [(f"https://{h}{p}", h, p) for h, p, _ in CASES],
+        "url string, host string, path string")
+    got = {r.url for r in robots_gate(cand, rules_df).collect()}
+    for h, p, want in CASES:
+        assert ((f"https://{h}{p}" in got) == want), (h, p)
+
+
+def test_spark_matches_oracle_on_web(spark, web1k):
+    """Gate every page URL of the generated web both ways."""
+    from data_crawler_spark.operators.links import host_col, path_col
+    rules_df = spark.read.parquet(str(web1k / "robots_rules.parquet"))
+    pages = spark.read.parquet(str(web1k / "pages.parquet")).select("url")
+    cand = pages.withColumn("host", host_col(F.col("url"))).withColumn(
+        "path", path_col(F.col("url")))
+    allowed_spark = {r.url for r in robots_gate(cand, rules_df).collect()}
+
+    import pyarrow.parquet as pq
+    from data_crawler_spark.functions.canonicalize import (
+        host_of_series, path_of_series)
+    rules = _load_rules(pq.read_table(web1k / "robots_rules.parquet").to_pandas())
+    urls = pq.read_table(web1k / "pages.parquet", columns=["url"]).to_pandas()["url"]
+    hs, ps = host_of_series(urls), path_of_series(urls)
+    allowed_oracle = {u for u, h, p in zip(urls, hs, ps) if robots_allows(rules, h, p)}
+    assert allowed_spark == allowed_oracle
+    assert 0 < len(allowed_spark) < 1000  # some pages actually blocked

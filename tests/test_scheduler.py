@@ -1,0 +1,73 @@
+"""ops 22/15/26: per-host politeness top-k; salted two-phase variant is
+result-identical for every salt count (the BASELINE.json:6,14 skew
+mechanism must not change semantics)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_crawler_spark.operators.scheduler import (
+    crawl_order,
+    schedule_per_host,
+    schedule_per_host_salted,
+)
+
+
+def _mk_candidates(spark, n=500, hosts=7):
+    rows = []
+    for i in range(n):
+        h = f"host{i % hosts}.example.com"
+        depth = i % 5
+        rows.append((f"https://{h}/p{i}", h, depth, 1.0 / (1.0 + depth), i % 3, None))
+    return spark.createDataFrame(
+        rows, "url string, host string, depth int, priority double, discovered_round int, parent_url string")
+
+
+def _mk_hosts(spark, hosts=7):
+    return spark.createDataFrame(
+        [(f"host{i}.example.com", [8, 4, 2, 1][i % 4]) for i in range(hosts)],
+        "host string, budget_per_round long")
+
+
+def _key(df):
+    return sorted((r.url, r.rn) for r in df.select("url", "rn").collect())
+
+
+def test_budget_cap(spark):
+    cand, hosts = _mk_candidates(spark), _mk_hosts(spark)
+    out = schedule_per_host(cand, hosts).groupBy("host").count().collect()
+    budgets = {r.host: r.budget_per_round for r in hosts.collect()}
+    for r in out:
+        assert r["count"] <= budgets[r.host]
+
+
+def test_salt_invariance(spark):
+    """Property: salted two-phase == unsalted, for every S."""
+    cand, hosts = _mk_candidates(spark), _mk_hosts(spark)
+    base = _key(schedule_per_host(cand, hosts))
+    for s in (1, 2, 16, 64):
+        assert _key(schedule_per_host_salted(cand, hosts, s)) == base, s
+
+
+def test_within_host_ordering(spark):
+    cand, hosts = _mk_candidates(spark), _mk_hosts(spark)
+    out = schedule_per_host(cand, hosts).filter(F.col("host") == "host0.example.com")
+    rows = out.orderBy("rn").collect()
+    keys = [(-r.priority, r.depth, r.discovered_round, r.url) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_crawl_order_total(spark):
+    cand, hosts = _mk_candidates(spark), _mk_hosts(spark)
+    sched = schedule_per_host(cand, hosts)
+    got = [r.url for r in crawl_order(sched).collect()]
+    pdf = sched.toPandas()
+    pdf = pdf.sort_values(["priority", "depth", "host", "url"],
+                          ascending=[False, True, True, True])
+    assert got == list(pdf["url"])
+
+
+def test_default_budget_for_unknown_host(spark):
+    cand = _mk_candidates(spark, n=40, hosts=1)
+    hosts = spark.createDataFrame([], "host string, budget_per_round long")
+    out = schedule_per_host(cand, hosts)
+    assert out.count() == 8  # DEFAULT_BUDGET
