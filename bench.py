@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + SURVEY.md §7.5).
+
+Runs the headline fixture queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the crawl
+engine's two north-star metrics (BASELINE.json:2):
+
+  - frontier URLs scheduled+deduped / sec (rounds over a synthetic
+    web tier, ``$SPARK_GRAFT_WEB_TIER``, default web100k)
+  - pages extracted / sec (mapInArrow sweep over the page store)
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"urls_scheduled_per_s": ..., "pages_extracted_per_s": ...}}
+
+Scaling evidence (efficiency >= 0.8 from N to 4N): run
+``python bench/scaling.py`` — same jobs at local[8] vs local[32].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+HEADLINE = [
+    "q01_scan_filter_project",
+    "q12_star_join_revenue",
+    "q18_agg_pricing_summary",
+    "q22_window_topk_per_key",
+    "q25_lag_running_sum",
+    "q37_tumbling_window",
+    "txt01_token_quality",
+    "dd01_exact_dedup",
+    "dd03_minhash_lsh",
+    "sim01_cosine_topk",
+]
+
+
+def noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    web_tier = os.environ.get("SPARK_GRAFT_WEB_TIER", "web100k")
+    crawl_rounds = int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "3"))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .appName("data_crawler_spark-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_crawler_spark.operators.extractor import extract_pages_with_links_arrow
+    from data_crawler_spark.plans.crawl import run_crawl
+    from data_crawler_spark.plans.fixture_queries import QUERIES
+    from data_crawler_spark.sources.web import gen_tier
+
+    # warm up the JVM + python workers once (not timed)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        noop_write(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- crawl metrics over the synthetic web tier ------------------------
+    web = gen_tier(REPO / ".fixtures_cache", web_tier)
+    state = Path(tempfile.mkdtemp(prefix="bench_state_"))
+    try:
+        t0 = time.time()
+        res = run_crawl(spark, web, state, max_rounds=crawl_rounds, resume=False)
+        crawl_wall = time.time() - t0
+        urls_per_s = res["scheduled_total"] / crawl_wall if crawl_wall else 0.0
+
+        pages = spark.read.parquet(str(web / "pages.parquet"))
+        n_pages = pages.count()
+        t0 = time.time()
+        noop_write(extract_pages_with_links_arrow(pages))
+        extract_wall = time.time() - t0
+        pages_per_s = n_pages / extract_wall if extract_wall else 0.0
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+    timings["crawl_rounds"] = round(crawl_wall, 3)
+    timings["extract_sweep"] = round(extract_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall time (fixture queries + crawl rounds + extraction sweep)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "crawl": {
+            "web_tier": web_tier,
+            "rounds": crawl_rounds,
+            "urls_scheduled_total": res["scheduled_total"],
+            "urls_scheduled_per_s": round(urls_per_s, 1),
+            "pages_extracted": n_pages,
+            "pages_extracted_per_s": round(pages_per_s, 1),
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

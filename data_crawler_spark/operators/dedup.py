@@ -1,0 +1,218 @@
+"""Deduplication family for large-scale training-data pipelines:
+
+  exact (hash groupBy) · word-set Jaccard pair scoring · MinHash+LSH
+  (shingle -> minhash -> band -> bucket self-join) · SimHash
+
+Design for 100 TB: the MinHash signature is computed with NATIVE array
+expressions (array_min over transform with xxhash64) — no Python in
+the signature sweep; LSH banding turns the O(n²) pair space into a
+bucket self-join whose shuffle key is (band_idx, band_hash). Only
+SimHash crosses into a vectorized pandas UDF (bit-level majority vote
+has no good Column form), with a per-batch vocabulary cache.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from data_crawler_spark.functions.hashing import xxhash64_str
+from data_crawler_spark.operators.text import WORD_RE
+
+
+def words_col(text: Column) -> Column:
+    return F.array_distinct(F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup: normalize -> md5 -> keep the min-id representative.
+    One shuffle on the content hash; md5 (not xxhash64) so the DuckDB
+    oracle can verify value-for-value."""
+    h = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  group_col: str | None = None, threshold: float = 0.8) -> DataFrame:
+    """Word-set Jaccard over candidate pairs (id_a < id_b). With
+    ``group_col`` the pair space is restricted to same-group (a blocked
+    baseline); without it this is the O(n²) reference — use MinHash+LSH
+    at scale."""
+    a = df.select(F.col(id_col).alias("id_a"),
+                  words_col(F.col(text_col)).alias("w_a"),
+                  *( [F.col(group_col).alias("g")] if group_col else [] ))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  words_col(F.col(text_col)).alias("w_b"),
+                  *( [F.col(group_col).alias("g")] if group_col else [] ))
+    joined = a.join(b, "g") if group_col else a.crossJoin(b)
+    pairs = joined.filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("w_a", "w_b"))
+    union = F.size(F.array_union("w_a", "w_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, as native expressions: slide an
+    index sequence over the token array and concat_ws each window."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
+           .otherwise(F.expr("array()").cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(sh)
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = 64,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash signature as an array<bigint>: component j = min over
+    shingles of xxhash64(j, shingle).
+
+    Formulated as explode -> n_hashes min-aggregates: one pass over the
+    shingles, all JVM-side, and Catalyst plans a partial (map-side)
+    min before the shuffle — the signature of a 10^12-shingle corpus
+    shuffles only one 64-long vector per document. (The naive
+    array_min-of-transform-per-component form re-evaluates the shingle
+    array per component after CollapseProject — measured 50x slower.)
+    Documents with fewer than ``shingle_n`` tokens have no shingles and
+    produce no signature row (they cannot be shingle-near-dups).
+    """
+    ex = df.select(F.col(id_col),
+                   F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh"))
+    hashed = ex.select(
+        F.col(id_col),
+        *[F.xxhash64(F.lit(j), "sh").alias(f"h{j}") for j in range(n_hashes)])
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(n_hashes)])
+    return agg.select(F.col(id_col),
+                      F.array(*[f"h{j}" for j in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        n_bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash): the
+    classic s-curve candidate generation. Shuffle key is the bucket, so
+    work scales with bucket occupancy, not n²."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                         for r in range(rows_per_band)]).alias("bh"),
+        )
+        for b in range(n_bands)
+    ])
+    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("bb")) \
+                   .select(id_col, "bb.band", "bb.bh")
+    left = exploded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    right = exploded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
+def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 64,
+                      n_bands: int = 16, threshold: float = 0.7,
+                      shingle_n: int = 3) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures -> banded
+    candidates -> exact shingle-Jaccard verification of candidates
+    (the verify join is on the candidate pairs only)."""
+    rows = n_hashes // n_bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands, rows)
+    sh = df.select(F.col(id_col),
+                   shingles_col(F.col(text_col), shingle_n).alias("sh"))
+    verified = (
+        cands
+        .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard",
+                    F.round(F.when(F.col("uni") > 0,
+                                   F.col("inter").cast("double") / F.col("uni"))
+                            .otherwise(F.lit(0.0)), 4))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (vectorized; per-batch vocab
+    cache keeps xxhash64 calls to O(|vocab|), not O(tokens))."""
+    import re
+    cache: dict[str, int] = {}
+
+    def word_hash(w: str) -> int:
+        h = cache.get(w)
+        if h is None:
+            h = xxhash64_str(w) & ((1 << 64) - 1)
+            cache[w] = h
+        return h
+
+    out = np.zeros(len(text), dtype=np.int64)
+    pat = re.compile(WORD_RE)
+    for i, t in enumerate(text):
+        if t is None:
+            out[i] = 0
+            continue
+        words = pat.findall(t.lower())
+        if not words:
+            out[i] = 0
+            continue
+        hs = np.array([word_hash(w) for w in words], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sim.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup: 4 16-bit chunks as blocking keys (any pair
+    within hamming<=3 shares at least one exact chunk — pigeonhole), then
+    verify hamming distance on candidates via bit_count(xor)."""
+    sh = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim"))
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned("sim", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"))
+        for c in range(4)
+    ])
+    ex = sh.select(id_col, "sim", F.explode(chunks).alias("b")) \
+           .select(id_col, "sim", "b.chunk", "b.ck")
+    left = ex.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "chunk", "ck")
+    right = ex.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "chunk", "ck")
+    cands = (left.join(right, ["chunk", "ck"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sim_a", "sim_b").distinct())
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cands.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (array<float>):
+
+  - brute-force cosine top-k (the exact baseline; one crossJoin whose
+    left side — the query set — is broadcast)
+  - LSH-bucketed ANN (random-hyperplane signatures -> bucket join ->
+    rerank) — the 100 TB scale path: candidate generation shuffles on
+    the bucket key instead of materializing n_q × n corpus pairs.
+
+Dot products/norms are native ``zip_with``/``aggregate`` expressions
+(JVM-side); only the hyperplane signature uses a vectorized pandas UDF
+(a matmul, seeded deterministically via splitmix64 — no RNG state).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from data_crawler_spark.functions.hashing import splitmix64_np
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    denom = norm_col(a) * norm_col(b)
+    return F.when(denom > 0, dot_col(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k: broadcast the (small) query set against the corpus,
+    score JVM-side, per-query window top-k with total-order tie-break."""
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col).alias("qv")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= t) —
+    brute-force reference; route through lsh_topk at corpus scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes) — the scale path
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-gaussian hyperplanes from counter hashes
+    (sum of 4 uniforms, CLT-ish — no RNG state)."""
+    n = dim * n_planes * 4
+    u = splitmix64_np(np.arange(n, dtype=np.uint64) + np.uint64(seed * 1_000_003))
+    g = (u.astype(np.float64) / 2.0**64).reshape(dim * n_planes, 4).sum(axis=1) - 2.0
+    return g.reshape(n_planes, dim)
+
+
+def lsh_signatures_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """One array<bigint> of ``n_tables`` bucket signatures per vector —
+    OR-amplification: tables trade precision for recall, AND-ing planes
+    within a table trades it back."""
+    tables = [_hyperplanes(dim, n_planes, seed + 7919 * t)
+              for t in range(n_tables)]
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((len(m), len(tables)), dtype=np.int64)
+        for t, planes in enumerate(tables):
+            bits = (m @ planes.T) > 0
+            # table index in the high bits keeps buckets disjoint per table
+            out[:, t] = (bits * weights).sum(axis=1) + (t << 48)
+        return pd.Series(list(out))
+
+    return sig
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+             n_planes: int = 4, n_tables: int = 16, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN: bucket corpus + queries by multi-table hyperplane signatures
+    (explode -> equi-join on bucket -> distinct candidates), rerank
+    exactly within candidates. Recall vs brute force is property-tested
+    (tests/test_similarity.py); at scale the crossJoin disappears in
+    favor of a shuffle keyed on the bucket."""
+    sig = lsh_signatures_udf(dim, n_planes, n_tables)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"),
+                      F.explode(sig(F.col(vec_col))).alias("bucket"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       F.explode(sig(F.col(vec_col))).alias("bucket"))
+    cands = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,600 @@
+"""The driver-contract query registry (SURVEY.md §2 -> __spark_entry__).
+
+Each ``@q("name", sql=...)`` registers a Spark query callable
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) the exact
+DuckDB oracle the driver cross-checks it against at sf0.01 — row count
++ schema + order-insensitive value hash. Aliases match on both sides;
+doubles are rounded identically on both sides (the driver hashes
+values).
+
+Entries without sql= get the driver's weaker rows-only check; their
+real verification lives in pytest (noted per entry).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_crawler_spark.functions.spark_udfs import canonicalize_udf
+from data_crawler_spark.operators import dedup, multimodal, similarity, text
+from data_crawler_spark.operators.links import host_col, path_col, url_struct_col
+from data_crawler_spark.sources.fixtures import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# --- 2.1/2.2 scans, filters, projections, parsing -------------------------
+
+@q("q01_scan_filter_project", sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+""")
+def q01(spark, sf):
+    return (load(spark, sf, "lineitem")
+            .filter(F.col("l_shipdate") >= "1995-06-01")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+
+
+@q("q05_canonicalize_urls")  # rows-only: DuckDB lacks the UDF; spec-tested in pytest
+def q05(spark, sf):
+    c = load(spark, sf, "customer")
+    messy = F.concat(F.lit("HTTPS://Host"), (F.col("c_custkey") % 50).cast("string"),
+                     F.lit(".Example.COM:443/a/./b/../seg"),
+                     (F.col("c_custkey") % 8).cast("string"),
+                     F.lit("/p"), F.col("c_custkey").cast("string"),
+                     F.lit(".html#frag"))
+    return c.select("c_custkey", canonicalize_udf(messy).alias("canonical_url"))
+
+
+@q("q06_url_parse_struct", sql="""
+    SELECT c_custkey,
+           regexp_extract(u, '^[a-z][a-z0-9+.\\-]*://([^/?#]*)', 1) AS host,
+           regexp_extract(u, '^[a-z][a-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path
+    FROM (SELECT c_custkey,
+                 'https://host' || (c_custkey % 50) || '.example.com/seg'
+                   || (c_custkey % 8) || '/p' || c_custkey || '.html' AS u
+          FROM customer)
+""")
+def q06(spark, sf):
+    c = load(spark, sf, "customer")
+    u = F.concat(F.lit("https://host"), (F.col("c_custkey") % 50).cast("string"),
+                 F.lit(".example.com/seg"), (F.col("c_custkey") % 8).cast("string"),
+                 F.lit("/p"), F.col("c_custkey").cast("string"), F.lit(".html"))
+    s = url_struct_col(u)
+    return c.select("c_custkey", s["host"].alias("host"), s["path"].alias("path"))
+
+
+@q("q07_predicate_filter", sql="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 1000 AND 100000
+      AND EXTRACT(month FROM o_orderdate) = 3
+""")
+def q07(spark, sf):
+    return (load(spark, sf, "orders")
+            .filter((F.col("o_orderstatus") == "O")
+                    & F.col("o_totalprice").between(1000, 100000)
+                    & (F.month("o_orderdate") == 3))
+            .select("o_orderkey", "o_totalprice"))
+
+
+@q("q08_projection", sql="SELECT p_partkey, p_retailprice FROM part")
+def q08(spark, sf):
+    return load(spark, sf, "part").select("p_partkey", "p_retailprice")
+
+
+# --- 2.3 joins -------------------------------------------------------------
+
+@q("q10_anti_join", sql="""
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 480000)
+""")
+def q10(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    big = o.filter(F.col("o_totalprice") > 480000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select("c_custkey")
+
+
+@q("q11_semi_join", sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q11(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@q("q12_star_join_revenue", sql="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer, orders, lineitem, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+""")
+def q12(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    l = load(spark, sf, "lineitem")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+@q("q13_left_join_counts", sql="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+""")
+def q13(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders")))
+
+
+@q("q14_broadcast_join", sql="""
+    SELECT r_name, COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name
+""")
+def q14(spark, sf):
+    n, r = load(spark, sf, "nation"), load(spark, sf, "region")
+    return (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name").agg(F.count("*").alias("n_nations")))
+
+
+@q("q16_asof_join", sql="""
+    SELECT p.event_id, CAST(MAX(e.ts) AS VARCHAR) AS last_error_ts
+    FROM events p LEFT JOIN events e
+      ON e.user_id = p.user_id AND e.event_type = 'error' AND e.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+""")
+def q16(spark, sf):
+    ev = load(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase") \
+          .select(F.col("event_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    e = ev.filter(F.col("event_type") == "error") \
+          .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+    return (
+        p.join(e, (p.p_user == e.e_user) & (e.e_ts < p.p_ts), "left")
+        .groupBy("event_id")
+        .agg(F.max("e_ts").cast("string").alias("last_error_ts"))
+    )
+
+
+@q("q17_theta_join", sql="""
+    SELECT r1.r_regionkey AS a, r2.r_regionkey AS b
+    FROM region r1, region r2 WHERE r1.r_regionkey < r2.r_regionkey
+""")
+def q17(spark, sf):
+    r = load(spark, sf, "region")
+    r1 = r.select(F.col("r_regionkey").alias("a"))
+    r2 = r.select(F.col("r_regionkey").alias("b"))
+    return r1.join(r2, F.col("a") < F.col("b"))
+
+
+# --- 2.4 aggregations ------------------------------------------------------
+
+@q("q18_agg_pricing_summary", sql="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def q18(spark, sf):
+    return (load(spark, sf, "lineitem")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+@q("q19_count_distinct", sql="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderpriority
+""")
+def q19(spark, sf):
+    return (load(spark, sf, "orders").groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_cust")))
+
+
+@q("q20_approx_count_distinct")  # rows-only: approximate by design
+def q20(spark, sf):
+    return (load(spark, sf, "orders")
+            .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_cust")))
+
+
+@q("q21_rollup", sql="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def q21(spark, sf):
+    return (load(spark, sf, "orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n")))
+
+
+@q("q21b_collect_sorted", sql="""
+    SELECT s_nationkey, array_to_string(list_sort(list(s_name)), ',') AS suppliers
+    FROM supplier GROUP BY s_nationkey
+""")
+def q21b(spark, sf):
+    return (load(spark, sf, "supplier").groupBy("s_nationkey")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list("s_name"))).alias("suppliers")))
+
+
+# --- 2.5 windows -----------------------------------------------------------
+
+@q("q22_window_topk_per_key", sql="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+""")
+def q22(spark, sf):
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (load(spark, sf, "orders")
+            .select("o_orderpriority", "o_orderkey", "o_totalprice")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3))
+
+
+@q("q23_latest_per_key", sql="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS latest_date
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1
+""")
+def q23(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (load(spark, sf, "orders")
+            .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    F.col("o_orderdate").cast("string").alias("latest_date")))
+
+
+@q("q24_ranking_fns", sql="""
+    SELECT s_suppkey,
+           RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
+           DENSE_RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS drnk,
+           NTILE(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+    FROM supplier
+""")
+def q24(spark, sf):
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (load(spark, sf, "supplier")
+            .select("s_suppkey", F.rank().over(w).alias("rnk"),
+                    F.dense_rank().over(w).alias("drnk"),
+                    F.ntile(4).over(w).alias("quartile")))
+
+
+@q("q25_lag_running_sum", sql="""
+    SELECT event_id,
+           ROUND(LAG(value) OVER w, 3) AS prev_value,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS running_value
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q25(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (load(spark, sf, "events")
+            .select("event_id", F.round(F.lag("value").over(w), 3).alias("prev_value"),
+                    F.round(F.sum("value").over(wr), 3).alias("running_value")))
+
+
+# --- 2.6/2.7 sorts, limits, set ops ---------------------------------------
+
+@q("q27_global_topk", sql="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def q27(spark, sf):
+    return (load(spark, sf, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey", "o_totalprice").limit(10))
+
+
+@q("q28_union", sql="""
+    SELECT c_name AS name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT s_name AS name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier WHERE s_acctbal > 9000
+""")
+def q28(spark, sf):
+    c = (load(spark, sf, "customer").filter(F.col("c_acctbal") > 9000)
+         .select(F.col("c_name").alias("name"), F.round("c_acctbal", 2).alias("acctbal")))
+    s = (load(spark, sf, "supplier").filter(F.col("s_acctbal") > 9000)
+         .select(F.col("s_name").alias("name"), F.round("s_acctbal", 2).alias("acctbal")))
+    return c.unionByName(s)
+
+
+@q("q29_except", sql="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def q29(spark, sf):
+    b = (load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+         .select("c_custkey"))
+    f = (load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return b.exceptAll(f.distinct()).distinct()
+
+
+# --- 2.8 scalar functions --------------------------------------------------
+
+@q("q30_xxhash64")  # rows-only: DuckDB lacks xxhash64; bit-exactness pytest-pinned
+def q30(spark, sf):
+    return (load(spark, sf, "documents")
+            .select("doc_id", F.xxhash64("text").alias("text_hash")))
+
+
+@q("q32_string_fns", sql="""
+    SELECT doc_id, UPPER(lang) AS lang_u, SUBSTRING(text, 1, 20) AS head,
+           LENGTH(text) AS n_chars2,
+           LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS n_tokens
+    FROM documents
+""")
+def q32(spark, sf):
+    return (load(spark, sf, "documents")
+            .select("doc_id", F.upper("lang").alias("lang_u"),
+                    F.substring("text", 1, 20).alias("head"),
+                    F.length("text").alias("n_chars2"),
+                    F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("n_tokens")))
+
+
+@q("q33_date_fns", sql="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1
+""")
+def q33(spark, sf):
+    return (load(spark, sf, "events")
+            .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")))
+
+
+@q("q34_math_fns", sql="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(SQRT(l_quantity)), 4) AS avg_sqrt_qty,
+           ROUND(AVG(LN(l_extendedprice)), 4) AS avg_ln_price
+    FROM lineitem GROUP BY l_returnflag
+""")
+def q34(spark, sf):
+    return (load(spark, sf, "lineitem").groupBy("l_returnflag")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg(F.sqrt("l_quantity")), 4).alias("avg_sqrt_qty"),
+                 F.round(F.avg(F.log("l_extendedprice")), 4).alias("avg_ln_price")))
+
+
+@q("q35_array_fns", sql="""
+    SELECT vec_id, LEN(embedding) AS dim,
+           ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS norm,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val
+    FROM embeddings
+""")
+def q35(spark, sf):
+    e = load(spark, sf, "embeddings")
+    sq = F.aggregate(F.transform("embedding", lambda x: x.cast("double") * x),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    return e.select("vec_id", F.size("embedding").alias("dim"),
+                    F.round(F.sqrt(sq), 4).alias("norm"),
+                    F.round(F.array_max("embedding").cast("double"), 4).alias("max_val"))
+
+
+@q("q36_json_fns", sql="""
+    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+""")
+def q36(spark, sf):
+    return (load(spark, sf, "events")
+            .select("event_type", F.get_json_object("props", "$.k").cast("long").alias("k"))
+            .groupBy("event_type").agg(F.sum("k").alias("sum_k"), F.count("*").alias("n")))
+
+
+# --- 2.9 streaming-shaped (windows over event time) ------------------------
+
+@q("q37_tumbling_window", sql="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1
+""")
+def q37(spark, sf):
+    return (load(spark, sf, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"), "n", "total"))
+
+
+@q("q38_sliding_window", sql="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, COUNT(*) AS n
+    FROM (SELECT date_trunc('hour', ts) AS ws FROM events
+          UNION ALL
+          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws FROM events)
+    GROUP BY 1
+""")
+def q38(spark, sf):
+    return (load(spark, sf, "events")
+            .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"), "n"))
+
+
+@q("q39_session_window", sql="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE THEN 1
+                  WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, SUM(new_session) AS n_sessions FROM marked GROUP BY user_id
+""")
+def q39(spark, sf):
+    return (load(spark, sf, "events")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("user_id").agg(F.count("*").alias("n_sessions")))
+
+
+# --- text analysis over documents ------------------------------------------
+
+@q("txt01_token_quality", sql="""
+    SELECT doc_id,
+           LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS n_tokens,
+           ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9 \t\n]', '', 'g')))
+                 / CAST(LENGTH(text) AS DOUBLE), 4) AS punct_ratio,
+           ROUND(LEN(list_filter(regexp_extract_all(LOWER(text), '[a-z0-9]+'),
+                     w -> w IN ('the','a','of','and','to','in','is','it')))
+                 / CAST(LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS DOUBLE), 4) AS stopword_ratio
+    FROM documents WHERE LENGTH(text) > 0
+""")
+def qt1(spark, sf):
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    return d.select("doc_id",
+                    text.token_count_col(F.col("text")).alias("n_tokens"),
+                    F.round(text.punct_ratio_col(F.col("text")), 4).alias("punct_ratio"),
+                    F.round(text.stopword_ratio_col(F.col("text")), 4).alias("stopword_ratio"))
+
+
+@q("txt02_langid", sql="""
+    SELECT doc_id,
+           CASE WHEN (LENGTH(text) - LENGTH(regexp_replace(text, '[一-鿿]', '', 'g')))
+                     / CAST(LENGTH(text) AS DOUBLE) > 0.05 THEN 'zh'
+                ELSE 'en' END AS lang_pred
+    FROM documents WHERE LENGTH(text) > 0
+""")
+def qt2(spark, sf):
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    pred = F.when(text.cjk_ratio_col(F.col("text")) > 0.05, F.lit("zh")).otherwise(F.lit("en"))
+    return d.select("doc_id", pred.alias("lang_pred"))
+
+
+@q("txt03_fingerprint", sql="""
+    SELECT doc_id, md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+""")
+def qt3(spark, sf):
+    return (load(spark, sf, "documents")
+            .select("doc_id", text.fingerprint_col(F.col("text")).alias("fingerprint")))
+
+
+# --- dedup family -----------------------------------------------------------
+
+@q("dd01_exact_dedup", sql="""
+    SELECT md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+""")
+def dd01(spark, sf):
+    return dedup.exact_dedup(load(spark, sf, "documents"))
+
+
+@q("dd02_jaccard_pairs", sql="""
+    WITH w AS (SELECT doc_id, source,
+                      list_distinct(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS ws
+               FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(LEN(list_intersect(a.ws, b.ws))
+                 / CAST(LEN(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 4) AS jaccard
+    FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE LEN(list_distinct(list_concat(a.ws, b.ws))) > 0
+      AND LEN(list_intersect(a.ws, b.ws))
+          / CAST(LEN(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) >= 0.9
+""")
+def dd02(spark, sf):
+    return dedup.jaccard_pairs(load(spark, sf, "documents"),
+                               group_col="source", threshold=0.9)
+
+
+@q("dd03_minhash_lsh")  # rows-only: recall/precision property-tested in pytest
+def dd03(spark, sf):
+    return dedup.minhash_near_dups(load(spark, sf, "documents"), threshold=0.7)
+
+
+@q("dd04_simhash")  # rows-only: hamming/blocking properties pytest-tested
+def dd04(spark, sf):
+    return dedup.simhash_near_dups(load(spark, sf, "documents"), max_hamming=8)
+
+
+@q("dd05_embedding_neardup", sql="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+""")
+def dd05(spark, sf):
+    # 0.35 sits in a measured gap of the fixture cosine distribution
+    # (float32-vs-double discrepancy is <3e-7; nearest pair is 3e-5 away)
+    return (similarity.embedding_near_dups(load(spark, sf, "embeddings"), threshold=0.35)
+            .select("id_a", "id_b"))
+
+
+# --- similarity search ------------------------------------------------------
+
+@q("sim01_cosine_topk", sql="""
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                          c.vec_id) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 10 AND q.vec_id != c.vec_id)
+    WHERE rank <= 5
+""")
+def sim01(spark, sf):
+    e = load(spark, sf, "embeddings")
+    return (similarity.cosine_topk_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+@q("sim02_lsh_ann")  # rows-only: recall vs brute force pytest-tested
+def sim02(spark, sf):
+    e = load(spark, sf, "embeddings")
+    return similarity.lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, dim=64)
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+@q("mm01_media_features")  # rows-only: deterministic fake decode; pytest-tested
+def mm01(spark, sf):
+    media = multimodal.synth_media_from_documents(load(spark, sf, "documents"))
+    return multimodal.decode_and_featurize(media, decode="fake")
+
+
+@q("mm02_frame_sample")  # rows-only
+def mm02(spark, sf):
+    media = multimodal.synth_media_from_documents(load(spark, sf, "documents"))
+    return multimodal.frame_sample_plan(media, every_n=10)

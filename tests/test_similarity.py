@@ -1,0 +1,58 @@
+"""Similarity search: brute-force exactness + LSH recall property."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_crawler_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_dups,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_bruteforce_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    V = np.stack(pdf["embedding"].values).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = n @ n.T
+    got = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    for qid, rows in by_q.items():
+        qi = int(np.where(ids == qid)[0][0])
+        sims = [(round(S[qi, j], 6), ids[j]) for j in range(len(ids)) if ids[j] != qid]
+        want = sorted(sims, key=lambda t: (-t[0], t[1]))[:3]
+        got_sorted = sorted(rows)
+        for (rank, nid, cos), (wcos, wid) in zip(got_sorted, want):
+            assert nid == wid and abs(cos - wcos) < 1e-5
+
+
+def test_lsh_recall(emb):
+    q = emb.filter(F.col("vec_id") < 20)
+    bf = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(emb, q, k=5).collect()}
+    lsh = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, q, k=5, dim=64).collect()}
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.7, recall
+
+
+def test_lsh_deterministic(emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in lsh_topk(emb, q, k=3).collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank) for r in lsh_topk(emb, q, k=3).collect())
+    assert a == b
+
+
+def test_near_dup_symmetric_halfspace(emb):
+    rows = embedding_near_dups(emb.limit(200), threshold=0.3).collect()
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(r.cosine >= 0.3 for r in rows)

@@ -1,0 +1,47 @@
+"""Text-analysis operators: spec cases + profile over documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_crawler_spark.operators.text import text_profile
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    rows = [
+        (1, "the quick brown fox is in the barn"),
+        (2, "aaa!!! ??? ###"),
+        (3, "这是一个中文句子加上一些更多的汉字内容在这里"),
+        (4, ""),
+        (5, "word " * 60),
+        (6, "el la que es el la de la"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_profile(sample):
+    out = {r.doc_id: r for r in text_profile(sample).collect()}
+    assert out[1].n_tokens == 8
+    assert out[1].stopword_ratio == pytest.approx(4 / 8, abs=1e-4)  # the,is,in,the
+    assert out[1].punct_ratio == 0.0
+    assert out[2].punct_ratio > 0.5
+    assert out[3].lang_pred == "zh"
+    assert out[6].lang_pred == "es"
+    assert out[1].lang_pred == "en"
+    assert out[4].n_tokens == 0 and out[4].quality < 0.7
+    assert out[5].quality > out[2].quality  # clean text beats punct soup
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(1, "Hello   World"), (2, "hello world"), (3, " HELLO\tWORLD ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = [r.fingerprint for r in text_profile(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_profile_runs_on_fixture_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = text_profile(docs)
+    assert out.count() == docs.count()
+    assert set(r.lang_pred for r in out.select("lang_pred").distinct().collect()) <= {
+        "en", "es", "de", "fr", "zh"}
