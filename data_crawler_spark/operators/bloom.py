@@ -1,0 +1,148 @@
+"""Partitioned bloom URL-seen sidecar (SURVEY.md §2 op 31; the
+"partitioned cuckoo/bloom URL-seen filter keyed on canonicalized-URL
+xxhash64" of BASELINE.json:6,14).
+
+Role at 10^10 URLs: the exact seen-set anti-join (op 10) must shuffle
+every candidate against the full seen table. The bloom sidecar is a
+*partitioned accelerator* in front of it: per url_hash bucket, a bitmap
+over the bucket's seen hashes. Candidates probe the (broadcast) bitmaps
+and only *maybe-seen* candidates enter the anti-join; definitely-unseen
+candidates (the overwhelming majority in a growing crawl) skip it.
+Exactness never depends on the filter — no false negatives, property-
+tested — it only shrinks the anti-join's left side.
+
+Bitmaps are built per bucket with a grouped applyInPandas (vectorized
+numpy bit ops — no per-row Python, BASELINE.json:15) and stored as
+BinaryType rows in a snapshot table: state lives in tables, so the
+filter is as resumable as the rest of the crawl.
+
+PySpark exposes no DataFrame-level bloomFilter builder (df.stat has
+none), hence hand-rolled; Spark's runtime bloom-join
+(spark.sql.optimizer.runtime.bloomFilter.enabled) complements but
+cannot persist across rounds.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from data_crawler_spark.functions.hashing import bloom_positions_np
+
+BLOOM_SCHEMA = "bucket int, m_bits long, k int, n_items long, bitmap binary"
+
+
+def optimal_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) for a target false-positive rate; m rounded up to a
+    byte multiple."""
+    n = max(n_items, 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 7) // 8) * 8
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def bucket_col(url_hash, n_buckets: int):
+    return F.pmod(url_hash, F.lit(n_buckets)).cast("int")
+
+
+def build_bloom(seen: DataFrame, n_buckets: int = 64,
+                fpp: float = 0.01, m_bits: int | None = None,
+                k: int | None = None) -> DataFrame:
+    """seen(url_hash, ...) -> one bitmap row per url_hash bucket.
+
+    Sizing: fixed per-bucket m/k (pass explicitly for a stable layout
+    across rounds, or let each build size itself from bucket counts).
+    """
+    if m_bits is None or k is None:
+        # size for the average bucket at the requested fpp, x2 headroom
+        n_est = max(seen.count() // n_buckets, 1) * 2
+        m_bits, k = optimal_params(n_est, fpp)
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["url_hash"].to_numpy(dtype=np.int64)
+        pos = bloom_positions_np(h, k=k, m_bits=m_bits).reshape(-1)
+        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+        np.bitwise_or.at(bitmap, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        return pd.DataFrame({
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "m_bits": [m_bits], "k": [k], "n_items": [len(h)],
+            "bitmap": [bitmap.tobytes()],
+        })
+
+    return (seen.select("url_hash")
+            .withColumn("bucket", bucket_col(F.col("url_hash"), n_buckets))
+            .groupBy("bucket").applyInPandas(make, BLOOM_SCHEMA))
+
+
+def probe_udf(bloom_rows: list, n_buckets: int):
+    """maybe_seen(url_hash) scalar pandas UDF over captured bitmaps.
+
+    ``bloom_rows`` is the collected (small: n_buckets × m/8 bytes)
+    bitmap table; it ships to executors inside the UDF closure via the
+    task broadcast. Missing buckets -> definitely unseen."""
+    bitmaps: dict[int, np.ndarray] = {}
+    params: dict[int, tuple[int, int]] = {}
+    for r in bloom_rows:
+        bitmaps[r["bucket"]] = np.frombuffer(r["bitmap"], dtype=np.uint8)
+        params[r["bucket"]] = (int(r["m_bits"]), int(r["k"]))
+
+    @pandas_udf(BooleanType())
+    def maybe_seen(url_hash: pd.Series) -> pd.Series:
+        h = url_hash.to_numpy(dtype=np.int64)
+        bucket = np.mod(h, n_buckets)  # pmod semantics for negatives
+        out = np.zeros(len(h), dtype=bool)
+        for b in np.unique(bucket):
+            bm = bitmaps.get(int(b))
+            if bm is None:
+                continue
+            m_bits, k = params[int(b)]
+            sel = bucket == b
+            pos = bloom_positions_np(h[sel], k=k, m_bits=m_bits)
+            hit = np.ones(sel.sum(), dtype=bool)
+            for j in range(k):
+                p = pos[:, j]
+                hit &= (bm[p // 8] >> (p % 8) & 1).astype(bool)
+            out[sel] = hit
+        return pd.Series(out)
+
+    return maybe_seen
+
+
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two bloom sidecars with identical (m_bits, k) layout —
+    the per-round incremental update: only the NEW seen rows are hashed
+    each round; merged bitmaps commit as the next sidecar snapshot."""
+
+    def orit(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for buf in pdf["bitmap"]:
+            v = np.frombuffer(buf, dtype=np.uint8)
+            acc = v.copy() if acc is None else (acc | v)
+        return pd.DataFrame({
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "m_bits": [int(pdf["m_bits"].iloc[0])],
+            "k": [int(pdf["k"].iloc[0])],
+            "n_items": [int(pdf["n_items"].sum())],
+            "bitmap": [acc.tobytes()],
+        })
+
+    return a.unionByName(b).groupBy("bucket").applyInPandas(orit, BLOOM_SCHEMA)
+
+
+def prefilter_candidates(candidates: DataFrame, bloom_df: DataFrame,
+                         n_buckets: int) -> tuple[DataFrame, DataFrame]:
+    """Split candidates into (definitely_unseen, maybe_seen) using the
+    bloom sidecar. definitely_unseen needs NO anti-join; maybe_seen
+    (true seens + fpp of the rest) proceeds to the exact anti-join."""
+    rows = [r.asDict() for r in bloom_df.collect()]
+    probe = probe_udf(rows, n_buckets)
+    marked = candidates.withColumn("_maybe", probe(F.col("url_hash")))
+    return (marked.filter(~F.col("_maybe")).drop("_maybe"),
+            marked.filter(F.col("_maybe")).drop("_maybe"))

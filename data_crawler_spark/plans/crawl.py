@@ -40,6 +40,7 @@ from data_crawler_spark.operators.links import (
     path_col,
     resolve_href_col,
 )
+from data_crawler_spark.operators import bloom as bloom_ops
 from data_crawler_spark.operators.robots import robots_gate
 from data_crawler_spark.operators.scheduler import (
     schedule_per_host_salted,
@@ -61,12 +62,22 @@ class CrawlContext:
     scheduled: SnapshotTable
     extracted: SnapshotTable
     lineage: SnapshotTable
+    bloom: SnapshotTable
     checkpoint: Checkpoint
     n_salts: int = 16
+    # bloom URL-seen sidecar (op 31): fixed per-bucket layout so bitmaps
+    # OR-merge across rounds. An accelerator only — exactness comes from
+    # the url anti-join; use_bloom=False must produce identical results
+    # (tested).
+    use_bloom: bool = True
+    bloom_buckets: int = 64
+    bloom_m_bits: int = 1 << 17
+    bloom_k: int = 7
 
 
 def open_crawl(spark: SparkSession, web_dir: str | Path,
-               state_dir: str | Path, n_salts: int = 16) -> CrawlContext:
+               state_dir: str | Path, n_salts: int = 16,
+               use_bloom: bool = True) -> CrawlContext:
     web = Path(web_dir)
     state = Path(state_dir)
     state.mkdir(parents=True, exist_ok=True)
@@ -84,8 +95,10 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
         scheduled=SnapshotTable(spark, state, "scheduled", schemas.SCHEDULED),
         extracted=SnapshotTable(spark, state, "extracted", schemas.EXTRACTED),
         lineage=SnapshotTable(spark, state, "lineage", schemas.LINEAGE),
+        bloom=SnapshotTable(spark, state, "bloom", schemas.BLOOM),
         checkpoint=Checkpoint(state),
         n_salts=n_salts,
+        use_bloom=use_bloom,
     )
 
 
@@ -118,6 +131,7 @@ def bootstrap(ctx: CrawlContext) -> None:
         "round": 0,
         "frontier_v": ctx.frontier.current_version(),
         "seen_v": 0, "scheduled_v": 0, "extracted_v": 0, "lineage_v": 0,
+        "bloom_v": 0,
     })
 
 
@@ -157,6 +171,17 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         mode="append",
     )
 
+    # bloom sidecar update (op 31): hash ONLY this round's new seen rows,
+    # OR-merge into the persisted per-bucket bitmaps (O(delta) like the
+    # seen append itself)
+    if ctx.use_bloom:
+        new_bloom = bloom_ops.build_bloom(
+            sched.select("url_hash"), n_buckets=ctx.bloom_buckets,
+            m_bits=ctx.bloom_m_bits, k=ctx.bloom_k)
+        if ctx.bloom.current_version() > 0:
+            new_bloom = bloom_ops.merge_blooms(ctx.bloom.read(), new_bloom)
+        ctx.bloom.write(new_bloom)
+
     # fetch + extract (ops 11/42): join the scheduled slice against the
     # page store; html enters exactly one stage and is dropped after.
     fetched = (
@@ -190,9 +215,18 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         "parent_url",
     )
     # exact URL-seen dedup (op 10): anti-join on the full url string —
-    # url_hash alone would admit hash collisions at 10^10 rows.
+    # url_hash alone would admit hash collisions at 10^10 rows. With the
+    # bloom sidecar (op 31), definitely-unseen candidates skip the
+    # anti-join entirely; only maybe-seen ones shuffle against `seen`.
     seen_all = ctx.seen.read()
-    fresh = new_cand.join(seen_all.select("url"), "url", "left_anti")
+    if ctx.use_bloom and ctx.bloom.current_version() > 0:
+        cand_hashed = new_cand.withColumn("url_hash", F.xxhash64("url"))
+        unseen, maybe = bloom_ops.prefilter_candidates(
+            cand_hashed, ctx.bloom.read(), ctx.bloom_buckets)
+        checked = maybe.join(seen_all.select("url"), "url", "left_anti")
+        fresh = unseen.unionByName(checked).drop("url_hash")
+    else:
+        fresh = new_cand.join(seen_all.select("url"), "url", "left_anti")
 
     remaining = frontier.join(sched.select("url"), "url", "left_anti")
     frontier_next = _dedup_frontier(
@@ -218,6 +252,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         "scheduled_v": ctx.scheduled.current_version(),
         "extracted_v": ctx.extracted.current_version(),
         "lineage_v": ctx.lineage.current_version(),
+        "bloom_v": ctx.bloom.current_version(),
     })
     fetched.unpersist()
     sched.unpersist()
@@ -226,10 +261,10 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
 
 def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
               max_rounds: int = 100, resume: bool = True,
-              n_salts: int = 16) -> dict:
+              n_salts: int = 16, use_bloom: bool = True) -> dict:
     """Drive rounds to quiescence (or max_rounds). Resumable: picks up
     from the last committed checkpoint when ``resume`` and one exists."""
-    ctx = open_crawl(spark, web_dir, state_dir, n_salts=n_salts)
+    ctx = open_crawl(spark, web_dir, state_dir, n_salts=n_salts, use_bloom=use_bloom)
     cp = ctx.checkpoint.load() if resume else None
     if cp is None:
         bootstrap(ctx)
@@ -242,6 +277,7 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
         ctx.scheduled.rollback(cp.get("scheduled_v", 0))
         ctx.extracted.rollback(cp.get("extracted_v", 0))
         ctx.lineage.rollback(cp.get("lineage_v", 0))
+        ctx.bloom.rollback(cp.get("bloom_v", 0))
         start = cp["round"]
     total = 0
     for rnd in range(start, max_rounds):

@@ -59,6 +59,14 @@ EXTRACTED = StructType([
     StructField("round", IntegerType(), False),
 ])
 
+BLOOM = StructType([
+    StructField("bucket", IntegerType(), False),
+    StructField("m_bits", LongType(), False),
+    StructField("k", IntegerType(), False),
+    StructField("n_items", LongType(), False),
+    StructField("bitmap", BinaryType(), False),
+])
+
 LINEAGE = StructType([
     StructField("round", IntegerType(), False),
     StructField("partition_id", IntegerType(), False),

@@ -1,0 +1,53 @@
+"""Streaming-shaped operators (SURVEY.md §2 ops 37-40) in their
+Structured Streaming form.
+
+The batch forms (groupBy window/session_window over a static table) are
+registered in plans/fixture_queries.py with DuckDB oracles; this module
+provides the same aggregations over an unbounded stream with event-time
+watermarking, plus the late-data quarantine route demanded by op 40
+(late pages are counted into lineage, not silently lost).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_page_rate(pages_stream: DataFrame, ts_col: str = "warc_ts",
+                        window: str = "1 hour", slide: str | None = None,
+                        watermark: str = "2 hours") -> DataFrame:
+    """pages/sec-style metric: windowed counts over event time with a
+    watermark bounding state (op 37/38/40). Append-output-mode safe."""
+    w = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        pages_stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"))
+        .agg(F.count("*").alias("n_pages"),
+             F.approx_count_distinct("url").alias("n_urls_approx"))
+        .select(F.col("w.start").alias("wstart"), F.col("w.end").alias("wend"),
+                "n_pages", "n_urls_approx")
+    )
+
+
+def streaming_host_sessions(fetch_stream: DataFrame, ts_col: str = "fetch_ts",
+                            gap: str = "30 minutes",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Per-host fetch sessions (op 39): politeness audit over a stream —
+    a session break means the crawler honored at least ``gap`` of idle."""
+    return (
+        fetch_stream.withWatermark(ts_col, watermark)
+        .groupBy("host", F.session_window(ts_col, gap).alias("s"))
+        .agg(F.count("*").alias("n_fetches"))
+        .select("host", F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"), "n_fetches")
+    )
+
+
+def split_late(batch_df: DataFrame, ts_col: str, high_watermark) -> tuple[DataFrame, DataFrame]:
+    """op 40 quarantine rule (foreachBatch form): rows older than the
+    carried high watermark route to the quarantine sink + lineage
+    counter instead of the main aggregation."""
+    on_time = batch_df.filter(F.col(ts_col) >= F.lit(high_watermark))
+    late = batch_df.filter(F.col(ts_col) < F.lit(high_watermark))
+    return on_time, late

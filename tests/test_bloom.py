@@ -1,0 +1,76 @@
+"""op 31: bloom sidecar — no false negatives (exactness guard), bounded
+false-positive rate, incremental merge, and crawl-result invariance
+with the accelerator on vs off."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_crawler_spark.operators.bloom import (
+    build_bloom,
+    merge_blooms,
+    optimal_params,
+    prefilter_candidates,
+)
+
+N_BUCKETS = 16
+M_BITS = 1 << 14
+K = 7
+
+
+@pytest.fixture(scope="module")
+def seen(spark):
+    return spark.range(0, 5000).select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+
+
+@pytest.fixture(scope="module")
+def bloom(seen):
+    return build_bloom(seen, n_buckets=N_BUCKETS, m_bits=M_BITS, k=K).cache()
+
+
+def test_no_false_negatives(spark, seen, bloom):
+    cand = seen  # every candidate IS seen
+    unseen, maybe = prefilter_candidates(cand, bloom, N_BUCKETS)
+    assert unseen.count() == 0
+    assert maybe.count() == 5000
+
+
+def test_false_positive_rate(spark, bloom):
+    novel = spark.range(100000, 120000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    unseen, maybe = prefilter_candidates(novel, bloom, N_BUCKETS)
+    fp = maybe.count() / 20000
+    # ~5000 items over 16 buckets of 16K bits, k=7 -> fpp well under 1%
+    assert fp < 0.02, fp
+
+
+def test_merge_equals_bulk_build(spark):
+    a = spark.range(0, 3000).select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    b = spark.range(3000, 5000).select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    both = a.unionByName(b)
+    bulk = {r.bucket: (r.bitmap, r.n_items)
+            for r in build_bloom(both, N_BUCKETS, m_bits=M_BITS, k=K).collect()}
+    merged = {r.bucket: (r.bitmap, r.n_items)
+              for r in merge_blooms(build_bloom(a, N_BUCKETS, m_bits=M_BITS, k=K),
+                                    build_bloom(b, N_BUCKETS, m_bits=M_BITS, k=K)).collect()}
+    assert bulk == merged
+
+
+def test_optimal_params_sane():
+    m, k = optimal_params(10_000, 0.01)
+    assert m % 8 == 0 and m > 10_000 and 5 <= k <= 10
+
+
+def test_crawl_invariant_bloom_on_off(spark, web1k, tmp_path):
+    """The accelerator must not change any crawl output."""
+    from data_crawler_spark.plans.crawl import run_crawl, visit_order_df
+    on = run_crawl(spark, web1k, tmp_path / "on", max_rounds=4, use_bloom=True)
+    off = run_crawl(spark, web1k, tmp_path / "off", max_rounds=4, use_bloom=False)
+    vo_on = [(r.round, r.url) for r in visit_order_df(on["ctx"]).collect()]
+    vo_off = [(r.round, r.url) for r in visit_order_df(off["ctx"]).collect()]
+    assert vo_on == vo_off
+    f_on = sorted(r.url for r in on["ctx"].frontier.read().collect())
+    f_off = sorted(r.url for r in off["ctx"].frontier.read().collect())
+    assert f_on == f_off
+    assert on["ctx"].bloom.current_version() > 0
+    assert off["ctx"].bloom.current_version() == 0
