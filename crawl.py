@@ -31,6 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salts", type=int, default=16)
     p.add_argument("--fresh", action="store_true",
                    help="ignore any existing checkpoint (restart from seeds)")
+    p.add_argument("--gc-keep", type=int, default=None,
+                   help="prune state tables to the last N snapshot versions per round")
     p.add_argument("--master", default=None,
                    help="override master when run standalone (e.g. local[8])")
     args = p.parse_args(argv)
@@ -59,7 +61,8 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     res = run_crawl(spark, web, state, max_rounds=args.rounds,
-                    resume=not args.fresh, n_salts=args.salts)
+                    resume=not args.fresh, n_salts=args.salts,
+                    gc_keep=args.gc_keep)
     wall = time.time() - t0
     out = {
         "web": str(web),

@@ -70,7 +70,10 @@ def canonicalize_series(s: pd.Series) -> pd.Series:
     has_q = query.notna() & (query != "")
     res = res.mask(has_q, res + "?" + query)
 
-    out = u.where(~ok, res)
+    # whitespace that was interior on input (e.g. "/a ?") can become
+    # terminal once an empty query/fragment is dropped — final strip
+    # keeps the function idempotent
+    out = u.where(~ok, res).str.strip()
     return out.astype(object).where(~orig_na, None)
 
 

@@ -77,11 +77,14 @@ def page_url(host_rank: int, section: int, page_id: int) -> str:
 
 
 def gen_web(out_dir: str | os.PathLike, n_pages: int, n_seeds: int,
-            seed: int = 42, chunk: int = 250_000, force: bool = False) -> Path:
+            seed: int = 42, chunk: int = 10_000, force: bool = False) -> Path:
     """Generate (or reuse a cached) synthetic web under ``out_dir``."""
     out = Path(out_dir)
     meta_path = out / "meta.json"
-    meta = {"n_pages": n_pages, "n_seeds": n_seeds, "seed": seed, "v": 3}
+    meta = {"n_pages": n_pages, "n_seeds": n_seeds, "seed": seed, "v": 5}
+    # chunk == parquet row-group size: scan task granularity is
+    # bounded by row groups (~17MB at 10k rows) - byte splits smaller
+    # than a row group produce empty tasks
     if meta_path.exists() and not force:
         if json.loads(meta_path.read_text()) == meta:
             return out

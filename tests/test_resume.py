@@ -61,3 +61,14 @@ def test_lineage_versions_tracked(spark, web1k, tmp_path):
     lin = ctx.lineage.read()
     assert lin.filter(F.col("metric") == "scheduled").count() > 0
     assert ctx.checkpoint.load()["lineage_v"] == ctx.lineage.current_version()
+
+
+def test_gc_prunes_but_preserves_resume(spark, web1k, tmp_path):
+    """With gc_keep, old snapshot dirs are dropped but the crawl still
+    resumes and matches the unpruned run."""
+    a = run_crawl(spark, web1k, tmp_path / "gc", max_rounds=2, gc_keep=3)
+    a2 = run_crawl(spark, web1k, tmp_path / "gc", max_rounds=4, gc_keep=3)
+    b = run_crawl(spark, web1k, tmp_path / "nogc", max_rounds=4)
+    assert _state_signature(a2["ctx"]) == _state_signature(b["ctx"])
+    manifest = a2["ctx"].seen._manifest()
+    assert len(manifest["versions"]) <= 3
