@@ -1,13 +1,16 @@
 """One scaling measurement at a fixed core count (run in its own
 process so each measurement gets a fresh JVM). Prints one JSON line.
 
-The jobs are the north-star workloads (BASELINE.json:2):
+Jobs (the north-star workloads, BASELINE.json:2, plus a calibration):
   extract : mapInArrow extraction+link sweep over the page store
-  crawl   : scheduling rounds (canonicalize/robots/salted topk/dedup)
-  agg     : the star-join + pricing-summary fixture queries at sf0.1
+  crawl   : politeness-scheduled crawl rounds (budget_scale makes the
+            rounds big enough to measure throughput, semantics intact)
+  minhash : MinHash signature sweep over page text (CPU-heavy, shuffle-
+            light real operator - dedup at scale)
+  burn    : pure-numpy pandas-UDF burner with NO engine code - measures
+            the MACHINE's own scaling ceiling at this core count, used
+            to normalize the engine numbers on this noisy/turbo VM
 """
-
-from __future__ import annotations
 
 import argparse
 import json
@@ -17,6 +20,9 @@ import tempfile
 import time
 from pathlib import Path
 
+import numpy as np
+import pandas as pd
+
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
@@ -25,13 +31,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--web-tier", default="web1m")
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--budget-scale", type=int, default=50)
-    ap.add_argument("--agg-iters", type=int, default=5)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
@@ -46,18 +52,21 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from data_crawler_spark.operators.dedup import minhash_signatures
     from data_crawler_spark.operators.extractor import extract_pages_with_links_arrow
     from data_crawler_spark.plans.crawl import run_crawl
-    from data_crawler_spark.plans.fixture_queries import QUERIES
     from data_crawler_spark.sources.web import gen_tier
 
     web = gen_tier(REPO / ".fixtures_cache", args.web_tier)
     spark.range(1000).selectExpr("sum(id)").collect()  # warm-up
 
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
     pages = spark.read.parquet(str(web / "pages.parquet"))
     n_pages = pages.count()
     t0 = time.time()
-    extract_pages_with_links_arrow(pages).write.format("noop").mode("overwrite").save()
+    noop(extract_pages_with_links_arrow(pages))
     extract_s = time.time() - t0
 
     state = Path(tempfile.mkdtemp(prefix=f"scale_state_{args.cpus}_"))
@@ -69,11 +78,27 @@ def main() -> int:
     finally:
         shutil.rmtree(state, ignore_errors=True)
 
+    # deterministic 1-in-5 sample via hash filter (a global limit() would
+    # funnel the whole shingle sweep through one GlobalLimit task)
+    docs = (pages.select(F.xxhash64("url").alias("doc_id"), "text")
+            .filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0))
     t0 = time.time()
-    for _ in range(args.agg_iters):
-        for qname in ("q12_star_join_revenue", "q18_agg_pricing_summary"):
-            QUERIES[qname](spark, args.sf_dir).write.format("noop").mode("overwrite").save()
-    agg_s = time.time() - t0
+    noop(minhash_signatures(docs, n_hashes=64))
+    minhash_s = time.time() - t0
+
+    @pandas_udf("double")
+    def burn(x: pd.Series) -> pd.Series:
+        v = x.to_numpy(dtype=np.float64)
+        acc = np.zeros_like(v)
+        for _ in range(400):
+            acc = np.sqrt(acc + v * 1.0000001)
+        return pd.Series(acc)
+
+    bdf = spark.range(0, 2_000_000, 1, 128).select(F.col("id").cast("double").alias("x"))
+    bdf.select(burn("x").alias("y")).selectExpr("sum(y)").collect()  # warm
+    t0 = time.time()
+    bdf.select(burn("x").alias("y")).selectExpr("sum(y)").collect()
+    burn_s = time.time() - t0
 
     print(json.dumps({
         "cpus": args.cpus,
@@ -83,7 +108,8 @@ def main() -> int:
         "crawl_s": round(crawl_s, 2),
         "urls_scheduled": res["scheduled_total"],
         "urls_per_s": round(res["scheduled_total"] / crawl_s, 1),
-        "agg_s": round(agg_s, 2),
+        "minhash_s": round(minhash_s, 2),
+        "burn_s": round(burn_s, 2),
     }))
     spark.stop()
     return 0

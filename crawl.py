@@ -31,6 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salts", type=int, default=16)
     p.add_argument("--fresh", action="store_true",
                    help="ignore any existing checkpoint (restart from seeds)")
+    p.add_argument("--budget-scale", type=int, default=1,
+                   help="benchmark-only multiplier on per-host budgets")
     p.add_argument("--gc-keep", type=int, default=None,
                    help="prune state tables to the last N snapshot versions per round")
     p.add_argument("--master", default=None,
@@ -62,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     res = run_crawl(spark, web, state, max_rounds=args.rounds,
                     resume=not args.fresh, n_salts=args.salts,
-                    gc_keep=args.gc_keep)
+                    gc_keep=args.gc_keep, budget_scale=args.budget_scale)
     wall = time.time() - t0
     out = {
         "web": str(web),

@@ -3,12 +3,14 @@
   exact (hash groupBy) · word-set Jaccard pair scoring · MinHash+LSH
   (shingle -> minhash -> band -> bucket self-join) · SimHash
 
-Design for 100 TB: the MinHash signature is computed with NATIVE array
-expressions (array_min over transform with xxhash64) — no Python in
-the signature sweep; LSH banding turns the O(n²) pair space into a
-bucket self-join whose shuffle key is (band_idx, band_hash). Only
-SimHash crosses into a vectorized pandas UDF (bit-level majority vote
-has no good Column form), with a per-batch vocabulary cache.
+Design for 100 TB: the MinHash signature sweep hashes each shingle
+exactly once JVM-side (whole-stage codegen) and shuffles one int64 per
+shingle; the 64 components come from a vectorized numpy double-hash
+inside a partition-wise mapInPandas (see minhash_signatures for the measured
+history). LSH banding turns the O(n²) pair space into a bucket
+self-join whose shuffle key is (band_idx, band_hash). SimHash crosses
+into a vectorized pandas UDF (bit-level majority vote has no good
+Column form), with a per-batch vocabulary cache.
 """
 
 from __future__ import annotations
@@ -82,26 +84,50 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 64,
                        shingle_n: int = 3) -> DataFrame:
     """MinHash signature as an array<bigint>: component j = min over
-    shingles of xxhash64(j, shingle).
+    shingles of g_j(xxhash64(shingle)), with g_j the Kirsch-
+    Mitzenmacher double-hash family g_j(x) = h1(x) + j*h2(x) derived
+    via splitmix64 (functions/hashing.py).
 
-    Formulated as explode -> n_hashes min-aggregates: one pass over the
-    shingles, all JVM-side, and Catalyst plans a partial (map-side)
-    min before the shuffle — the signature of a 10^12-shingle corpus
-    shuffles only one 64-long vector per document. (The naive
-    array_min-of-transform-per-component form re-evaluates the shingle
-    array per component after CollapseProject — measured 50x slower.)
-    Documents with fewer than ``shingle_n`` tokens have no shingles and
-    produce no signature row (they cannot be shingle-near-dups).
+    Plan shape for a 10^12-shingle corpus: ONE JVM xxhash64 per shingle
+    (whole-stage codegen), shuffle of a single int64 per shingle keyed
+    by document, then a partition-wise
+    numpy/pandas groupby-min inside mapInPandas (repartition by doc
+    makes partitions doc-disjoint). Three earlier formulations measured
+    far worse: array_min-of-transform per component re-evaluates the
+    shingle array 64x (CollapseProject); 64 min-aggregate columns
+    allocate 64 boxed cells per shingle row (GC-bound, anti-scaled with
+    cores); grouped applyInPandas pays per-GROUP python dispatch (200k
+    groups = minutes). Documents with fewer than ``shingle_n`` tokens have no
+    shingles and produce no signature row (they cannot be
+    shingle-near-dups).
     """
+    from data_crawler_spark.functions.hashing import splitmix64_np
+
     ex = df.select(F.col(id_col),
                    F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh"))
-    hashed = ex.select(
-        F.col(id_col),
-        *[F.xxhash64(F.lit(j), "sh").alias(f"h{j}") for j in range(n_hashes)])
-    agg = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{j}").alias(f"h{j}") for j in range(n_hashes)])
-    return agg.select(F.col(id_col),
-                      F.array(*[f"h{j}" for j in range(n_hashes)]).alias("sig"))
+    hashed = ex.repartition(id_col).select(F.col(id_col), F.xxhash64("sh").alias("h"))
+    j = np.arange(n_hashes, dtype=np.uint64)
+
+    def sig_partition(batches):
+        # partitions are hash-disjoint in id_col; accumulate per-batch
+        # pandas groupby().min() frames (C-vectorized) and merge once
+        parts = []
+        for pdf in batches:
+            h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+            h1 = splitmix64_np(h)
+            h2 = splitmix64_np(h1) | np.uint64(1)
+            with np.errstate(over="ignore"):
+                g = h1[:, None] + j[None, :] * h2[:, None]
+            frame = pd.DataFrame(g.astype(np.int64))
+            frame.index = pd.Index(pdf[id_col].to_numpy(), name=id_col)
+            parts.append(frame.groupby(level=0).min())
+        if not parts:
+            return
+        mins = pd.concat(parts).groupby(level=0).min()
+        yield pd.DataFrame({id_col: mins.index.to_numpy(),
+                            "sig": list(mins.to_numpy())})
+
+    return hashed.mapInPandas(sig_partition, f"{id_col} long, sig array<long>")
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",

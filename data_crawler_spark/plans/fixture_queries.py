@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -468,6 +470,33 @@ def q39(spark, sf):
             .groupBy("user_id", F.session_window("ts", "30 minutes"))
             .agg(F.count("*").alias("cnt"))
             .groupBy("user_id").agg(F.count("*").alias("n_sessions")))
+
+
+@q("q45_grouped_agg_udaf", sql="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+""")
+def q45(spark, sf):
+    """op 45: a true grouped-agg pandas UDAF (Series -> scalar), the
+    vectorized custom-aggregate surface. numpy's default 'linear'
+    percentile interpolation matches DuckDB's quantile_cont."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def p95(v: pd.Series) -> float:
+        return float(np.percentile(v.to_numpy(dtype=np.float64), 95))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+        # agg() - the count rides along as a second pandas UDAF
+        return len(v)
+
+    return (load(spark, sf, "events").groupBy("event_type")
+            .agg(F.round(p95("value"), 4).alias("p95_value"),
+                 n_rows("value").alias("n")))
 
 
 # --- text analysis over documents ------------------------------------------
