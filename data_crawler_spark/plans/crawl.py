@@ -43,6 +43,7 @@ from data_crawler_spark.operators.scheduler import (
     schedule_per_host_salted,
     with_crawl_seq,
 )
+from data_crawler_spark.plans.pagestore import fetch_bucket_pruned, open_bucketed_pages
 from data_crawler_spark.plans.snapshots import Checkpoint, SnapshotTable
 
 
@@ -77,6 +78,11 @@ class CrawlContext:
     # round-level gauge metrics (frontier/seen sizes) cost ~3 extra tiny
     # jobs per round - valuable diagnostics, skippable in tight loops
     lineage_gauges: bool = True
+    # bucketed page store (plans/pagestore.py): when <web>/pages_bucketed
+    # exists, the fetch join prunes bucket partitions instead of
+    # scanning the whole store - the 10^10-page fetch path
+    pages_bucketed: DataFrame | None = None
+    pages_n_buckets: int = 0
     # benchmark-only multiplier on every host's budget_per_round: makes
     # rounds big enough to measure throughput scaling without waiting
     # for the frontier to ramp. 1 = spec politeness (all correctness
@@ -97,6 +103,11 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
     # extraction works from `html` alone (byte-identity is then a real
     # check, not a tautology).
     pages = spark.read.schema(schemas.PAGES).parquet(str(web / "pages.parquet")).drop("text")
+    pages_bucketed, pages_n_buckets = None, 0
+    bucket_dir = web / "pages_bucketed"
+    if (bucket_dir / "_BUCKETS").exists():
+        pages_bucketed, pages_n_buckets = open_bucketed_pages(spark, bucket_dir)
+        pages_bucketed = pages_bucketed.drop("text")
     hosts = spark.read.parquet(str(web / "hosts.parquet"))
     if budget_scale != 1:
         hosts = hosts.withColumn(
@@ -113,6 +124,8 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
         bloom=SnapshotTable(spark, state, "bloom", schemas.BLOOM),
         checkpoint=Checkpoint(state),
         n_salts=n_salts,
+        pages_bucketed=pages_bucketed,
+        pages_n_buckets=pages_n_buckets,
         use_bloom=use_bloom,
         gc_keep=gc_keep,
         lineage_gauges=lineage_gauges,
@@ -206,12 +219,20 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # python stage per round and is dropped on the way out.
     # broadcast the scheduled slice: the page store must NEVER shuffle
     # (html would ride the wire); without the hint Catalyst sometimes
-    # picks SMJ because post-window size estimates are unknown
-    fetched = (
-        F.broadcast(sched.select(F.col("url"), F.col("depth")))
-        .join(ctx.pages, "url", "inner")
-        .select("url", "depth", "warc_ts", "lang", "html")
-    )
+    # picks SMJ because post-window size estimates are unknown. With a
+    # bucketed store, additionally prune to the buckets this round
+    # actually touches (file-listing-level pruning).
+    fetch_cols = ["url", "depth", "warc_ts", "lang", "html"]
+    if ctx.pages_bucketed is not None:
+        fetched = fetch_bucket_pruned(
+            sched.select(F.col("url"), F.col("depth")),
+            ctx.pages_bucketed, ctx.pages_n_buckets, fetch_cols)
+    else:
+        fetched = (
+            F.broadcast(sched.select(F.col("url"), F.col("depth")))
+            .join(ctx.pages, "url", "inner")
+            .select(*fetch_cols)
+        )
     enriched = extract_enrich_arrow(fetched).persist()
     extracted = enriched.select(
         "url", "warc_ts", "text", "lang",
