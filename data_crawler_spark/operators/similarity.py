@@ -74,6 +74,87 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file / coarse quantizer) — the other scale path
+# ---------------------------------------------------------------------------
+
+def _ivf_centroids(corpus_sample: np.ndarray, n_lists: int,
+                   iters: int = 5) -> np.ndarray:
+    """Deterministic k-means-ish coarse quantizer: centroids seeded by
+    counter-hash selection from the sample, refined with a few Lloyd
+    iterations driver-side (the sample is small; the ASSIGNMENT of the
+    full corpus is the distributed part)."""
+    n = len(corpus_sample)
+    sel = (splitmix64_np(np.arange(n_lists, dtype=np.uint64))
+           % np.uint64(n)).astype(np.int64)
+    cent = corpus_sample[sel].copy()
+    for _ in range(iters):
+        sims = corpus_sample @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                v = corpus_sample[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def ivf_assign_udf(centroids: np.ndarray, n_probe: int = 1):
+    """vector -> its ``n_probe`` nearest coarse lists (array<int>)."""
+    cent = centroids
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cent.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_lists: int = 16, n_probe: int = 4, sample_n: int = 2000,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into inverted lists, probe
+    each query against its ``n_probe`` nearest lists, rerank exactly
+    within the probed lists. The distributed shape is an equi-join on
+    the list id — same shuffle story as LSH, but data-adaptive.
+
+    The quantizer trains on a driver-side sample (deterministic
+    counter-hash seeding, no RNG state); at 100 TB the sample is a
+    `TABLESAMPLE`-style hash filter, still a single small collect.
+    """
+    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                       for r in corpus.select(vec_col).limit(sample_n).collect()])
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cent = _ivf_centroids(sample / norms, n_lists)
+
+    c_assign = ivf_assign_udf(cent, n_probe=1)
+    q_assign = ivf_assign_udf(cent, n_probe=n_probe)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"),
+                      F.explode(c_assign(F.col(vec_col))).alias("list_id"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       F.explode(q_assign(F.col(vec_col))).alias("list_id"))
+    scored = (
+        q.join(c, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
 # LSH (random hyperplanes) — the scale path
 # ---------------------------------------------------------------------------
 

@@ -615,6 +615,13 @@ def sim02(spark, sf):
     return similarity.lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, dim=64)
 
 
+@q("sim03_ivf_ann")  # rows-only: recall vs brute force pytest-tested
+def sim03(spark, sf):
+    e = load(spark, sf, "embeddings")
+    return similarity.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5,
+                               n_lists=16, n_probe=4)
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 @q("mm01_media_features")  # rows-only: deterministic fake decode; pytest-tested

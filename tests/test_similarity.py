@@ -56,3 +56,21 @@ def test_near_dup_symmetric_halfspace(emb):
     rows = embedding_near_dups(emb.limit(200), threshold=0.3).collect()
     assert all(r.id_a < r.id_b for r in rows)
     assert all(r.cosine >= 0.3 for r in rows)
+
+
+def test_ivf_recall(emb):
+    from data_crawler_spark.operators.similarity import ivf_topk
+    q = emb.filter(F.col("vec_id") < 20)
+    bf = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(emb, q, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(emb, q, k=5, n_lists=16, n_probe=6).collect()}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.6, recall
+
+
+def test_ivf_deterministic(emb):
+    from data_crawler_spark.operators.similarity import ivf_topk
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in ivf_topk(emb, q, k=3).collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank) for r in ivf_topk(emb, q, k=3).collect())
+    assert a == b
