@@ -285,13 +285,17 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
                 F.col("partition_id").cast("int"),
                 F.lit("scheduled").alias("metric"), "value")
     )
-    gauges = [
-        ("fetched", enriched.count()),
-        ("frontier_size", ctx.frontier.read().count()),
-        ("seen_size", ctx.seen.read().count()),
-    ]
-    lin = lin.unionByName(ctx.spark.createDataFrame(
-        [(rnd, -1, m, int(v)) for m, v in gauges], schemas.LINEAGE))
+    if ctx.lineage_gauges:
+        # two of these are full-table counts over monotonically growing
+        # tables — diagnostics only, honoring the flag keeps tight loops
+        # O(round) instead of O(total-seen) per round.
+        gauges = [
+            ("fetched", enriched.count()),
+            ("frontier_size", ctx.frontier.read().count()),
+            ("seen_size", ctx.seen.read().count()),
+        ]
+        lin = lin.unionByName(ctx.spark.createDataFrame(
+            [(rnd, -1, m, int(v)) for m, v in gauges], schemas.LINEAGE))
     ctx.lineage.write(lin, mode="append")
 
     # the commit point: everything above is replayable until this lands

@@ -351,7 +351,9 @@ def q29(spark, sf):
          .select("c_custkey"))
     f = (load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
          .select(F.col("o_custkey").alias("c_custkey")))
-    return b.exceptAll(f.distinct()).distinct()
+    # multiplicity-safe set EXCEPT: distinct both sides first (exceptAll on a
+    # non-distinct left would leak duplicate survivors past distinct()).
+    return b.distinct().exceptAll(f.distinct())
 
 
 # --- 2.8 scalar functions --------------------------------------------------
@@ -417,10 +419,11 @@ def q35(spark, sf):
 
 
 @q("q36_json_fns", sql="""
-    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
-""")
+""")  # outer CAST: DuckDB SUM(BIGINT) yields HUGEINT -> float64 at the driver
 def q36(spark, sf):
     return (load(spark, sf, "events")
             .select("event_type", F.get_json_object("props", "$.k").cast("long").alias("k"))
@@ -463,8 +466,8 @@ def q38(spark, sf):
                   WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
                   ELSE 0 END AS new_session
       FROM events)
-    SELECT user_id, SUM(new_session) AS n_sessions FROM marked GROUP BY user_id
-""")
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM marked GROUP BY user_id
+""")  # CAST: DuckDB SUM(BIGINT) is HUGEINT -> float64 at the driver
 def q39(spark, sf):
     return (load(spark, sf, "events")
             .groupBy("user_id", F.session_window("ts", "30 minutes"))
@@ -627,7 +630,12 @@ def sim03(spark, sf):
 @q("mm01_media_features")  # rows-only: deterministic fake decode; pytest-tested
 def mm01(spark, sf):
     media = multimodal.synth_media_from_documents(load(spark, sf, "documents"))
-    return multimodal.decode_and_featurize(media, decode="fake")
+    feats = multimodal.decode_and_featurize(media, decode="fake")
+    # the driver canonicalizer sorts on every column, so array<double> is
+    # unhashable there — surface the 8-bin histogram as scalar columns.
+    return feats.select(
+        "media_id", "media_type", "n_bytes", "width", "height", "channels",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)])
 
 
 @q("mm02_frame_sample")  # rows-only

@@ -47,6 +47,18 @@ def test_frontier_state_matches(crawl_result, oracle1k):
     assert got == want
 
 
+def test_gauges_off_writes_no_gauge_rows(spark, web1k, tmp_path):
+    """lineage_gauges=False must skip the round-level full-table counts
+    entirely (no partition_id == -1 rows) — the bench relies on it."""
+    import pyspark.sql.functions as F
+    res = run_crawl(spark, web1k, tmp_path / "st", max_rounds=2,
+                    lineage_gauges=False)
+    ctx = res["ctx"]
+    lin = ctx.lineage.read()
+    assert lin.filter(F.col("partition_id") == -1).count() == 0
+    assert lin.filter(F.col("metric") == "scheduled").count() > 0
+
+
 def test_lineage_totals(crawl_result, oracle1k):
     """Per-round lineage 'scheduled' totals == oracle per-round counts."""
     import pyspark.sql.functions as F

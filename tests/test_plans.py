@@ -67,8 +67,10 @@ def test_robots_gate_broadcasts(crawl_ctx):
     from data_crawler_spark.operators.links import path_col
     cand = crawl_ctx.frontier.read().withColumn("path", path_col(F.col("url")))
     p = plan_str(robots_gate(cand, crawl_ctx.rules))
-    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
-    assert p.count("Exchange hashpartitioning") <= 1  # only the agg, never the join
+    assert "BroadcastHashJoin" in p
+    # zero frontier shuffle: the only Exchange allowed is the broadcast
+    # itself; the candidate side must never hash-partition.
+    assert p.count("Exchange hashpartitioning") == 0
 
 
 def test_agg_partial_final_codegen(spark):

@@ -14,11 +14,17 @@ import duckdb
 
 
 def norm_cell(v):
+    # type-sensitive like the driver's value-hash: int 87 != float 87.0
+    # (DuckDB HUGEINT sums arrive as float64 — oracles must CAST to BIGINT).
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
-    return v
+            return ("float", "NaN")
+        return ("float", round(v, 6))
+    return (type(v).__name__, v)
 
 
 def norm_rows(cols, rows):
