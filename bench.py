@@ -65,6 +65,12 @@ def main() -> int:
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # cap G1 young gen: at 32 threads the html-heavy stages allocate
+        # GBs of short-lived garbage; an uncapped young gen on a big heap
+        # grows to multi-GB and single evacuation pauses hit 2-3s on this
+        # VM (measured: 3 crawl rounds 162s -> ~34s after the cap)
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UnlockExperimentalVMOptions -XX:G1MaxNewSizePercent=10")
         .appName("data_crawler_spark-bench")
         .getOrCreate()
     )

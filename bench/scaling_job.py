@@ -46,7 +46,12 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "32g")
+        # 16g + capped young gen: uncapped G1 young on a 32g heap grew to
+        # multi-GB and single evacuation pauses hit 2-3s at 32 threads
+        # (html garbage churn); measured 3-round crawl 162s -> ~34s
+        .config("spark.driver.memory", "16g")
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UnlockExperimentalVMOptions -XX:G1MaxNewSizePercent=10")
         .appName(f"scaling-{args.cpus}")
         .getOrCreate()
     )

@@ -136,13 +136,67 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("bucket").applyInPandas(orit, BLOOM_SCHEMA)
 
 
+def probe_cogrouped(candidates: DataFrame, bloom_df: DataFrame,
+                    n_buckets: int) -> DataFrame:
+    """Distributed probe: candidates cogroup the bitmap table on
+    ``bucket`` — bitmaps never transit the driver, each task holds ONE
+    bucket's bitmap while probing that bucket's candidates. This is the
+    10^10-seen path, where the sidecar (n_buckets × m/8 bytes) is far
+    too large to collect; the cost is one O(delta) candidate shuffle on
+    bucket. Returns candidates + ``_maybe`` boolean."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(list(candidates.schema.fields)
+                            + [StructField("_maybe", BooleanType(), False)])
+    out_cols = [f.name for f in out_schema.fields]
+
+    def probe(cand: pd.DataFrame, bloom: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty:
+            return pd.DataFrame(columns=out_cols)
+        if bloom.empty:
+            return cand.drop(columns=["_bucket"]).assign(_maybe=False)[out_cols]
+        m_bits, k = int(bloom["m_bits"].iloc[0]), int(bloom["k"].iloc[0])
+        bm = np.frombuffer(bloom["bitmap"].iloc[0], dtype=np.uint8)
+        h = cand["url_hash"].to_numpy(dtype=np.int64)
+        pos = bloom_positions_np(h, k=k, m_bits=m_bits)
+        hit = np.ones(len(h), dtype=bool)
+        for j in range(k):
+            p = pos[:, j]
+            hit &= (bm[p // 8] >> (p % 8) & 1).astype(bool)
+        return cand.drop(columns=["_bucket"]).assign(_maybe=hit)[out_cols]
+
+    c = candidates.withColumn("_bucket", bucket_col(F.col("url_hash"), n_buckets))
+    b = bloom_df.withColumnRenamed("bucket", "_bucket")
+    return (c.groupBy("_bucket")
+            .cogroup(b.groupBy("_bucket"))
+            .applyInPandas(probe, out_schema))
+
+
+# sidecars below this many bytes are collected + closure-shipped (zero
+# candidate shuffle); above it they stay distributed (probe_cogrouped)
+COLLECT_PROBE_MAX_BYTES = 64 << 20
+
+
 def prefilter_candidates(candidates: DataFrame, bloom_df: DataFrame,
-                         n_buckets: int) -> tuple[DataFrame, DataFrame]:
+                         n_buckets: int,
+                         distributed: bool | None = None,
+                         m_bits: int | None = None) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (definitely_unseen, maybe_seen) using the
     bloom sidecar. definitely_unseen needs NO anti-join; maybe_seen
-    (true seens + fpp of the rest) proceeds to the exact anti-join."""
-    rows = [r.asDict() for r in bloom_df.collect()]
-    probe = probe_udf(rows, n_buckets)
-    marked = candidates.withColumn("_maybe", probe(F.col("url_hash")))
+    (true seens + fpp of the rest) proceeds to the exact anti-join.
+
+    Probe strategy: small sidecars ship via UDF closure (no candidate
+    shuffle); large ones stay distributed and cogroup on bucket
+    (``distributed=None`` auto-picks from the sidecar's known size).
+    Both paths are result-identical (tested)."""
+    if distributed is None:
+        size = n_buckets * (m_bits // 8) if m_bits else None
+        distributed = size is None or size > COLLECT_PROBE_MAX_BYTES
+    if distributed:
+        marked = probe_cogrouped(candidates, bloom_df, n_buckets)
+    else:
+        rows = [r.asDict() for r in bloom_df.collect()]
+        probe = probe_udf(rows, n_buckets)
+        marked = candidates.withColumn("_maybe", probe(F.col("url_hash")))
     return (marked.filter(~F.col("_maybe")).drop("_maybe"),
             marked.filter(F.col("_maybe")).drop("_maybe"))

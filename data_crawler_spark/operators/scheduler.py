@@ -76,9 +76,57 @@ def crawl_order(scheduled: DataFrame) -> DataFrame:
     )
 
 
-def with_crawl_seq(scheduled: DataFrame) -> DataFrame:
+def with_crawl_seq(scheduled: DataFrame, num_partitions: int = 1) -> DataFrame:
     """Attach the within-round visit sequence number (1-based) without
-    collecting: a window over the same total order. Used for lineage
-    and the golden-order tests; the global sort only happens on write."""
-    w = Window.orderBy(F.desc("priority"), F.asc("depth"), F.asc("host"), F.asc("url"))
-    return scheduled.withColumn("seq", F.row_number().over(w))
+    collecting rows to the driver.
+
+    num_partitions == 1: a single window over the total order — one
+    Exchange to one task, the cheapest plan when the scheduled set is
+    small (it is bounded by Σ host budgets).
+
+    num_partitions > 1 (the 100×-scale path): two-phase sequencing —
+    range-partition + sort on the order key, count rows per partition
+    (a tiny P-row collect), then assign seq per-partition as
+    partition_offset + local position inside a streaming mapInPandas.
+    No single task ever sees more than ~1/P of the rows. Output seq is
+    identical for every P because the order is total (url unique) —
+    property-tested in tests/test_scheduler.py.
+    """
+    order = [F.desc("priority"), F.asc("depth"), F.asc("host"), F.asc("url")]
+    if num_partitions <= 1:
+        w = Window.orderBy(*order)
+        return scheduled.withColumn("seq", F.row_number().over(w))
+
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # NOTE: callers should persist `scheduled` — the range shuffle runs
+    # twice (once for the counts job, once for the seq pass), both
+    # reading the upstream cache. O(rows) each, never O(rows) in one task.
+    part = (scheduled.repartitionByRange(num_partitions, *order)
+            .sortWithinPartitions(*order)
+            .withColumn("_pid", F.spark_partition_id()))
+    counts = {int(r["_pid"]): int(r["cnt"])
+              for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = StructType(list(scheduled.schema.fields)
+                            + [StructField("seq", LongType(), False)])
+    out_cols = [f.name for f in out_schema.fields]
+
+    def assign(batches):
+        done = 0
+        off = None
+        for pdf in batches:
+            if off is None:
+                off = offsets.get(int(pdf["_pid"].iloc[0]), 0) if len(pdf) else 0
+            n = len(pdf)
+            pdf = pdf.assign(seq=np.arange(off + done + 1, off + done + n + 1,
+                                           dtype="int64"))
+            done += n
+            yield pdf[out_cols]
+
+    return part.mapInPandas(assign, out_schema)

@@ -83,6 +83,9 @@ class CrawlContext:
     # scanning the whole store - the 10^10-page fetch path
     pages_bucketed: DataFrame | None = None
     pages_n_buckets: int = 0
+    # two-phase visit-sequencing kicks in above this many scheduled rows
+    # per round (below it, a single-window seq is one cheap exchange)
+    seq_rows_per_task: int = 500_000
     # benchmark-only multiplier on every host's budget_per_round: makes
     # rounds big enough to measure throughput scaling without waiting
     # for the frontier to ramp. 1 = spec politeness (all correctness
@@ -183,22 +186,32 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # gate + schedule (ops 09/14/22/15/26)
     cand = frontier.withColumn("path", path_col(F.col("url")))
     allowed = robots_gate(cand, ctx.rules).drop("path")
-    sched = schedule_per_host_salted(allowed, ctx.hosts, ctx.n_salts)
-    sched = with_crawl_seq(sched).persist()
-    n_sched = sched.count()
+    base = schedule_per_host_salted(allowed, ctx.hosts, ctx.n_salts).persist()
+    n_sched = base.count()
     if n_sched == 0:
-        sched.unpersist()
+        base.unpersist()
         return 0
+
+    # visit-sequence: single-window when small, two-phase range-
+    # partitioned when the round is large (no single task ever holds
+    # the whole round — operators/scheduler.py)
+    seq_parts = max(1, min(200, n_sched // ctx.seq_rows_per_task))
+    sched = with_crawl_seq(base, num_partitions=seq_parts).persist()
+
+    # small rounds write few files: state tables are append-only, so
+    # per-round file count directly becomes next round's read fan-in
+    ncoal = max(1, min(32, n_sched // 100_000 + 1))
 
     ctx.scheduled.write(
         sched.select(F.lit(rnd).alias("round"), "seq", "url", "url_hash",
-                     "host", "depth", "priority", "rn"),
+                     "host", "depth", "priority", "rn").coalesce(ncoal),
         mode="append",
     )
 
     # seen += scheduled (op 10's right side; exactness is on `url`)
     ctx.seen.write(
-        sched.select("url_hash", "url", F.lit(rnd).alias("first_round")),
+        sched.select("url_hash", "url", F.lit(rnd).alias("first_round"))
+        .coalesce(ncoal),
         mode="append",
     )
 
@@ -238,8 +251,9 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         "url", "warc_ts", "text", "lang",
         F.length("text").cast("long").alias("n_chars"),
         F.lit(rnd).alias("round"))
-    ctx.extracted.write(extracted.select([f.name for f in schemas.EXTRACTED]),
-                        mode="append")
+    ctx.extracted.write(
+        extracted.select([f.name for f in schemas.EXTRACTED]).coalesce(ncoal),
+        mode="append")
 
     # resolve (native exprs) -> canonicalize (vectorized UDF) -> gate
     links = (
@@ -264,7 +278,8 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     if ctx.use_bloom and ctx.bloom.current_version() > 0:
         cand_hashed = new_cand.withColumn("url_hash", F.xxhash64("url"))
         unseen, maybe = bloom_ops.prefilter_candidates(
-            cand_hashed, ctx.bloom.read(), ctx.bloom_buckets)
+            cand_hashed, ctx.bloom.read(), ctx.bloom_buckets,
+            m_bits=ctx.bloom_m_bits)
         checked = maybe.join(seen_all.select("url"), "url", "left_anti")
         fresh = unseen.unionByName(checked).drop("url_hash")
     else:
@@ -296,7 +311,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         ]
         lin = lin.unionByName(ctx.spark.createDataFrame(
             [(rnd, -1, m, int(v)) for m, v in gauges], schemas.LINEAGE))
-    ctx.lineage.write(lin, mode="append")
+    ctx.lineage.write(lin.coalesce(1), mode="append")
 
     # the commit point: everything above is replayable until this lands
     ctx.checkpoint.commit({
@@ -310,6 +325,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     })
     enriched.unpersist()
     sched.unpersist()
+    base.unpersist()
     if ctx.gc_keep:
         for t in (ctx.frontier, ctx.seen, ctx.scheduled, ctx.extracted,
                   ctx.lineage, ctx.bloom):

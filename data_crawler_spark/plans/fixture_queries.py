@@ -627,6 +627,31 @@ def sim03(spark, sf):
 
 # --- multimodal plumbing ----------------------------------------------------
 
+@q("sim04_normalize_embeddings", sql="""
+    SELECT vec_id,
+           ROUND(norm, 4) AS l2_norm,
+           ROUND(CASE WHEN norm > 0 THEN CAST(embedding[1] AS DOUBLE) / norm
+                      ELSE CAST(embedding[1] AS DOUBLE) END, 4) AS n0,
+           ROUND(CASE WHEN norm > 0
+                      THEN list_sum(list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE) * x)) / (norm * norm)
+                      ELSE 0.0 END, 4) AS unit_sq
+    FROM (SELECT vec_id, embedding,
+                 SQRT(list_sum(list_transform(embedding,
+                               x -> CAST(x AS DOUBLE) * x))) AS norm
+          FROM embeddings)
+""")
+def sim04(spark, sf):
+    e = similarity.normalize_embeddings(load(spark, sf, "embeddings"))
+    unit_sq = F.aggregate(F.transform("embedding", lambda x: x * x),
+                          F.lit(0.0), lambda acc, v: acc + v)
+    return e.select(
+        "vec_id",
+        F.round("l2_norm", 4).alias("l2_norm"),
+        F.round(F.col("embedding")[0], 4).alias("n0"),
+        F.round(unit_sq, 4).alias("unit_sq"))
+
+
 @q("mm01_media_features")  # rows-only: deterministic fake decode; pytest-tested
 def mm01(spark, sf):
     media = multimodal.synth_media_from_documents(load(spark, sf, "documents"))

@@ -74,3 +74,27 @@ def test_crawl_invariant_bloom_on_off(spark, web1k, tmp_path):
     assert f_on == f_off
     assert on["ctx"].bloom.current_version() > 0
     assert off["ctx"].bloom.current_version() == 0
+
+def test_cogrouped_probe_matches_collected(spark, seen, bloom):
+    """Distributed (cogroup) probe == closure probe — bitmaps never
+    transit the driver on the distributed path, results identical."""
+    from data_crawler_spark.operators.bloom import prefilter_candidates
+    cand = spark.range(0, 4000).select(
+        F.concat(F.lit("https://x.test/"), F.col("id")).alias("url")
+    ).withColumn("url_hash", F.xxhash64("url"))
+    u1, m1 = prefilter_candidates(cand, bloom, 16, distributed=False)
+    u2, m2 = prefilter_candidates(cand, bloom, 16, distributed=True)
+    assert sorted(r.url for r in u1.collect()) == sorted(r.url for r in u2.collect())
+    assert sorted(r.url for r in m1.collect()) == sorted(r.url for r in m2.collect())
+
+
+def test_probe_auto_picks_distributed_for_huge_sidecar(spark, bloom):
+    """m_bits large enough that collect would ship >64MB -> cogroup path
+    (assert by plan: FlatMapCoGroupsInPandas present)."""
+    from data_crawler_spark.operators.bloom import prefilter_candidates
+    cand = spark.range(0, 100).select(
+        F.concat(F.lit("https://y.test/"), F.col("id")).alias("url")
+    ).withColumn("url_hash", F.xxhash64("url"))
+    unseen, _ = prefilter_candidates(cand, bloom, 16, m_bits=1 << 33)
+    plan = unseen._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan

@@ -84,3 +84,75 @@ def test_simhash_identical_and_blocking(docs):
     assert out[(1, 2)] == 0 and out[(1, 5)] == 0
     assert (1, 3) in out and out[(1, 3)] <= 16
     assert (1, 4) not in out
+
+
+def test_simhash_vectorized_matches_udf(spark, docs):
+    """simhash_signatures (explode + JVM hash + numpy bit-vote) must be
+    byte-identical to the simhash_udf executable spec, including empty
+    and null documents (sim = 0)."""
+    from data_crawler_spark.operators.dedup import simhash_signatures
+    extra = spark.createDataFrame(
+        [(100, ""), (101, None), (102, "one"), (103, "one one two")],
+        "doc_id long, text string")
+    both = docs.unionByName(extra)
+    want = {r.doc_id: r.sim for r in
+            both.select("doc_id", simhash_udf("text").alias("sim")).collect()}
+    got = {r.doc_id: r.sim for r in simhash_signatures(both).collect()}
+    assert got == want
+
+
+def test_simhash_vectorized_matches_udf_on_web(spark, web1k):
+    """Byte-identity on a real generated corpus (1000 docs)."""
+    from data_crawler_spark.operators.dedup import simhash_signatures
+    docs = (spark.read.parquet(str(web1k / "pages.parquet"))
+            .select(F.xxhash64("url").alias("doc_id"), "text"))
+    want = {r.doc_id: r.sim for r in
+            docs.select("doc_id", simhash_udf("text").alias("sim")).collect()}
+    got = {r.doc_id: r.sim for r in simhash_signatures(docs).collect()}
+    assert got == want
+
+
+def test_incremental_minhash_index(spark, tmp_path):
+    """Round-N dedup signatures ONLY round N's docs (snapshot versions
+    grow by exactly the delta) and still finds cross-round near-dups."""
+    from data_crawler_spark.operators.dedup import IncrementalMinHashIndex
+    b1 = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    b2 = spark.createDataFrame(DOCS[4:], "doc_id long, text string")
+
+    idx = IncrementalMinHashIndex(spark, tmp_path, n_hashes=64, n_bands=16)
+    p1 = idx.add(b1, threshold=0.5)
+    n1 = idx.table.read(version=1).count()
+    assert n1 == b1.count()  # only batch-1 signatures exist
+
+    pairs1 = {(r.id_a, r.id_b) for r in p1.collect()}
+    assert (1, 2) in pairs1 and (1, 3) in pairs1
+
+    p2 = idx.add(b2, threshold=0.5)
+    # version 2 = version 1 + exactly the batch-2 delta (no recompute)
+    assert idx.table.read(version=2).count() == n1 + b2.count()
+    pairs2 = {(r.id_a, r.id_b) for r in p2.collect()}
+    # doc 5 is a ws/case dup of docs 1 and 2 from the PREVIOUS round
+    assert (1, 5) in pairs2 and (2, 5) in pairs2
+    # batch-2 pairs never re-report batch-1-internal pairs
+    assert all(a in (5, 6) or b in (5, 6) for a, b in pairs2)
+
+
+def test_incremental_matches_batch_candidates(spark, tmp_path):
+    """Incremental banded candidates (restricted to pairs touching the
+    delta) == one-shot batch banding over the full corpus."""
+    from data_crawler_spark.operators.dedup import (
+        IncrementalMinHashIndex, banded, lsh_candidate_pairs,
+        minhash_signatures, sig_jaccard_est)
+    full = spark.createDataFrame(DOCS, "doc_id long, text string")
+    b1 = full.filter(F.col("doc_id") <= 3)
+    b2 = full.filter(F.col("doc_id") > 3)
+
+    idx = IncrementalMinHashIndex(spark, tmp_path, n_hashes=64, n_bands=16)
+    idx.add(b1, threshold=0.0)
+    p2 = {(r.id_a, r.id_b) for r in idx.add(b2, threshold=0.0).collect()}
+
+    sigs = minhash_signatures(full, n_hashes=64)
+    batch = {(r.id_a, r.id_b)
+             for r in lsh_candidate_pairs(sigs, n_bands=16, rows_per_band=4).collect()
+             if r.id_a > 3 or r.id_b > 3}
+    assert p2 == batch

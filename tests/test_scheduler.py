@@ -71,3 +71,28 @@ def test_default_budget_for_unknown_host(spark):
     hosts = spark.createDataFrame([], "host string, budget_per_round long")
     out = schedule_per_host(cand, hosts)
     assert out.count() == 8  # DEFAULT_BUDGET
+
+
+def test_two_phase_seq_matches_single_window(spark):
+    """with_crawl_seq(P) is identical to the single-window seq for every
+    P — two-phase range sequencing must not change the visit order."""
+    from data_crawler_spark.operators.scheduler import with_crawl_seq
+    cand, hosts = _mk_candidates(spark, n=800, hosts=11), _mk_hosts(spark, hosts=11)
+    sched = schedule_per_host_salted(cand, hosts, n_salts=4).persist()
+    want = {r.url: r.seq for r in with_crawl_seq(sched).collect()}
+    for p in (2, 3, 8):
+        got = {r.url: r.seq for r in with_crawl_seq(sched, num_partitions=p).collect()}
+        assert got == want, f"P={p}"
+    sched.unpersist()
+
+
+def test_two_phase_seq_no_single_partition_exchange(spark):
+    """P>1 plan must not funnel through a SinglePartition exchange."""
+    from data_crawler_spark.operators.scheduler import with_crawl_seq
+    cand, hosts = _mk_candidates(spark), _mk_hosts(spark)
+    sched = schedule_per_host_salted(cand, hosts, n_salts=4).persist()
+    sched.count()
+    plan = with_crawl_seq(sched, num_partitions=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan
+    sched.unpersist()
