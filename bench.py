@@ -65,12 +65,12 @@ def main() -> int:
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # cap G1 young gen: at 32 threads the html-heavy stages allocate
-        # GBs of short-lived garbage; an uncapped young gen on a big heap
-        # grows to multi-GB and single evacuation pauses hit 2-3s on this
-        # VM (measured: 3 crawl rounds 162s -> ~34s after the cap)
-        .config("spark.driver.extraJavaOptions",
-                "-XX:+UnlockExperimentalVMOptions -XX:G1MaxNewSizePercent=10")
+        # see bench/scaling_job.py: AQE's 64m advisory under-parallelizes
+        # the small shuffles, and G1 hits multi-second evacuation pauses
+        # on the html-churn pattern (even pure JVM scans went bimodal
+        # 0.7s/12.8s at 32 threads); ParallelGC holds a stable 0.3s.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .appName("data_crawler_spark-bench")
         .getOrCreate()
     )

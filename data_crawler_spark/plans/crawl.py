@@ -22,6 +22,8 @@ tested on local[32]):
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -136,6 +138,27 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
     )
 
 
+# DCS_PROFILE=1: accumulate wall time per run_round action (diagnostic
+# only — which per-round job dominates; see bench/scaling notes)
+STAGE_TIMES: dict[str, float] = {}
+
+
+class _stage:
+    __slots__ = ("name", "t0")
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.time()
+
+    def __exit__(self, *exc):
+        if os.environ.get("DCS_PROFILE") == "1":
+            STAGE_TIMES[self.name] = (STAGE_TIMES.get(self.name, 0.0)
+                                      + time.time() - self.t0)
+        return False
+
+
 def _frontier_cols(df: DataFrame) -> DataFrame:
     return df.select(
         "url",
@@ -187,7 +210,8 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     cand = frontier.withColumn("path", path_col(F.col("url")))
     allowed = robots_gate(cand, ctx.rules).drop("path")
     base = schedule_per_host_salted(allowed, ctx.hosts, ctx.n_salts).persist()
-    n_sched = base.count()
+    with _stage("gate_schedule"):
+        n_sched = base.count()
     if n_sched == 0:
         base.unpersist()
         return 0
@@ -202,29 +226,32 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # per-round file count directly becomes next round's read fan-in
     ncoal = max(1, min(32, n_sched // 100_000 + 1))
 
-    ctx.scheduled.write(
-        sched.select(F.lit(rnd).alias("round"), "seq", "url", "url_hash",
-                     "host", "depth", "priority", "rn").coalesce(ncoal),
-        mode="append",
-    )
+    with _stage("write_scheduled"):
+        ctx.scheduled.write(
+            sched.select(F.lit(rnd).alias("round"), "seq", "url", "url_hash",
+                         "host", "depth", "priority", "rn").coalesce(ncoal),
+            mode="append",
+        )
 
     # seen += scheduled (op 10's right side; exactness is on `url`)
-    ctx.seen.write(
-        sched.select("url_hash", "url", F.lit(rnd).alias("first_round"))
-        .coalesce(ncoal),
-        mode="append",
-    )
+    with _stage("write_seen"):
+        ctx.seen.write(
+            sched.select("url_hash", "url", F.lit(rnd).alias("first_round"))
+            .coalesce(ncoal),
+            mode="append",
+        )
 
     # bloom sidecar update (op 31): hash ONLY this round's new seen rows,
     # OR-merge into the persisted per-bucket bitmaps (O(delta) like the
     # seen append itself)
     if ctx.use_bloom:
-        new_bloom = bloom_ops.build_bloom(
-            sched.select("url_hash"), n_buckets=ctx.bloom_buckets,
-            m_bits=ctx.bloom_m_bits, k=ctx.bloom_k)
-        if ctx.bloom.current_version() > 0:
-            new_bloom = bloom_ops.merge_blooms(ctx.bloom.read(), new_bloom)
-        ctx.bloom.write(new_bloom)
+        with _stage("write_bloom"):
+            new_bloom = bloom_ops.build_bloom(
+                sched.select("url_hash"), n_buckets=ctx.bloom_buckets,
+                m_bits=ctx.bloom_m_bits, k=ctx.bloom_k)
+            if ctx.bloom.current_version() > 0:
+                new_bloom = bloom_ops.merge_blooms(ctx.bloom.read(), new_bloom)
+            ctx.bloom.write(new_bloom)
 
     # fetch + extract + link discovery (ops 11/42/43/46): join the
     # scheduled slice against the page store, then ONE mapInArrow pass
@@ -247,13 +274,21 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
             .select(*fetch_cols)
         )
     enriched = extract_enrich_arrow(fetched).persist()
+    # materialize the cache at full parallelism FIRST: the extracted
+    # write below coalesces to few files, and coalesce() is narrow — if
+    # it ran the cache-filling pass, the whole Arrow extraction would
+    # serialize into ncoal tasks. One count here keeps the expensive
+    # stage wide; the coalesced writes then just drain the cache.
+    with _stage("fetch_extract"):
+        n_fetched = enriched.count()
     extracted = enriched.select(
         "url", "warc_ts", "text", "lang",
         F.length("text").cast("long").alias("n_chars"),
         F.lit(rnd).alias("round"))
-    ctx.extracted.write(
-        extracted.select([f.name for f in schemas.EXTRACTED]).coalesce(ncoal),
-        mode="append")
+    with _stage("write_extracted"):
+        ctx.extracted.write(
+            extracted.select([f.name for f in schemas.EXTRACTED]).coalesce(ncoal),
+            mode="append")
 
     # resolve (native exprs) -> canonicalize (vectorized UDF) -> gate
     links = (
@@ -286,10 +321,19 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         fresh = new_cand.join(seen_all.select("url"), "url", "left_anti")
 
     remaining = frontier.join(F.broadcast(sched.select("url")), "url", "left_anti")
-    frontier_next = _dedup_frontier(
-        remaining.unionByName(_frontier_cols(fresh))
-    )
-    ctx.frontier.write(frontier_next.select([f.name for f in schemas.FRONTIER]))
+    # collision rule (min discovered_round, depth, parent) resolved in
+    # O(delta), not O(frontier): `remaining` is already deduped (table
+    # invariant) and every remaining row predates every fresh row
+    # (discovered_round <= rnd < rnd+1), so remaining always wins —
+    # window only WITHIN fresh, then drop fresh urls already pending.
+    # The old formulation windowed the whole union: an O(frontier)
+    # shuffle+sort per round.
+    fresh_cols = _dedup_frontier(_frontier_cols(fresh))
+    frontier_next = remaining.unionByName(
+        fresh_cols.join(remaining.select("url"), "url", "left_anti"))
+    with _stage("write_frontier"):
+        ctx.frontier.write(
+            frontier_next.select([f.name for f in schemas.FRONTIER]))
 
     # lineage / metrics (ops 04b/18): per-partition scheduled counts
     # plus round-level fetch/dedup/frontier gauges (partition_id = -1)
@@ -305,13 +349,14 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         # tables — diagnostics only, honoring the flag keeps tight loops
         # O(round) instead of O(total-seen) per round.
         gauges = [
-            ("fetched", enriched.count()),
+            ("fetched", n_fetched),
             ("frontier_size", ctx.frontier.read().count()),
             ("seen_size", ctx.seen.read().count()),
         ]
         lin = lin.unionByName(ctx.spark.createDataFrame(
             [(rnd, -1, m, int(v)) for m, v in gauges], schemas.LINEAGE))
-    ctx.lineage.write(lin.coalesce(1), mode="append")
+    with _stage("write_lineage"):
+        ctx.lineage.write(lin.coalesce(1), mode="append")
 
     # the commit point: everything above is replayable until this lands
     ctx.checkpoint.commit({

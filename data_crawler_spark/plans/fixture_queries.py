@@ -21,8 +21,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_crawler_spark.functions.spark_udfs import canonicalize_udf
+from data_crawler_spark.operators import bloom as bloom_ops
 from data_crawler_spark.operators import dedup, multimodal, similarity, text
 from data_crawler_spark.operators.links import host_col, path_col, url_struct_col
+from data_crawler_spark.operators.robots import robots_gate
+from data_crawler_spark.operators.scheduler import (
+    schedule_per_host_salted,
+    with_crawl_seq,
+)
 from data_crawler_spark.sources.fixtures import load
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -623,6 +629,149 @@ def sim03(spark, sf):
     e = load(spark, sf, "embeddings")
     return similarity.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5,
                                n_lists=16, n_probe=4)
+
+
+# --- crawl-engine operators, SQL-oracled over fixture tables ----------------
+# The crawl tables (hosts/rules/frontier) aren't among the driver's
+# pre-registered views, so these entries derive an equivalent candidate
+# set from `documents` (host := lang, path := '/'||source, url unique)
+# and inline the tiny dimension tables on BOTH sides. This upgrades ops
+# 09/15/26/31 from pytest-only to full driver SQL-oracle rows.
+
+
+def _url_candidates(spark, sf) -> DataFrame:
+    """documents -> a frontier-shaped candidate set (url unique)."""
+    return load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"), "lang", F.lit(".example.com/"), "source",
+                 F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("lang").alias("host"),
+        F.concat(F.lit("/"), "source", F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("path"),
+        (F.col("doc_id") % 7).cast("int").alias("depth"),
+        (F.lit(1.0) / (F.lit(1) + F.col("doc_id") % 5)).alias("priority"),
+        (F.col("doc_id") % 3).cast("int").alias("discovered_round"))
+
+
+@q("q09_robots_gate", sql="""
+    WITH cand AS (
+      SELECT doc_id, 'https://' || lang || '.example.com/' || source || '/' || doc_id AS url,
+             lang AS host, '/' || source || '/' || doc_id AS path
+      FROM documents
+    ), rules(host, rule_type, path_prefix) AS (
+      VALUES ('en','disallow','/src1'), ('en','allow','/src12'),
+             ('es','disallow','/src2'), ('es','allow','/src2'),
+             ('de','disallow','/')
+    )
+    SELECT c.doc_id, c.url FROM cand c
+    WHERE COALESCE((
+        SELECT r.rule_type = 'allow'
+        FROM rules r
+        WHERE r.host = c.host AND starts_with(c.path, r.path_prefix)
+        ORDER BY LENGTH(r.path_prefix) DESC, (r.rule_type = 'allow') DESC
+        LIMIT 1), TRUE)
+""")
+def q09(spark, sf):
+    """op 09: longest-prefix robots gate, allow-overrides-disallow on
+    ties, no-rule hosts pass. Exercises the zero-Exchange broadcast
+    formulation (operators/robots.py) against a correlated-subquery
+    oracle; 'de' is fully blocked, '/src12' re-allows inside '/src1'."""
+    rules = spark.createDataFrame(
+        [("en", "disallow", "/src1"), ("en", "allow", "/src12"),
+         ("es", "disallow", "/src2"), ("es", "allow", "/src2"),
+         ("de", "disallow", "/")],
+        "host string, rule_type string, path_prefix string")
+    cand = _url_candidates(spark, sf).select("doc_id", "url", "host", "path")
+    return robots_gate(cand, rules).select("doc_id", "url")
+
+
+@q("q15_salted_schedule", sql="""
+    WITH cand AS (
+      SELECT doc_id, 'https://' || lang || '.example.com/' || source || '/' || doc_id AS url,
+             lang AS host,
+             CAST(doc_id % 7 AS INT) AS depth,
+             CAST(1 AS DOUBLE) / (1 + (doc_id % 5)) AS priority,
+             CAST(doc_id % 3 AS INT) AS discovered_round
+      FROM documents
+    ), budgets(host, budget) AS (
+      VALUES ('en', 20), ('de', 10), ('es', 15), ('zh', 5)
+    ), ranked AS (
+      SELECT c.*, COALESCE(b.budget, 8) AS budget,
+             ROW_NUMBER() OVER (PARTITION BY c.host ORDER BY
+               c.priority DESC, c.depth ASC, c.discovered_round ASC,
+               c.url ASC) AS rn
+      FROM cand c LEFT JOIN budgets b ON b.host = c.host)
+    SELECT doc_id, url, host, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= budget
+""")
+def q15(spark, sf):
+    """op 15: the salted two-phase per-host politeness top-k
+    (operators/scheduler.py) vs a plain windowed-rank oracle — proves
+    salting is semantics-free through the driver's value hash (the
+    same property tests/test_scheduler.py asserts for every salt count).
+    Hosts without a budget row fall back to DEFAULT_BUDGET=8 ('fr')."""
+    hosts = spark.createDataFrame(
+        [("en", 20), ("de", 10), ("es", 15), ("zh", 5)],
+        "host string, budget_per_round int")
+    cand = _url_candidates(spark, sf)
+    return (schedule_per_host_salted(cand, hosts, n_salts=8)
+            .select("doc_id", "url", "host", F.col("rn").cast("long").alias("rn")))
+
+
+@q("q26_crawl_seq", sql="""
+    SELECT doc_id, url,
+           ROW_NUMBER() OVER (ORDER BY priority DESC, depth ASC,
+                              host ASC, url ASC) AS seq
+    FROM (SELECT doc_id,
+                 'https://' || lang || '.example.com/' || source || '/' || doc_id AS url,
+                 lang AS host,
+                 CAST(doc_id % 7 AS INT) AS depth,
+                 CAST(1 AS DOUBLE) / (1 + (doc_id % 5)) AS priority
+          FROM documents)
+""")
+def q26(spark, sf):
+    """op 26: total-order visit sequencing via the TWO-PHASE path
+    (num_partitions=4 forces range-partition + per-partition offsets;
+    no single-partition Exchange) vs a global ROW_NUMBER oracle."""
+    cand = _url_candidates(spark, sf).select(
+        "doc_id", "url", "host", "depth", "priority")
+    return (with_crawl_seq(cand, num_partitions=4)
+            .select("doc_id", "url", F.col("seq").cast("long").alias("seq")))
+
+
+@q("q31_bloom_prefilter", sql="""
+    SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+""")
+def q31(spark, sf):
+    """op 31 end-to-end: build the bloom sidecar over the even-doc_id
+    'seen' half, prefilter all candidates (definitely-unseen skip the
+    anti-join; maybe-seen get the exact check), return survivors. The
+    no-false-negative property makes the result exactly the odd half —
+    a full SQL-oracle proof the accelerator never changes answers."""
+    d = (load(spark, sf, "documents")
+         .select("doc_id", F.concat(F.lit("doc:"), F.col("doc_id")).alias("url"))
+         .withColumn("url_hash", F.xxhash64("url")))
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    bloom_df = bloom_ops.build_bloom(seen.select("url_hash"),
+                                     n_buckets=8, m_bits=1 << 14, k=5)
+    unseen, maybe = bloom_ops.prefilter_candidates(d, bloom_df, 8,
+                                                   m_bits=1 << 14)
+    checked = maybe.join(seen.select("url"), "url", "left_anti")
+    return unseen.unionByName(checked).select("doc_id")
+
+
+@q("inc01_minhash_delta")  # rows-only: batch-equivalence + O(delta) pytest-tested
+def inc01(spark, sf):
+    """Incremental dedup: index the even half, then add the odd half as
+    a delta — signatures computed for the delta ONLY, banded against
+    the persisted corpus (operators/dedup.py IncrementalMinHashIndex)."""
+    import tempfile
+
+    d = load(spark, sf, "documents")
+    state = tempfile.mkdtemp(prefix="inc_minhash_q_")
+    idx = dedup.IncrementalMinHashIndex(spark, state)
+    idx.add(d.filter(F.col("doc_id") % 2 == 0))
+    return idx.add(d.filter(F.col("doc_id") % 2 == 1), threshold=0.7)
 
 
 # --- multimodal plumbing ----------------------------------------------------
