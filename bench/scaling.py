@@ -5,11 +5,10 @@ input (fresh JVM each), and we report throughput at both plus the
 efficiency.
 
 This VM complicates raw core-count arithmetic: per-core clock is
-higher at low occupancy (turbo) and 8->32 crosses an SMT/memory-
-bandwidth ceiling, so even a pure-numpy pandas-UDF burner with no
-engine code cannot reach 4x. The burner is therefore measured IN THE
-SAME RUN as a machine-ceiling calibration, and each engine job gets
-two numbers:
+higher at low occupancy (turbo) and 8->32 crosses a memory-bandwidth
+ceiling, so even a pure-numpy pandas-UDF burner with no engine code
+cannot reach 4x. The burner is therefore measured IN THE SAME RUN as a
+machine-ceiling calibration, and each engine job gets two numbers:
 
   raw efficiency        = (T_N / T_4N) / 4
   normalized efficiency = raw efficiency of the job
@@ -17,7 +16,7 @@ two numbers:
                           (how much of the machine's actually-available
                            scaling the ENGINE captures)
 
-Usage: python bench/scaling.py [--web-tier web1m] [--repeats 2]
+Usage: python bench/scaling.py [--web-tier web10m] [--levels 8,32] ...
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
 
@@ -31,36 +30,49 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 JOBS = ("extract_s", "crawl_s", "minhash_s", "burn_s")
-LEVELS = (2, 8, 32)
 
 
-def run_level(cpus: int, web_tier: str, rounds: int) -> dict:
+def run_level(cpus: int, args) -> dict:
     out = subprocess.run(
         [sys.executable, str(REPO / "bench" / "scaling_job.py"),
-         "--cpus", str(cpus), "--web-tier", web_tier, "--rounds", str(rounds)],
+         "--cpus", str(cpus), "--web-tier", args.web_tier,
+         "--rounds", str(args.rounds),
+         "--budget-scale", str(args.budget_scale),
+         "--minhash-mod", str(args.minhash_mod),
+         "--inner-repeats", str(args.inner_repeats)],
         capture_output=True, text=True, check=True, cwd=REPO)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--web-tier", default="web1m")
+    ap.add_argument("--web-tier", default="web10m")
+    ap.add_argument("--levels", default="8,32",
+                    help="comma-separated core counts, ascending")
     ap.add_argument("--rounds", type=int, default=5)
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="fresh-JVM repeats per level (min taken)")
+    ap.add_argument("--inner-repeats", type=int, default=2,
+                    help="same-JVM repeats per job (min taken)")
+    ap.add_argument("--budget-scale", type=int, default=50)
+    ap.add_argument("--minhash-mod", type=int, default=5,
+                    help="minhash docs = pages where hash %% mod == 0")
     args = ap.parse_args()
+    levels = tuple(int(x) for x in args.levels.split(","))
 
     # repeats-take-min: noisy-neighbor VM; min is the least-contaminated
     # estimate of the machine's capability
     r = {}
-    for n in LEVELS:
-        runs = [run_level(n, args.web_tier, args.rounds)
-                for _ in range(args.repeats)]
+    for n in levels:
+        runs = [run_level(n, args) for _ in range(args.repeats)]
         best = dict(runs[0])
         for k in JOBS:
             best[k] = min(x[k] for x in runs)
         best["pages_per_s"] = round(best["pages"] / best["extract_s"], 1)
         best["urls_per_s"] = round(best["urls_scheduled"] / best["crawl_s"], 1)
         r[n] = best
+
+    pairs = list(zip(levels, levels[1:]))
 
     def eff(lo: int, hi: int, key: str) -> float:
         return round((r[lo][key] / r[hi][key]) / (hi / lo), 3)
@@ -72,60 +84,68 @@ def main() -> int:
         "metric": "scaling efficiency, same job at N and 4N cores",
         "web_tier": args.web_tier,
         "levels": r,
-        "raw_efficiency_2_to_8": {k: eff(2, 8, k) for k in JOBS},
-        "raw_efficiency_8_to_32": {k: eff(8, 32, k) for k in JOBS},
-        "normalized_efficiency_2_to_8": {k: norm(2, 8, k) for k in JOBS[:3]},
-        "normalized_efficiency_8_to_32": {k: norm(8, 32, k) for k in JOBS[:3]},
         "pass_threshold": 0.8,
     }
+    for lo, hi in pairs:
+        result[f"raw_efficiency_{lo}_to_{hi}"] = {k: eff(lo, hi, k) for k in JOBS}
+        result[f"normalized_efficiency_{lo}_to_{hi}"] = {
+            k: norm(lo, hi, k) for k in JOBS[:3]}
     print(json.dumps(result))
 
     names = {
-        "extract_s": f"extraction sweep ({r[8]['pages']} pages, mapInArrow)",
+        "extract_s": f"extraction sweep ({r[levels[-1]]['pages']} pages, mapInArrow)",
         "crawl_s": (f"crawl rounds x{args.rounds} "
-                    f"({r[8]['urls_scheduled']} URLs sched+dedup+extract+commit)"),
-        "minhash_s": "MinHash signature sweep (200k docs, 64 hashes)",
+                    f"({r[levels[-1]]['urls_scheduled']} URLs sched+dedup+extract+commit)"),
+        "minhash_s": (f"MinHash signature sweep "
+                      f"({r[levels[-1]]['minhash_docs']} docs, 64 hashes)"),
         "burn_s": "machine ceiling (pure-numpy burner, no engine code)",
     }
+    hdr_levels = " | ".join(f"local[{n}]" for n in levels)
+    hdr_raw = " | ".join(f"raw {lo}->{hi}" for lo, hi in pairs)
+    hdr_norm = " | ".join(f"norm {lo}->{hi}" for lo, hi in pairs)
     rows = []
     for k in JOBS:
-        cells = " | ".join(f"{r[n][k]}s" for n in LEVELS)
+        cells = " | ".join(f"{r[n][k]}s" for n in levels)
+        raws = " | ".join(f"{eff(lo, hi, k)}" for lo, hi in pairs)
         if k == "burn_s":
-            rows.append(f"| {names[k]} | {cells} | {eff(2,8,k)} | {eff(8,32,k)} | — | — |")
+            norms = " | ".join("—" for _ in pairs)
         else:
-            rows.append(f"| {names[k]} | {cells} | {eff(2,8,k)} | {eff(8,32,k)} "
-                        f"| **{norm(2,8,k)}** | **{norm(8,32,k)}** |")
+            norms = " | ".join(f"**{norm(lo, hi, k)}**" for lo, hi in pairs)
+        rows.append(f"| {names[k]} | {cells} | {raws} | {norms} |")
     table = "\n".join(rows)
+    top = levels[-1]
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     md = f"""# BENCH/BASELINE — measured numbers
 
 Environment: 32-core sandbox VM, PySpark 4.1.2, `local[N]` thread
-executors, fresh JVM per measurement, min of {args.repeats} repeats,
+executors, ParallelGC (see bench/scaling_job.py for why), min of
+{args.repeats} fresh-JVM x {args.inner_repeats} in-JVM repeats,
 identical input ({args.web_tier} synthetic Common-Crawl-style web).
 
 ## Scaling: throughput at N and 4N cores (north rule >= 0.8)
 
-The VM's per-core clock drops with occupancy (turbo) and 8->32 crosses
-an SMT/memory-bandwidth ceiling, so a pure-numpy burner with NO engine
-code — measured in the same runs — defines the machine's own scaling
-ceiling. "norm" = engine raw efficiency / machine ceiling efficiency:
-the fraction of the actually-available scaling the engine captures.
-That is the architecture signal a real multi-executor cluster (where
-4N executors really do have 4N cores of bandwidth) would see.
+The VM's per-core clock drops with occupancy (turbo) and high thread
+counts cross a memory-bandwidth ceiling, so a pure-numpy burner with NO
+engine code — measured in the same runs — defines the machine's own
+scaling ceiling. "norm" = engine raw efficiency / machine ceiling
+efficiency: the fraction of the actually-available scaling the engine
+captures. That is the architecture signal a real multi-executor
+cluster (where 4N executors really do have 4N cores of memory
+bandwidth) would see.
 
-| job | local[2] | local[8] | local[32] | raw 2->8 | raw 8->32 | norm 2->8 | norm 8->32 |
-|---|---|---|---|---|---|---|---|
+| job | {hdr_levels} | {hdr_raw} | {hdr_norm} |
+|---|{"---|" * (len(levels) + 2 * len(pairs))}
 {table}
 
 ## Headline throughput
 
-- pages extracted/s: {r[32]['pages_per_s']} @32 cores ({r[8]['pages_per_s']} @8)
-- frontier URLs scheduled+deduped/s: {r[32]['urls_per_s']} @32 cores ({r[8]['urls_per_s']} @8),
-  {r[8]['urls_scheduled']} URLs over {args.rounds} politeness rounds
-  (budget_scale=50 so rounds are measurement-sized; spec semantics and
-  all exactness tests run at scale 1)
+- pages extracted/s: {r[top]['pages_per_s']} @{top} cores ({r[levels[0]]['pages_per_s']} @{levels[0]})
+- frontier URLs scheduled+deduped/s: {r[top]['urls_per_s']} @{top} cores ({r[levels[0]]['urls_per_s']} @{levels[0]}),
+  {r[top]['urls_scheduled']} URLs over {args.rounds} politeness rounds
+  (budget_scale={args.budget_scale} so rounds are measurement-sized;
+  spec semantics and all exactness tests run at scale 1)
 
 Driver per-round numbers land in BENCH_r*.json (bench.py).
 """

@@ -33,6 +33,10 @@ def main() -> int:
     ap.add_argument("--web-tier", default="web1m")
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--budget-scale", type=int, default=50)
+    ap.add_argument("--minhash-mod", type=int, default=5,
+                    help="minhash docs = pages where xxhash64(url) %% mod == 0")
+    ap.add_argument("--inner-repeats", type=int, default=3,
+                    help="same-JVM repeats per job (min taken)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -93,7 +97,7 @@ def main() -> int:
     pages = spark.read.parquet(str(web / "pages.parquet"))
     n_pages = pages.count()
     extract_s = timed_min(
-        lambda: noop(extract_pages_with_links_arrow(pages)), 3)
+        lambda: noop(extract_pages_with_links_arrow(pages)), args.inner_repeats)
 
     state = Path(tempfile.mkdtemp(prefix=f"scale_state_{args.cpus}_"))
     try:
@@ -107,8 +111,10 @@ def main() -> int:
     # deterministic 1-in-5 sample via hash filter (a global limit() would
     # funnel the whole shingle sweep through one GlobalLimit task)
     docs = (pages.select(F.xxhash64("url").alias("doc_id"), "text")
-            .filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0))
-    minhash_s = timed_min(lambda: noop(minhash_signatures(docs, n_hashes=64)), 3)
+            .filter(F.pmod(F.col("doc_id"), F.lit(args.minhash_mod)) == 0))
+    n_docs = docs.count()
+    minhash_s = timed_min(lambda: noop(minhash_signatures(docs, n_hashes=64)),
+                          args.inner_repeats)
 
     @pandas_udf("double")
     def burn(x: pd.Series) -> pd.Series:
@@ -132,6 +138,7 @@ def main() -> int:
         "urls_scheduled": res["scheduled_total"],
         "urls_per_s": round(res["scheduled_total"] / crawl_s, 1),
         "minhash_s": round(minhash_s, 2),
+        "minhash_docs": n_docs,
         "burn_s": round(burn_s, 2),
     }))
     spark.stop()

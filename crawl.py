@@ -9,6 +9,12 @@ Usage:
 
 Resumable: re-running with the same --state picks up from the last
 committed round checkpoint (BASELINE.json:6,14).
+
+Single-JVM local mode note: pass
+  --conf spark.driver.extraJavaOptions=-XX:+UseParallelGC
+to spark-submit — G1 hits multi-second evacuation pauses on the
+html-churn allocation pattern at high thread counts (see
+bench/scaling_job.py). JVM flags cannot be set from inside this script.
 """
 
 from __future__ import annotations
@@ -49,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
         b = b.master(args.master)
     spark = (b.config("spark.sql.session.timeZone", "UTC")
               .config("spark.sql.adaptive.enabled", "true")
+              # 64m default coalesces the small per-round shuffles down
+              # to a handful of tasks (bench/scaling_job.py)
+              .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
               .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 

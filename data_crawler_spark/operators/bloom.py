@@ -177,26 +177,39 @@ def probe_cogrouped(candidates: DataFrame, bloom_df: DataFrame,
 COLLECT_PROBE_MAX_BYTES = 64 << 20
 
 
+def mark_candidates(candidates: DataFrame, bloom_df: DataFrame,
+                    n_buckets: int,
+                    distributed: bool | None = None,
+                    m_bits: int | None = None) -> DataFrame:
+    """candidates + a ``_maybe`` boolean from the bloom sidecar.
+
+    Probe strategy: small sidecars ship via UDF closure (no candidate
+    shuffle); large ones stay distributed and cogroup on bucket
+    (``distributed=None`` auto-picks from the sidecar's known size).
+    Both paths are result-identical (tested).
+
+    Callers that consume BOTH the maybe and not-maybe slices should
+    persist the returned frame — each slice is a filter over it, and
+    without a cache the (often expensive) candidate pipeline upstream
+    executes once per slice."""
+    if distributed is None:
+        size = n_buckets * (m_bits // 8) if m_bits else None
+        distributed = size is None or size > COLLECT_PROBE_MAX_BYTES
+    if distributed:
+        return probe_cogrouped(candidates, bloom_df, n_buckets)
+    rows = [r.asDict() for r in bloom_df.collect()]
+    probe = probe_udf(rows, n_buckets)
+    return candidates.withColumn("_maybe", probe(F.col("url_hash")))
+
+
 def prefilter_candidates(candidates: DataFrame, bloom_df: DataFrame,
                          n_buckets: int,
                          distributed: bool | None = None,
                          m_bits: int | None = None) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (definitely_unseen, maybe_seen) using the
     bloom sidecar. definitely_unseen needs NO anti-join; maybe_seen
-    (true seens + fpp of the rest) proceeds to the exact anti-join.
-
-    Probe strategy: small sidecars ship via UDF closure (no candidate
-    shuffle); large ones stay distributed and cogroup on bucket
-    (``distributed=None`` auto-picks from the sidecar's known size).
-    Both paths are result-identical (tested)."""
-    if distributed is None:
-        size = n_buckets * (m_bits // 8) if m_bits else None
-        distributed = size is None or size > COLLECT_PROBE_MAX_BYTES
-    if distributed:
-        marked = probe_cogrouped(candidates, bloom_df, n_buckets)
-    else:
-        rows = [r.asDict() for r in bloom_df.collect()]
-        probe = probe_udf(rows, n_buckets)
-        marked = candidates.withColumn("_maybe", probe(F.col("url_hash")))
+    (true seens + fpp of the rest) proceeds to the exact anti-join."""
+    marked = mark_candidates(candidates, bloom_df, n_buckets,
+                             distributed=distributed, m_bits=m_bits)
     return (marked.filter(~F.col("_maybe")).drop("_maybe"),
             marked.filter(F.col("_maybe")).drop("_maybe"))

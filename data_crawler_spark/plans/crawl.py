@@ -18,6 +18,9 @@ tested on local[32]):
 - every state write is a new snapshot version + atomic manifest
   commit; the round checkpoint commits LAST, so a crash anywhere
   replays the round idempotently.
+- the frontier is an LSM store (plans/frontier.py): per-round commits
+  append only the NEW pending urls + a small tombstone set, compacting
+  every few rounds — O(delta) write per round, never O(frontier).
 """
 
 from __future__ import annotations
@@ -45,6 +48,7 @@ from data_crawler_spark.operators.scheduler import (
     schedule_per_host_salted,
     with_crawl_seq,
 )
+from data_crawler_spark.plans.frontier import FrontierStore
 from data_crawler_spark.plans.pagestore import fetch_bucket_pruned, open_bucketed_pages
 from data_crawler_spark.plans.snapshots import Checkpoint, SnapshotTable
 
@@ -57,7 +61,7 @@ class CrawlContext:
     pages: DataFrame
     hosts: DataFrame
     rules: DataFrame
-    frontier: SnapshotTable
+    frontier: FrontierStore
     seen: SnapshotTable
     scheduled: SnapshotTable
     extracted: SnapshotTable
@@ -121,7 +125,7 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
     return CrawlContext(
         spark=spark, web_dir=web, state_dir=state,
         pages=pages, hosts=hosts, rules=rules,
-        frontier=SnapshotTable(spark, state, "frontier", schemas.FRONTIER),
+        frontier=FrontierStore(spark, state, schemas.FRONTIER),
         seen=SnapshotTable(spark, state, "seen", schemas.SEEN),
         scheduled=SnapshotTable(spark, state, "scheduled", schemas.SCHEDULED),
         extracted=SnapshotTable(spark, state, "extracted", schemas.EXTRACTED),
@@ -183,10 +187,10 @@ def bootstrap(ctx: CrawlContext) -> None:
         .withColumn("discovered_round", F.lit(0))
         .withColumn("parent_url", F.lit(None).cast("string"))
     )
-    ctx.frontier.write(_frontier_cols(seeds))
+    ctx.frontier.bootstrap(_frontier_cols(seeds))
     ctx.checkpoint.commit({
         "round": 0,
-        "frontier_v": ctx.frontier.current_version(),
+        "frontier_v": ctx.frontier.versions(),
         "seen_v": 0, "scheduled_v": 0, "extracted_v": 0, "lineage_v": 0,
         "bloom_v": 0,
     })
@@ -310,30 +314,39 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # bloom sidecar (op 31), definitely-unseen candidates skip the
     # anti-join entirely; only maybe-seen ones shuffle against `seen`.
     seen_all = ctx.seen.read()
+    marked = None
     if ctx.use_bloom and ctx.bloom.current_version() > 0:
+        # persist the marked candidates: both union branches below are
+        # filters over them, and without the cache the whole upstream
+        # (explode + canonicalize + hash + probe) executes once PER
+        # branch — measured 2x the round's link-pipeline cost.
         cand_hashed = new_cand.withColumn("url_hash", F.xxhash64("url"))
-        unseen, maybe = bloom_ops.prefilter_candidates(
+        marked = bloom_ops.mark_candidates(
             cand_hashed, ctx.bloom.read(), ctx.bloom_buckets,
-            m_bits=ctx.bloom_m_bits)
+            m_bits=ctx.bloom_m_bits).persist()
+        unseen = marked.filter(~F.col("_maybe")).drop("_maybe")
+        maybe = marked.filter(F.col("_maybe")).drop("_maybe")
         checked = maybe.join(seen_all.select("url"), "url", "left_anti")
         fresh = unseen.unionByName(checked).drop("url_hash")
     else:
         fresh = new_cand.join(seen_all.select("url"), "url", "left_anti")
 
-    remaining = frontier.join(F.broadcast(sched.select("url")), "url", "left_anti")
     # collision rule (min discovered_round, depth, parent) resolved in
-    # O(delta), not O(frontier): `remaining` is already deduped (table
-    # invariant) and every remaining row predates every fresh row
-    # (discovered_round <= rnd < rnd+1), so remaining always wins —
+    # O(delta), not O(frontier): the pending view is url-unique by
+    # store invariant and every pending row predates every fresh row
+    # (discovered_round <= rnd < rnd+1), so pending always wins —
     # window only WITHIN fresh, then drop fresh urls already pending.
-    # The old formulation windowed the whole union: an O(frontier)
-    # shuffle+sort per round.
+    # (fresh ∩ this round's scheduled = ∅ because `seen` — which the
+    # anti-join above already consulted — includes this round.)
+    # The commit is O(delta): fresh rows append to the delta log, the
+    # scheduled urls append as tombstones; the store compacts every few
+    # rounds (plans/frontier.py) instead of rewriting O(frontier)/round.
     fresh_cols = _dedup_frontier(_frontier_cols(fresh))
-    frontier_next = remaining.unionByName(
-        fresh_cols.join(remaining.select("url"), "url", "left_anti"))
+    new_rows = fresh_cols.join(frontier.select("url"), "url", "left_anti")
     with _stage("write_frontier"):
-        ctx.frontier.write(
-            frontier_next.select([f.name for f in schemas.FRONTIER]))
+        ctx.frontier.commit_round(
+            new_rows.select([f.name for f in schemas.FRONTIER]),
+            sched.select("url"))
 
     # lineage / metrics (ops 04b/18): per-partition scheduled counts
     # plus round-level fetch/dedup/frontier gauges (partition_id = -1)
@@ -361,7 +374,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # the commit point: everything above is replayable until this lands
     ctx.checkpoint.commit({
         "round": rnd + 1,
-        "frontier_v": ctx.frontier.current_version(),
+        "frontier_v": ctx.frontier.versions(),
         "seen_v": ctx.seen.current_version(),
         "scheduled_v": ctx.scheduled.current_version(),
         "extracted_v": ctx.extracted.current_version(),
@@ -371,6 +384,8 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     enriched.unpersist()
     sched.unpersist()
     base.unpersist()
+    if marked is not None:
+        marked.unpersist()
     if ctx.gc_keep:
         for t in (ctx.frontier, ctx.seen, ctx.scheduled, ctx.extracted,
                   ctx.lineage, ctx.bloom):

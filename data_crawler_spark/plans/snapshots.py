@@ -91,6 +91,22 @@ class SnapshotTable:
         self._commit(m)
         return new_v
 
+    def n_segments(self) -> int:
+        """Data dirs in the current version (== appends since the last
+        overwrite/truncate) — used as a compaction trigger."""
+        m = self._manifest()
+        return len(self._dirs_for(m, m["current"]))
+
+    def truncate(self) -> int:
+        """Commit a new EMPTY version — a pure manifest operation (no
+        Spark job); old versions stay time-travelable until pruned."""
+        m = self._manifest()
+        new_v = m["current"] + 1
+        m["versions"][str(new_v)] = []
+        m["current"] = new_v
+        self._commit(m)
+        return new_v
+
     def rollback(self, version: int) -> None:
         """Reset the current pointer to an earlier version — used on
         resume to discard table commits from a round whose crawl-level
