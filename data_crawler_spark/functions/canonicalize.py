@@ -27,7 +27,13 @@ import re
 import pandas as pd
 
 _DEFAULT_PORTS = {"http": ":80", "https": ":443"}
-_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?]*)(?:\?(.*))?$"
+# \Z (absolute end) rather than $ everywhere: Python's $ also matches
+# before a FINAL \n, which made behavior on interior-newline garbage
+# inputs depend on where the \n sat (and let fragments containing \n
+# survive the fragment drop, contradicting the spec's own step 2).
+# \Z semantics are newline-clean and are what the native JVM mirror
+# (operators/links.py canonicalize_col) implements with Java \z.
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?]*)(?:\?(.*))?\Z"
 _MAX_DOT_PASSES = 64
 
 
@@ -37,7 +43,7 @@ def canonicalize_series(s: pd.Series) -> pd.Series:
     u = s.astype("string").str.strip()
     # drop fragment, then re-strip (the fragment may have shielded
     # trailing whitespace — idempotence requires stripping again)
-    u = u.str.replace(r"#.*$", "", regex=True).str.strip()
+    u = u.str.replace(r"(?s)#.*", "", regex=True).str.strip()
 
     m = u.str.extract(_URL_RE)
     scheme = m[0].str.lower()
@@ -56,15 +62,25 @@ def canonicalize_series(s: pd.Series) -> pd.Series:
     for _ in range(_MAX_DOT_PASSES):
         before = path
         path = path.str.replace(r"//+", "/", regex=True)
-        path = path.str.replace(r"/\./", "/", regex=True)
-        path = path.str.replace(r"/\.$", "/", regex=True)
-        path = path.str.replace(r"/(?!\.\.(?:/|$))[^/]+/\.\./", "/", regex=True)
-        path = path.str.replace(r"/(?!\.\.(?:/|$))[^/]+/\.\.$", "/", regex=True)
-        path = path.str.replace(r"^/\.\.(?=/|$)", "", regex=True)
+        # '/./' runs to ITS OWN fixed point: non-overlapping sub leaves
+        # every second '/./' of a '/././..' run in place, and the later
+        # '/X/../' pass would then cancel a '.' instead of a real
+        # segment — the fixed point restores RFC 3986
+        # remove-dot-segments semantics (mirrored by the native
+        # stack-fold in operators/links.py; fuzz-tested equal).
+        for _ in range(_MAX_DOT_PASSES):
+            b2 = path.str.replace(r"/\./", "/", regex=True)
+            if b2.equals(path):
+                break
+            path = b2
+        path = path.str.replace(r"/\.\Z", "/", regex=True)
+        path = path.str.replace(r"/(?!\.\.(?:/|\Z))[^/]+/\.\./", "/", regex=True)
+        path = path.str.replace(r"/(?!\.\.(?:/|\Z))[^/]+/\.\.\Z", "/", regex=True)
+        path = path.str.replace(r"^/\.\.(?=/|\Z)", "", regex=True)
         path = path.mask(ok & (path == ""), "/")
         if before.equals(path):
             break
-    path = path.str.replace(r"(.+?)/+$", r"\1", regex=True)
+    path = path.str.replace(r"(?s)(.+?)/+\Z", r"\1", regex=True)
 
     res = scheme + "://" + hostport + path
     has_q = query.notna() & (query != "")

@@ -115,16 +115,49 @@ def splitmix64_np(x: np.ndarray) -> np.ndarray:
     return z
 
 
+def xxhash64_long_np(vals: np.ndarray | int, seeds: np.ndarray | int) -> np.ndarray:
+    """Vectorized XXH64 of an int64 value — bit-exact with how Spark's
+    ``xxhash64`` hashes one LongType column (XXH64.hashLong): the
+    8-byte tail path of standard XXH64. ``vals``/``seeds`` broadcast
+    against each other, so a chained multi-column hash is
+    ``xxhash64_long_np(b, xxhash64_long_np(a, 42))`` ==
+    Spark ``xxhash64(a, b)`` (parity-tested in tests/test_hashing.py).
+    """
+    k = np.asarray(vals, dtype=np.int64).astype(np.uint64)
+    seed = np.asarray(seeds, dtype=np.int64).astype(np.uint64)
+
+    def rotl(x: np.ndarray, r: int) -> np.ndarray:
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    with np.errstate(over="ignore"):
+        h = seed + np.uint64(_P5) + np.uint64(8)
+        h = h ^ (rotl(k * np.uint64(_P2), 31) * np.uint64(_P1))
+        h = rotl(h, 27) * np.uint64(_P1) + np.uint64(_P4)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(_P2)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(_P3)
+        h ^= h >> np.uint64(32)
+    return h
+
+
 def bloom_positions_np(hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
     """(n, k) array of bit positions for each 64-bit key.
 
-    Double hashing: pos_j = (h1 + j*h2) mod m, with h1/h2 derived from
-    the key via splitmix64 — standard Kirsch-Mitzenmacher construction.
+    pos_j = xxhash64(key, j) & (m-1) — i.e. Spark's chained two-column
+    xxhash64, maskable because m is a power of two (masking a signed
+    two's-complement long and an unsigned one agree). Chosen over the
+    classic splitmix double-hashing so the JVM-native probe
+    (operators/bloom.py probe_native) can compute identical positions
+    with the ``xxhash64`` builtin — ANSI mode forbids the wrapping
+    multiplies splitmix would need in Catalyst expressions.
     """
-    h = hashes.astype(np.uint64)
-    h1 = splitmix64_np(h)
-    h2 = splitmix64_np(h1) | np.uint64(1)  # odd => full-period stepping
-    j = np.arange(k, dtype=np.uint64)[None, :]
-    with np.errstate(over="ignore"):
-        pos = (h1[:, None] + j * h2[:, None]) % np.uint64(m_bits)
-    return pos
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    h = np.asarray(hashes, dtype=np.int64)
+    base = xxhash64_long_np(h, SPARK_XXHASH64_SEED)
+    out = np.empty((len(h), k), dtype=np.uint64)
+    mask = np.uint64(m_bits - 1)
+    for j in range(k):
+        out[:, j] = xxhash64_long_np(j, base) & mask
+    return out

@@ -13,8 +13,9 @@ tested — it only shrinks the anti-join's left side.
 
 Bitmaps are built per bucket with a grouped applyInPandas (vectorized
 numpy bit ops — no per-row Python, BASELINE.json:15) and stored as
-BinaryType rows in a snapshot table: state lives in tables, so the
-filter is as resumable as the rest of the crawl.
+array<bigint> word rows in a snapshot table: state lives in tables, so
+the filter is as resumable as the rest of the crawl, and probes are
+JVM-native bit tests over the broadcast table (probe_native).
 
 PySpark exposes no DataFrame-level bloomFilter builder (df.stat has
 none), hence hand-rolled; Spark's runtime bloom-join
@@ -35,15 +36,22 @@ from pyspark.sql.types import BooleanType
 
 from data_crawler_spark.functions.hashing import bloom_positions_np
 
-BLOOM_SCHEMA = "bucket int, m_bits long, k int, n_items long, bitmap binary"
+# bitmap as array<bigint> (little-endian 64-bit words; bit p of the
+# filter = bit p%64 of word p//64): lets the JVM-native probe test bits
+# with element_at/getbit directly on the broadcast table — a binary
+# column would need a Python hop or driver-side re-encoding every round
+BLOOM_SCHEMA = "bucket int, m_bits long, k int, n_items long, bitmap array<bigint>"
 
 
 def optimal_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
-    """(m_bits, k) for a target false-positive rate; m rounded up to a
-    byte multiple."""
+    """(m_bits, k) for a target false-positive rate; m rounded UP to a
+    power of two (the position scheme masks with m-1 so the JVM-native
+    probe and the numpy builder agree bit-for-bit — see
+    functions/hashing.bloom_positions_np). Rounding up only lowers the
+    actual FPR; k is then re-derived for the rounded m."""
     n = max(n_items, 1)
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
-    m = ((m + 7) // 8) * 8
+    m = 1 << max(3, (m - 1).bit_length())
     k = max(1, round(m / n * math.log(2)))
     return m, k
 
@@ -70,10 +78,11 @@ def build_bloom(seen: DataFrame, n_buckets: int = 64,
         pos = bloom_positions_np(h, k=k, m_bits=m_bits).reshape(-1)
         bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
         np.bitwise_or.at(bitmap, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        words = bitmap.view("<u8").astype(np.int64)
         return pd.DataFrame({
             "bucket": [int(pdf["bucket"].iloc[0])],
             "m_bits": [m_bits], "k": [k], "n_items": [len(h)],
-            "bitmap": [bitmap.tobytes()],
+            "bitmap": [words],
         })
 
     return (seen.select("url_hash")
@@ -90,7 +99,7 @@ def probe_udf(bloom_rows: list, n_buckets: int):
     bitmaps: dict[int, np.ndarray] = {}
     params: dict[int, tuple[int, int]] = {}
     for r in bloom_rows:
-        bitmaps[r["bucket"]] = np.frombuffer(r["bitmap"], dtype=np.uint8)
+        bitmaps[r["bucket"]] = _to_bytes_view(r["bitmap"])
         params[r["bucket"]] = (int(r["m_bits"]), int(r["k"]))
 
     @pandas_udf(BooleanType())
@@ -123,14 +132,14 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     def orit(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = None
         for buf in pdf["bitmap"]:
-            v = np.frombuffer(buf, dtype=np.uint8)
+            v = np.asarray(buf, dtype=np.int64)
             acc = v.copy() if acc is None else (acc | v)
         return pd.DataFrame({
             "bucket": [int(pdf["bucket"].iloc[0])],
             "m_bits": [int(pdf["m_bits"].iloc[0])],
             "k": [int(pdf["k"].iloc[0])],
             "n_items": [int(pdf["n_items"].sum())],
-            "bitmap": [acc.tobytes()],
+            "bitmap": [acc],
         })
 
     return a.unionByName(b).groupBy("bucket").applyInPandas(orit, BLOOM_SCHEMA)
@@ -156,7 +165,7 @@ def probe_cogrouped(candidates: DataFrame, bloom_df: DataFrame,
         if bloom.empty:
             return cand.drop(columns=["_bucket"]).assign(_maybe=False)[out_cols]
         m_bits, k = int(bloom["m_bits"].iloc[0]), int(bloom["k"].iloc[0])
-        bm = np.frombuffer(bloom["bitmap"].iloc[0], dtype=np.uint8)
+        bm = _to_bytes_view(bloom["bitmap"].iloc[0])
         h = cand["url_hash"].to_numpy(dtype=np.int64)
         pos = bloom_positions_np(h, k=k, m_bits=m_bits)
         hit = np.ones(len(h), dtype=bool)
@@ -172,7 +181,39 @@ def probe_cogrouped(candidates: DataFrame, bloom_df: DataFrame,
             .applyInPandas(probe, out_schema))
 
 
-# sidecars below this many bytes are collected + closure-shipped (zero
+def _to_bytes_view(words) -> np.ndarray:
+    """array<bigint> bitmap -> uint8 view (little-endian words)."""
+    return np.ascontiguousarray(
+        np.asarray(words, dtype=np.int64)).view("<u8").view(np.uint8)
+
+
+def probe_native(candidates: DataFrame, bloom_df: DataFrame,
+                 n_buckets: int, m_bits: int, k: int) -> DataFrame:
+    """JVM-native probe: broadcast-join the bitmap table on bucket and
+    test the k bits with pure Catalyst expressions —
+    ``pos_j = xxhash64(url_hash, j) & (m-1)`` indexes the array<long>
+    bitmap. Zero Python workers, zero Arrow transfer, nothing transits
+    the driver, and the probe fuses into whole-stage codegen with the
+    (also native) canonicalize/hash pipeline upstream, so callers can
+    recompute the marked frame per consumer instead of caching it.
+    Requires the uniform power-of-two layout build_bloom emits."""
+    if m_bits & (m_bits - 1):
+        raise ValueError("probe_native needs a power-of-two m_bits")
+    bm = bloom_df.select(F.col("bucket").alias("_bucket"),
+                         F.col("bitmap").alias("_words"))
+    joined = (candidates
+              .withColumn("_bucket", bucket_col(F.col("url_hash"), n_buckets))
+              .join(F.broadcast(bm), "_bucket", "left"))
+    hit = F.col("_words").isNotNull()
+    for j in range(k):
+        p = F.xxhash64(F.col("url_hash"), F.lit(j).cast("long")) \
+             .bitwiseAND(F.lit(m_bits - 1))
+        word = F.element_at(F.col("_words"), F.shiftright(p, 6).cast("int") + 1)
+        hit = hit & (F.getbit(word, p.bitwiseAND(F.lit(63))) == 1)
+    return joined.withColumn("_maybe", hit).drop("_bucket", "_words")
+
+
+# sidecars below this many bytes are broadcast + probed natively (zero
 # candidate shuffle); above it they stay distributed (probe_cogrouped)
 COLLECT_PROBE_MAX_BYTES = 64 << 20
 
@@ -180,26 +221,26 @@ COLLECT_PROBE_MAX_BYTES = 64 << 20
 def mark_candidates(candidates: DataFrame, bloom_df: DataFrame,
                     n_buckets: int,
                     distributed: bool | None = None,
-                    m_bits: int | None = None) -> DataFrame:
+                    m_bits: int | None = None,
+                    k: int | None = None) -> DataFrame:
     """candidates + a ``_maybe`` boolean from the bloom sidecar.
 
-    Probe strategy: small sidecars ship via UDF closure (no candidate
-    shuffle); large ones stay distributed and cogroup on bucket
+    Probe strategy: small sidecars are broadcast and probed with native
+    expressions (probe_native — no candidate shuffle, no Python, no
+    driver transit); large ones stay distributed and cogroup on bucket
     (``distributed=None`` auto-picks from the sidecar's known size).
-    Both paths are result-identical (tested).
-
-    Callers that consume BOTH the maybe and not-maybe slices should
-    persist the returned frame — each slice is a filter over it, and
-    without a cache the (often expensive) candidate pipeline upstream
-    executes once per slice."""
+    Both paths are result-identical (tested)."""
     if distributed is None:
         size = n_buckets * (m_bits // 8) if m_bits else None
         distributed = size is None or size > COLLECT_PROBE_MAX_BYTES
     if distributed:
         return probe_cogrouped(candidates, bloom_df, n_buckets)
-    rows = [r.asDict() for r in bloom_df.collect()]
-    probe = probe_udf(rows, n_buckets)
-    return candidates.withColumn("_maybe", probe(F.col("url_hash")))
+    if m_bits is None or k is None:
+        row = bloom_df.select("m_bits", "k").limit(1).collect()
+        if not row:
+            return candidates.withColumn("_maybe", F.lit(False))
+        m_bits, k = int(row[0]["m_bits"]), int(row[0]["k"])
+    return probe_native(candidates, bloom_df, n_buckets, m_bits, k)
 
 
 def prefilter_candidates(candidates: DataFrame, bloom_df: DataFrame,

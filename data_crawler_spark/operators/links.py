@@ -45,6 +45,82 @@ def is_http_col(url: Column) -> Column:
     return url.startswith("http://") | url.startswith("https://")
 
 
+# ---------------------------------------------------------------------------
+# Native canonicalizer (SURVEY.md §2 op 05, JVM fast path).
+#
+# Byte-identical mirror of functions/canonicalize.canonicalize_series —
+# the executable spec shared with the oracle — re-expressed as Catalyst
+# expressions so the crawl's hottest pipeline (every exploded link,
+# every round) never crosses into a Python worker: at web10m/local[32]
+# the pandas-UDF canonicalizer was ~155 CPU-seconds per round (~40% of
+# round compute). Parity is enforced by tests/test_canonicalize.py
+# (spec cases, hypothesis fuzz, and full generated-link corpus).
+#
+# Regex translation notes (Python `re` -> Java):
+#   - the spec anchors with Python \Z (absolute end) == Java \z
+#     (Java's \Z is the one that accepts a final line terminator).
+#   - Python non-DOTALL `.` == `[^\n]`; Java `.` additionally excludes
+#     \r, U+0085, U+2028, U+2029 — so the spec's query group `(.*)` is
+#     spelled `([^\n]*)` here. (?s) `.` matches everything in both.
+#   - pandas .str.strip() strips Py_UNICODE_ISSPACE (Unicode
+#     White_Space plus \x1c-\x1f), not just ASCII space — hence _WS.
+# The dot-segment fixed-point loop of the spec is equivalent to the
+# classic RFC 3986 remove_dot_segments stack fold ('' and '.' skip,
+# '..' pops or, unpoppable at the path start, is dropped; '..' itself
+# is never pushed, matching the spec's `(?!\.\.(?:/|\Z))` guard) —
+# implemented with split + aggregate(). Equivalence is fuzz-tested
+# over 130k adversarial inputs plus the full generated-link corpus
+# (tests/test_canonicalize.py).
+# ---------------------------------------------------------------------------
+
+_WS = r"[\p{IsWhite_Space}\x1c-\x1f]"
+_NATIVE_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?]*)(?:\?([^\n]*))?\z"
+
+
+def _strip_col(c: Column) -> Column:
+    return F.regexp_replace(c, f"^{_WS}+|{_WS}+$", "")
+
+
+def canonicalize_col(x: Column) -> Column:
+    """Native mirror of ``canonicalize_series`` (nulls stay null)."""
+    u = _strip_col(F.regexp_replace(_strip_col(x), r"(?s)#.*", ""))
+
+    ok = u.rlike(_NATIVE_URL_RE)
+    scheme = F.lower(F.regexp_extract(u, _NATIVE_URL_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _NATIVE_URL_RE, 2))
+    raw_path = F.regexp_extract(u, _NATIVE_URL_RE, 3)
+    query = F.regexp_extract(u, _NATIVE_URL_RE, 4)
+
+    hostport = (
+        F.when((scheme == "http") & hostport.endswith(":80"),
+               F.substring(hostport, 1, F.length(hostport) - 3))
+        .when((scheme == "https") & hostport.endswith(":443"),
+              F.substring(hostport, 1, F.length(hostport) - 4))
+        .otherwise(hostport)
+    )
+
+    # remove_dot_segments as a stack fold over '/'-split segments (the
+    # URL_RE path group always starts with '/' or is empty; '..' never
+    # survives on the stack, so an unpoppable '..' is simply dropped —
+    # the spec's leading-'/..' strip)
+    segs = F.split(raw_path, "/", -1)
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when((s == "") | (s == "."), acc)
+            .when(s == "..", F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))))
+            .otherwise(F.concat(acc, F.array(s)))
+        ),
+    )
+    path = F.when(F.size(folded) == 0, F.lit("/")).otherwise(
+        F.concat(F.lit("/"), F.array_join(folded, "/")))
+
+    res = F.concat(scheme, F.lit("://"), hostport, path)
+    res = F.when(query != "", F.concat(res, F.lit("?"), query)).otherwise(res)
+    return F.when(ok, _strip_col(res)).otherwise(u)
+
+
 def url_struct_col(url: Column) -> Column:
     """op 06: url -> struct(scheme, host, path, query)."""
     return F.struct(

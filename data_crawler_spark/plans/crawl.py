@@ -15,6 +15,16 @@ tested on local[32]):
   Zipf-head domains never serialize into one task.
 - `html` is projected away everywhere except the extraction stage
   (column pruning keeps it out of every shuffle — SURVEY.md §4.1).
+- the link pipeline (href resolve, canonicalize, xxhash64, bloom
+  probe) is pure JVM whole-stage codegen (operators/links.py,
+  operators/bloom.py probe_native) — Python workers only touch the
+  one Arrow extraction pass per round.
+- URL-seen/discovered membership is O(round), not O(frontier): the
+  discovered bloom splits candidates, and the exact check SCANS the
+  pending∪seen url columns against a broadcast of the round's
+  maybe-set — the frontier is never shuffled and never driver-hashed
+  (membership_join="shuffle" is the beyond-broadcast fallback; a real
+  cluster co-locates it with bucketed Iceberg tables instead).
 - every state write is a new snapshot version + atomic manifest
   commit; the round checkpoint commits LAST, so a crash anywhere
   replays the round idempotently.
@@ -34,9 +44,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_crawler_spark import schemas
-from data_crawler_spark.functions.spark_udfs import canonicalize_udf
 from data_crawler_spark.operators.extractor import extract_enrich_arrow
 from data_crawler_spark.operators.links import (
+    canonicalize_col,
     host_col,
     is_http_col,
     path_col,
@@ -69,14 +79,23 @@ class CrawlContext:
     bloom: SnapshotTable
     checkpoint: Checkpoint
     n_salts: int = 16
-    # bloom URL-seen sidecar (op 31): fixed per-bucket layout so bitmaps
-    # OR-merge across rounds. An accelerator only — exactness comes from
-    # the url anti-join; use_bloom=False must produce identical results
-    # (tested).
+    # bloom URL-DISCOVERED sidecar (op 31): covers every url ever added
+    # to the frontier (pending ∪ seen), so definitely-undiscovered
+    # candidates skip BOTH membership joins; fixed per-bucket layout so
+    # bitmaps OR-merge across rounds. An accelerator only — exactness
+    # comes from the exact membership check; use_bloom=False must
+    # produce identical results (tested).
     use_bloom: bool = True
     bloom_buckets: int = 64
-    bloom_m_bits: int = 1 << 17
+    bloom_m_bits: int = 1 << 20
     bloom_k: int = 7
+    # exact membership check for maybe-discovered candidates:
+    # "broadcast" = scan pending+seen url columns against a broadcast of
+    # the (round-sized) maybe set — no shuffle, no O(frontier) driver
+    # hash; "shuffle" = plain anti-join for rounds whose maybe set
+    # exceeds broadcast limits (on a real cluster, bucketed Iceberg
+    # tables + storage-partitioned joins make this co-located instead)
+    membership_join: str = "broadcast"
     # snapshot GC: keep the last N versions of each state table (None =
     # keep everything / full time travel). >=3 keeps the checkpointed
     # version safe for mid-round crash rollback.
@@ -104,7 +123,8 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
                use_bloom: bool = True,
                gc_keep: int | None = None,
                lineage_gauges: bool = True,
-               budget_scale: int = 1) -> CrawlContext:
+               budget_scale: int = 1,
+               membership_join: str = "broadcast") -> CrawlContext:
     web = Path(web_dir)
     state = Path(state_dir)
     state.mkdir(parents=True, exist_ok=True)
@@ -139,12 +159,28 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
         gc_keep=gc_keep,
         lineage_gauges=lineage_gauges,
         budget_scale=budget_scale,
+        membership_join=membership_join,
     )
 
 
 # DCS_PROFILE=1: accumulate wall time per run_round action (diagnostic
 # only — which per-round job dominates; see bench/scaling notes)
 STAGE_TIMES: dict[str, float] = {}
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """Round-scoped cache, DISK_ONLY by default (override with
+    DCS_CACHE_LEVEL). On a single fat JVM, on-heap columnar cache
+    batches fill the old generation and full-GC wall was ~11s of a 22s
+    stage at local[32] (event-log task metrics, web10m round 3);
+    DISK_ONLY keeps the heap flat and cut the 5-round web10m crawl from
+    ~161s to ~134s at local[32]. On a real cluster executors are
+    4-8-core JVMs where MEMORY_AND_DISK is fine — this knob is about
+    the single-JVM local mode."""
+    from pyspark import StorageLevel
+
+    name = os.environ.get("DCS_CACHE_LEVEL", "DISK_ONLY")
+    return df.persist(getattr(StorageLevel, name))
 
 
 class _stage:
@@ -179,7 +215,7 @@ def bootstrap(ctx: CrawlContext) -> None:
     """Round-0 frontier from the seed list (SURVEY.md §2 op 03)."""
     seeds = (
         ctx.spark.read.text(str(ctx.web_dir / "seeds.txt"))
-        .select(canonicalize_udf(F.trim("value")).alias("url"))
+        .select(canonicalize_col(F.trim("value")).alias("url"))
         .filter(F.col("url").isNotNull() & (F.col("url") != ""))
         .filter(is_http_col(F.col("url")))
         .distinct()
@@ -188,11 +224,18 @@ def bootstrap(ctx: CrawlContext) -> None:
         .withColumn("parent_url", F.lit(None).cast("string"))
     )
     ctx.frontier.bootstrap(_frontier_cols(seeds))
+    if ctx.use_bloom:
+        # the discovered bloom must cover the seeds from round 0 — a
+        # later link back to a seed url has to probe as maybe-discovered
+        ctx.bloom.write(bloom_ops.build_bloom(
+            ctx.frontier.read().select("url_hash"),
+            n_buckets=ctx.bloom_buckets, m_bits=ctx.bloom_m_bits,
+            k=ctx.bloom_k))
     ctx.checkpoint.commit({
         "round": 0,
         "frontier_v": ctx.frontier.versions(),
         "seen_v": 0, "scheduled_v": 0, "extracted_v": 0, "lineage_v": 0,
-        "bloom_v": 0,
+        "bloom_v": ctx.bloom.current_version(),
     })
 
 
@@ -213,7 +256,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # gate + schedule (ops 09/14/22/15/26)
     cand = frontier.withColumn("path", path_col(F.col("url")))
     allowed = robots_gate(cand, ctx.rules).drop("path")
-    base = schedule_per_host_salted(allowed, ctx.hosts, ctx.n_salts).persist()
+    base = _persist(schedule_per_host_salted(allowed, ctx.hosts, ctx.n_salts))
     with _stage("gate_schedule"):
         n_sched = base.count()
     if n_sched == 0:
@@ -224,7 +267,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # partitioned when the round is large (no single task ever holds
     # the whole round — operators/scheduler.py)
     seq_parts = max(1, min(200, n_sched // ctx.seq_rows_per_task))
-    sched = with_crawl_seq(base, num_partitions=seq_parts).persist()
+    sched = _persist(with_crawl_seq(base, num_partitions=seq_parts))
 
     # small rounds write few files: state tables are append-only, so
     # per-round file count directly becomes next round's read fan-in
@@ -244,18 +287,6 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
             .coalesce(ncoal),
             mode="append",
         )
-
-    # bloom sidecar update (op 31): hash ONLY this round's new seen rows,
-    # OR-merge into the persisted per-bucket bitmaps (O(delta) like the
-    # seen append itself)
-    if ctx.use_bloom:
-        with _stage("write_bloom"):
-            new_bloom = bloom_ops.build_bloom(
-                sched.select("url_hash"), n_buckets=ctx.bloom_buckets,
-                m_bits=ctx.bloom_m_bits, k=ctx.bloom_k)
-            if ctx.bloom.current_version() > 0:
-                new_bloom = bloom_ops.merge_blooms(ctx.bloom.read(), new_bloom)
-            ctx.bloom.write(new_bloom)
 
     # fetch + extract + link discovery (ops 11/42/43/46): join the
     # scheduled slice against the page store, then ONE mapInArrow pass
@@ -277,7 +308,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
             .join(ctx.pages, "url", "inner")
             .select(*fetch_cols)
         )
-    enriched = extract_enrich_arrow(fetched).persist()
+    enriched = _persist(extract_enrich_arrow(fetched))
     # materialize the cache at full parallelism FIRST: the extracted
     # write below coalesces to few files, and coalesce() is narrow — if
     # it ran the cache-filling pass, the whole Arrow extraction would
@@ -294,13 +325,14 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
             extracted.select([f.name for f in schemas.EXTRACTED]).coalesce(ncoal),
             mode="append")
 
-    # resolve (native exprs) -> canonicalize (vectorized UDF) -> gate
+    # resolve -> canonicalize -> gate: ALL native JVM expressions (the
+    # pandas-UDF canonicalizer was ~40% of round compute at web10m)
     links = (
         enriched.select(
             F.col("url").alias("parent_url"), F.col("depth").alias("pdepth"),
             F.explode("links").alias("href"),
         )
-        .withColumn("link", canonicalize_udf(resolve_href_col(F.col("parent_url"), F.col("href"))))
+        .withColumn("link", canonicalize_col(resolve_href_col(F.col("parent_url"), F.col("href"))))
         .filter(is_http_col(F.col("link")))
     )
     new_cand = links.select(
@@ -309,44 +341,74 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         F.lit(rnd + 1).alias("discovered_round"),
         "parent_url",
     )
-    # exact URL-seen dedup (op 10): anti-join on the full url string —
-    # url_hash alone would admit hash collisions at 10^10 rows. With the
-    # bloom sidecar (op 31), definitely-unseen candidates skip the
-    # anti-join entirely; only maybe-seen ones shuffle against `seen`.
+    # membership (ops 10/31): new frontier rows = candidates that were
+    # never discovered (∉ pending ∪ seen), on the full url string —
+    # url_hash alone would admit hash collisions at 10^10 rows.
+    # Collision rule (min discovered_round, depth, parent) within the
+    # round is the window below; against earlier rounds every pending
+    # row predates every candidate (discovered_round <= rnd < rnd+1),
+    # so dropping rediscovered urls IS the min rule, in O(round).
+    #
+    # With the discovered bloom, definitely-new candidates take no join
+    # at all; maybe-discovered ones get the exact check. The branches
+    # deliberately share the dedup window's Exchange (ReusedExchange
+    # inside the single delta-write action), so the expensive explode +
+    # canonicalize + hash pipeline below it runs ONCE, JVM-side, with
+    # no round-sized cache.
     seen_all = ctx.seen.read()
-    marked = None
     if ctx.use_bloom and ctx.bloom.current_version() > 0:
-        # persist the marked candidates: both union branches below are
-        # filters over them, and without the cache the whole upstream
-        # (explode + canonicalize + hash + probe) executes once PER
-        # branch — measured 2x the round's link-pipeline cost.
-        cand_hashed = new_cand.withColumn("url_hash", F.xxhash64("url"))
-        marked = bloom_ops.mark_candidates(
-            cand_hashed, ctx.bloom.read(), ctx.bloom_buckets,
-            m_bits=ctx.bloom_m_bits).persist()
-        unseen = marked.filter(~F.col("_maybe")).drop("_maybe")
-        maybe = marked.filter(F.col("_maybe")).drop("_maybe")
-        checked = maybe.join(seen_all.select("url"), "url", "left_anti")
-        fresh = unseen.unionByName(checked).drop("url_hash")
+        cand = new_cand.withColumn("url_hash", F.xxhash64("url"))
+        # probe pass: candidate urls that MIGHT be discovered. Runs the
+        # link pipeline once with url-only pruning and NO window —
+        # duplicate urls are harmless inside a broadcast hash build —
+        # and bloom false positives only inflate this probe set, never
+        # the result.
+        maybe_urls = (bloom_ops.mark_candidates(
+            cand, ctx.bloom.read(), ctx.bloom_buckets,
+            m_bits=ctx.bloom_m_bits, k=ctx.bloom_k)
+            .filter(F.col("_maybe")).select("url"))
+        ever = frontier.select("url").unionByName(seen_all.select("url"))
+        if ctx.membership_join == "broadcast":
+            # scan-side check: `ever` is only SCANNED (url column,
+            # pruned parquet) — never shuffled, never built into an
+            # O(frontier) driver-side broadcast hash (that build was
+            # 2-5s/round and the JVM's main full-GC source)
+            hits = ever.join(F.broadcast(maybe_urls), "url", "left_semi")
+            # no-false-negative property: every discovered candidate url
+            # is in maybe_urls, so `hits` = ever ∩ candidate urls and
+            # dedup(cand) ∖ hits is EXACTLY the undiscovered candidates
+            new_rows = _dedup_frontier(cand).join(
+                F.broadcast(hits), "url", "left_anti")
+        else:
+            hits = ever.join(maybe_urls, "url", "left_semi")
+            new_rows = _dedup_frontier(cand).join(hits, "url", "left_anti")
+        new_rows = new_rows.drop("url_hash")
     else:
         fresh = new_cand.join(seen_all.select("url"), "url", "left_anti")
+        new_rows = _dedup_frontier(fresh).join(
+            frontier.select("url"), "url", "left_anti")
 
-    # collision rule (min discovered_round, depth, parent) resolved in
-    # O(delta), not O(frontier): the pending view is url-unique by
-    # store invariant and every pending row predates every fresh row
-    # (discovered_round <= rnd < rnd+1), so pending always wins —
-    # window only WITHIN fresh, then drop fresh urls already pending.
-    # (fresh ∩ this round's scheduled = ∅ because `seen` — which the
-    # anti-join above already consulted — includes this round.)
-    # The commit is O(delta): fresh rows append to the delta log, the
+    # the commit is O(delta): new rows append to the delta log, the
     # scheduled urls append as tombstones; the store compacts every few
     # rounds (plans/frontier.py) instead of rewriting O(frontier)/round.
-    fresh_cols = _dedup_frontier(_frontier_cols(fresh))
-    new_rows = fresh_cols.join(frontier.select("url"), "url", "left_anti")
+    new_rows = _frontier_cols(new_rows)
     with _stage("write_frontier"):
-        ctx.frontier.commit_round(
+        seg = ctx.frontier.commit_round(
             new_rows.select([f.name for f in schemas.FRONTIER]),
             sched.select("url"))
+
+    # discovered-bloom update (op 31): hash ONLY this round's frontier
+    # adds — read back from the freshly written delta segment, so the
+    # link pipeline is not re-derived — and OR-merge into the persisted
+    # bitmaps (O(delta), like the delta append itself)
+    if ctx.use_bloom:
+        with _stage("write_bloom"):
+            new_bloom = bloom_ops.build_bloom(
+                seg.select("url_hash"), n_buckets=ctx.bloom_buckets,
+                m_bits=ctx.bloom_m_bits, k=ctx.bloom_k)
+            if ctx.bloom.current_version() > 0:
+                new_bloom = bloom_ops.merge_blooms(ctx.bloom.read(), new_bloom)
+            ctx.bloom.write(new_bloom)
 
     # lineage / metrics (ops 04b/18): per-partition scheduled counts
     # plus round-level fetch/dedup/frontier gauges (partition_id = -1)
@@ -384,8 +446,6 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     enriched.unpersist()
     sched.unpersist()
     base.unpersist()
-    if marked is not None:
-        marked.unpersist()
     if ctx.gc_keep:
         for t in (ctx.frontier, ctx.seen, ctx.scheduled, ctx.extracted,
                   ctx.lineage, ctx.bloom):
@@ -398,13 +458,15 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
               n_salts: int = 16, use_bloom: bool = True,
               gc_keep: int | None = None,
               lineage_gauges: bool = True,
-              budget_scale: int = 1) -> dict:
+              budget_scale: int = 1,
+              membership_join: str = "broadcast") -> dict:
     """Drive rounds to quiescence (or max_rounds). Resumable: picks up
     from the last committed checkpoint when ``resume`` and one exists."""
     ctx = open_crawl(spark, web_dir, state_dir, n_salts=n_salts,
                      use_bloom=use_bloom, gc_keep=gc_keep,
                      lineage_gauges=lineage_gauges,
-                     budget_scale=budget_scale)
+                     budget_scale=budget_scale,
+                     membership_join=membership_join)
     cp = ctx.checkpoint.load() if resume else None
     if cp is None:
         bootstrap(ctx)

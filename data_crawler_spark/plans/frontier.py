@@ -74,15 +74,20 @@ class FrontierStore:
         self.base.write(df)
 
     def commit_round(self, new_rows: DataFrame,
-                     removed_urls: DataFrame) -> None:
+                     removed_urls: DataFrame) -> DataFrame:
         """O(delta) round commit: append the round's new pending rows
         (caller guarantees they are url-disjoint from the current view)
         and the round's scheduled urls as tombstones; compact when the
-        delta log reaches ``compact_every`` segments."""
-        self.delta.write(new_rows, mode="append")
+        delta log reaches ``compact_every`` segments. Returns a
+        DataFrame over exactly the rows just appended (read back from
+        the new segment — e.g. for the discovered-bloom update —
+        without re-deriving the link pipeline)."""
+        v = self.delta.write(new_rows, mode="append")
+        seg = self.delta.segment_df(v)
         self.removed.write(removed_urls.select("url"), mode="append")
         if self.delta.n_segments() >= self.compact_every:
             self.compact()
+        return seg
 
     def compact(self) -> None:
         """Fold delta+tombstones into a fresh base version. Reads the

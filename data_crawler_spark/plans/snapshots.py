@@ -91,6 +91,19 @@ class SnapshotTable:
         self._commit(m)
         return new_v
 
+    def segment_df(self, version: int | None = None) -> DataFrame:
+        """Rows appended BY ``version`` (its newest data dir only) —
+        the O(delta) read used to e.g. hash a round's frontier adds
+        into the bloom sidecar without re-deriving them. The dir stays
+        on disk through later truncate/compact commits (only prune
+        removes data), but consume it within the round that wrote it."""
+        m = self._manifest()
+        v = m["current"] if version is None else version
+        dirs = self._dirs_for(m, v)
+        if not dirs:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(str(self.dir / dirs[-1]))
+
     def n_segments(self) -> int:
         """Data dirs in the current version (== appends since the last
         overwrite/truncate) — used as a compaction trigger."""

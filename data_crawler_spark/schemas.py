@@ -5,6 +5,7 @@ schemas are fixed for the resume/equivalence tests (FIXTURES.md §B.4).
 """
 
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -64,7 +65,7 @@ BLOOM = StructType([
     StructField("m_bits", LongType(), False),
     StructField("k", IntegerType(), False),
     StructField("n_items", LongType(), False),
-    StructField("bitmap", BinaryType(), False),
+    StructField("bitmap", ArrayType(LongType(), False), False),
 ])
 
 LINEAGE = StructType([

@@ -98,3 +98,20 @@ def test_probe_auto_picks_distributed_for_huge_sidecar(spark, bloom):
     unseen, _ = prefilter_candidates(cand, bloom, 16, m_bits=1 << 33)
     plan = unseen._jdf.queryExecution().optimizedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_crawl_invariant_membership_join_mode(spark, web1k, tmp_path):
+    """The shuffle fallback for the maybe-discovered membership check
+    (rounds whose maybe set exceeds broadcast limits) must produce the
+    same crawl as the scan+broadcast path."""
+    from data_crawler_spark.plans.crawl import run_crawl, visit_order_df
+    bc = run_crawl(spark, web1k, tmp_path / "bc", max_rounds=4,
+                   membership_join="broadcast")
+    sh = run_crawl(spark, web1k, tmp_path / "sh", max_rounds=4,
+                   membership_join="shuffle")
+    vo_bc = [(r.round, r.url) for r in visit_order_df(bc["ctx"]).collect()]
+    vo_sh = [(r.round, r.url) for r in visit_order_df(sh["ctx"]).collect()]
+    assert vo_bc == vo_sh
+    f_bc = sorted(r.url for r in bc["ctx"].frontier.read().collect())
+    f_sh = sorted(r.url for r in sh["ctx"].frontier.read().collect())
+    assert f_bc == f_sh

@@ -102,3 +102,32 @@ def test_host_path_parsing_matches(spark, web1k):
     ps = path_of_series(urls)
     for r, h, p in zip(rows, hs, ps):
         assert r.h == h and r.p == p
+
+
+def test_native_canonicalize_matches_spec(spark, web1k):
+    """canonicalize_col (JVM fast path used by the crawl's link
+    pipeline) must be byte-identical to canonicalize_series (the
+    executable spec shared with the oracle)."""
+    import random
+
+    from data_crawler_spark.operators.links import canonicalize_col
+
+    rnd = random.Random(7)
+    alpha = "abcXYZ019:/.?#%~_- " + "\t\n\r\x1c\x85\xa0 "
+    vals = [s for s, _ in SPEC] + [None, "", " "]
+    vals += ["https://Ex.COM" + "".join(rnd.choice(alpha) for _ in range(rnd.randrange(0, 40)))
+             for _ in range(2000)]
+    seg = ["a", "b", ".", "..", "...", "", "..a", "a.", " "]
+    vals += ["https://h/" + "/".join(rnd.choice(seg) for _ in range(rnd.randrange(0, 10)))
+             for _ in range(2000)]
+    # full generated-link corpus
+    pages = pq.read_table(web1k / "pages.parquet", columns=["url", "html"]).to_pandas()
+    for url, links in zip(pages["url"], extract_links_series(pages["html"])):
+        vals.extend(resolve_href(url, h) for h in links)
+
+    want = canonicalize_series(pd.Series(vals, dtype=object))
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    got = [r.c for r in df.select(canonicalize_col(F.col("u")).alias("c")).collect()]
+    for v, w, g in zip(vals, want, got):
+        w = None if w is None else w
+        assert w == g, f"in={v!r} spec={w!r} native={g!r}"

@@ -32,3 +32,24 @@ def test_bloom_positions_shape_and_range():
     # deterministic
     pos2 = bloom_positions_np(h, k=7, m_bits=1 << 20)
     assert (pos == pos2).all()
+
+
+def test_xxhash64_long_np_matches_spark(spark):
+    """The numpy XXH64-of-long (bloom position scheme) must be bit-exact
+    with Spark's builtin, including two-column chaining."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_crawler_spark.functions.hashing import xxhash64_long_np
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-(2**63), 2**63 - 1, size=500, dtype=np.int64)
+    js = rng.integers(0, 16, size=500, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(v), int(j)) for v, j in zip(vals, js)], "v long, j long")
+    got = df.select(F.xxhash64("v").alias("h1"),
+                    F.xxhash64("v", "j").alias("h2")).collect()
+    base = xxhash64_long_np(vals, 42).astype(np.int64)
+    chained = xxhash64_long_np(js, base).astype(np.int64)
+    for r, b, c in zip(got, base, chained):
+        assert r.h1 == b and r.h2 == c
