@@ -29,7 +29,7 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-JOBS = ("extract_s", "crawl_s", "minhash_s", "burn_s")
+JOBS = ("extract_s", "crawl_s", "minhash_s", "burn_s", "scan_s")
 
 
 def run_level(cpus: int, args) -> dict:
@@ -98,7 +98,8 @@ def main() -> int:
                     f"({r[levels[-1]]['urls_scheduled']} URLs sched+dedup+extract+commit)"),
         "minhash_s": (f"MinHash signature sweep "
                       f"({r[levels[-1]]['minhash_docs']} docs, 64 hashes)"),
-        "burn_s": "machine ceiling (pure-numpy burner, no engine code)",
+        "burn_s": "machine CPU ceiling (pure-numpy burner, no engine code)",
+        "scan_s": "machine IO ceiling (raw html-column scan, no engine code)",
     }
     hdr_levels = " | ".join(f"local[{n}]" for n in levels)
     hdr_raw = " | ".join(f"raw {lo}->{hi}" for lo, hi in pairs)
@@ -107,7 +108,7 @@ def main() -> int:
     for k in JOBS:
         cells = " | ".join(f"{r[n][k]}s" for n in levels)
         raws = " | ".join(f"{eff(lo, hi, k)}" for lo, hi in pairs)
-        if k == "burn_s":
+        if k in ("burn_s", "scan_s"):
             norms = " | ".join("—" for _ in pairs)
         else:
             norms = " | ".join(f"**{norm(lo, hi, k)}**" for lo, hi in pairs)
@@ -126,14 +127,21 @@ identical input ({args.web_tier} synthetic Common-Crawl-style web).
 
 ## Scaling: throughput at N and 4N cores (north rule >= 0.8)
 
-The VM's per-core clock drops with occupancy (turbo) and high thread
-counts cross a memory-bandwidth ceiling, so a pure-numpy burner with NO
-engine code — measured in the same runs — defines the machine's own
-scaling ceiling. "norm" = engine raw efficiency / machine ceiling
-efficiency: the fraction of the actually-available scaling the engine
-captures. That is the architecture signal a real multi-executor
-cluster (where 4N executors really do have 4N cores of memory
-bandwidth) would see.
+Two machine ceilings, measured in the same runs with NO engine code,
+bound what ANY job can do on this box:
+- CPU ceiling (numpy burner): per-core clock drops with occupancy
+  (turbo) and high thread counts cross a memory-bandwidth ceiling, so
+  even pure compute cannot reach 4x from N to 4N threads.
+- IO ceiling (raw html-column scan): local[N] shares ONE virtio disk
+  with almost no page cache, so byte-bound stages get the same
+  ~stream bandwidth at any N. A real cluster adds disks/NICs with
+  every executor — on it, IO-bound stages scale with the node count;
+  here they cannot, whatever the engine does.
+"norm" = engine raw efficiency / CPU-ceiling efficiency: the fraction
+of the actually-available compute scaling the engine captures. Jobs
+whose raw efficiency sits at the IO-ceiling row (extraction at high
+core counts; the crawl's per-round page-store fetch) are bounded by
+the disk, not by the plan shape.
 
 | job | {hdr_levels} | {hdr_raw} | {hdr_norm} |
 |---|{"---|" * (len(levels) + 2 * len(pairs))}

@@ -8,8 +8,14 @@ Jobs (the north-star workloads, BASELINE.json:2, plus a calibration):
   minhash : MinHash signature sweep over page text (CPU-heavy, shuffle-
             light real operator - dedup at scale)
   burn    : pure-numpy pandas-UDF burner with NO engine code - measures
-            the MACHINE's own scaling ceiling at this core count, used
-            to normalize the engine numbers on this noisy/turbo VM
+            the MACHINE's own CPU scaling ceiling at this core count,
+            used to normalize the engine numbers on this noisy/turbo VM
+  scan    : pure parquet scan+count of the page store with NO engine
+            code - the machine's IO ceiling. local[N] shares ONE virtio
+            disk, so IO-bound work cannot scale with N here no matter
+            the architecture; a real cluster adds a disk with every
+            executor. Engine jobs whose raw efficiency matches scan's
+            are at the disk ceiling, not an engine limit.
 """
 
 import argparse
@@ -96,6 +102,11 @@ def main() -> int:
 
     pages = spark.read.parquet(str(web / "pages.parquet"))
     n_pages = pages.count()
+    # IO ceiling: force-read the html column (the store's bulk) with a
+    # trivial native aggregate - no engine code, no Python
+    scan_s = timed_min(
+        lambda: pages.select(F.sum(F.length("html"))).collect(),
+        args.inner_repeats)
     extract_s = timed_min(
         lambda: noop(extract_pages_with_links_arrow(pages)), args.inner_repeats)
 
@@ -140,6 +151,7 @@ def main() -> int:
         "minhash_s": round(minhash_s, 2),
         "minhash_docs": n_docs,
         "burn_s": round(burn_s, 2),
+        "scan_s": round(scan_s, 2),
     }))
     spark.stop()
     return 0

@@ -145,6 +145,44 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("bucket").applyInPandas(orit, BLOOM_SCHEMA)
 
 
+def update_bloom(old: DataFrame, delta: DataFrame, n_buckets: int,
+                 m_bits: int, k: int) -> DataFrame:
+    """build_bloom(delta) OR-merged into ``old`` in ONE cogrouped pass
+    (the separate build + merge formulation costs two shuffles and two
+    Python stages per round; this is the per-round incremental update
+    the crawl uses). ``delta`` needs a ``url_hash`` column; layout must
+    match ``old``'s."""
+
+    def upd(bloom: pd.DataFrame, hashes: pd.DataFrame) -> pd.DataFrame:
+        if bloom.empty and hashes.empty:
+            return pd.DataFrame(
+                columns=["bucket", "m_bits", "k", "n_items", "bitmap"])
+        if bloom.empty:
+            bucket = int(hashes["bucket"].iloc[0])
+            bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+            n_old = 0
+        else:
+            bucket = int(bloom["bucket"].iloc[0])
+            bitmap = _to_bytes_view(bloom["bitmap"].iloc[0]).copy()
+            n_old = int(bloom["n_items"].sum())
+        h = hashes["url_hash"].to_numpy(dtype=np.int64) if len(hashes) else \
+            np.empty(0, dtype=np.int64)
+        if len(h):
+            pos = bloom_positions_np(h, k=k, m_bits=m_bits).reshape(-1)
+            np.bitwise_or.at(bitmap, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        return pd.DataFrame({
+            "bucket": [bucket], "m_bits": [m_bits], "k": [k],
+            "n_items": [n_old + len(h)],
+            "bitmap": [bitmap.view("<u8").astype(np.int64)],
+        })
+
+    hashed = (delta.select("url_hash")
+              .withColumn("bucket", bucket_col(F.col("url_hash"), n_buckets)))
+    return (old.groupBy("bucket")
+            .cogroup(hashed.groupBy("bucket"))
+            .applyInPandas(upd, BLOOM_SCHEMA))
+
+
 def probe_cogrouped(candidates: DataFrame, bloom_df: DataFrame,
                     n_buckets: int) -> DataFrame:
     """Distributed probe: candidates cogroup the bitmap table on

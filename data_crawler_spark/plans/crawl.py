@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -142,6 +143,19 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
         hosts = hosts.withColumn(
             "budget_per_round", F.col("budget_per_round") * budget_scale)
     rules = spark.read.parquet(str(web / "robots_rules.parquet"))
+    # discovered-bloom sizing: the layout is fixed for the whole crawl
+    # (bitmaps OR-merge across rounds), so size it from the page store's
+    # byte size (~160B/page zstd; discovered URLs = O(pages); target
+    # >=10 bits/item over 64 buckets, clamped to [2^14, 2^20] bits per
+    # bucket). An oversized sidecar is pure per-round build/merge/
+    # broadcast overhead on small webs; undersized only raises FPR
+    # (never wrong answers).
+    store_bytes = sum(
+        f.stat().st_size
+        for f in [web / "pages.parquet"]
+        if f.exists()) or (1 << 20)
+    want_bits_per_bucket = (store_bytes // 160) * 10 // 64
+    bloom_m_bits = 1 << min(20, max(14, int(want_bits_per_bucket).bit_length()))
     return CrawlContext(
         spark=spark, web_dir=web, state_dir=state,
         pages=pages, hosts=hosts, rules=rules,
@@ -156,6 +170,7 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
         pages_bucketed=pages_bucketed,
         pages_n_buckets=pages_n_buckets,
         use_bloom=use_bloom,
+        bloom_m_bits=bloom_m_bits,
         gc_keep=gc_keep,
         lineage_gauges=lineage_gauges,
         budget_scale=budget_scale,
@@ -268,25 +283,35 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # the whole round — operators/scheduler.py)
     seq_parts = max(1, min(200, n_sched // ctx.seq_rows_per_task))
     sched = _persist(with_crawl_seq(base, num_partitions=seq_parts))
+    with _stage("seq"):
+        # fill sched's cache in ONE wide pass before the concurrent
+        # writers below — two jobs racing an unfilled cache serialize
+        # on block locks while occupying task slots
+        sched.count()
 
     # small rounds write few files: state tables are append-only, so
     # per-round file count directly becomes next round's read fan-in
     ncoal = max(1, min(32, n_sched // 100_000 + 1))
 
-    with _stage("write_scheduled"):
-        ctx.scheduled.write(
-            sched.select(F.lit(rnd).alias("round"), "seq", "url", "url_hash",
-                         "host", "depth", "priority", "rn").coalesce(ncoal),
-            mode="append",
-        )
-
-    # seen += scheduled (op 10's right side; exactness is on `url`)
-    with _stage("write_seen"):
-        ctx.seen.write(
-            sched.select("url_hash", "url", F.lit(rnd).alias("first_round"))
-            .coalesce(ncoal),
-            mode="append",
-        )
+    # the scheduled and seen commits are independent projections of the
+    # cached `sched` — submit them concurrently (separate tables,
+    # separate manifests; the driver overlaps the two small jobs'
+    # fixed latency, which dominates small rounds)
+    with _stage("write_scheduled_seen"):
+        with ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(
+                ctx.scheduled.write,
+                sched.select(F.lit(rnd).alias("round"), "seq", "url",
+                             "url_hash", "host", "depth", "priority",
+                             "rn").coalesce(ncoal),
+                "append")
+            f2 = ex.submit(
+                ctx.seen.write,
+                sched.select("url_hash", "url",
+                             F.lit(rnd).alias("first_round")).coalesce(ncoal),
+                "append")
+            f1.result()
+            f2.result()
 
     # fetch + extract + link discovery (ops 11/42/43/46): join the
     # scheduled slice against the page store, then ONE mapInArrow pass
@@ -320,10 +345,6 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         "url", "warc_ts", "text", "lang",
         F.length("text").cast("long").alias("n_chars"),
         F.lit(rnd).alias("round"))
-    with _stage("write_extracted"):
-        ctx.extracted.write(
-            extracted.select([f.name for f in schemas.EXTRACTED]).coalesce(ncoal),
-            mode="append")
 
     # resolve -> canonicalize -> gate: ALL native JVM expressions (the
     # pandas-UDF canonicalizer was ~40% of round compute at web10m)
@@ -392,46 +413,68 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # scheduled urls append as tombstones; the store compacts every few
     # rounds (plans/frontier.py) instead of rewriting O(frontier)/round.
     new_rows = _frontier_cols(new_rows)
-    with _stage("write_frontier"):
-        seg = ctx.frontier.commit_round(
-            new_rows.select([f.name for f in schemas.FRONTIER]),
-            sched.select("url"))
 
-    # discovered-bloom update (op 31): hash ONLY this round's frontier
-    # adds — read back from the freshly written delta segment, so the
-    # link pipeline is not re-derived — and OR-merge into the persisted
-    # bitmaps (O(delta), like the delta append itself)
-    if ctx.use_bloom:
-        with _stage("write_bloom"):
-            new_bloom = bloom_ops.build_bloom(
-                seg.select("url_hash"), n_buckets=ctx.bloom_buckets,
-                m_bits=ctx.bloom_m_bits, k=ctx.bloom_k)
-            if ctx.bloom.current_version() > 0:
-                new_bloom = bloom_ops.merge_blooms(ctx.bloom.read(), new_bloom)
-            ctx.bloom.write(new_bloom)
+    def _commit_extracted() -> None:
+        with _stage("write_extracted"):
+            ctx.extracted.write(
+                extracted.select(
+                    [f.name for f in schemas.EXTRACTED]).coalesce(ncoal),
+                mode="append")
 
-    # lineage / metrics (ops 04b/18): per-partition scheduled counts
-    # plus round-level fetch/dedup/frontier gauges (partition_id = -1)
-    lin = (
-        sched.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count("*").alias("value"))
-        .select(F.lit(rnd).alias("round"),
-                F.col("partition_id").cast("int"),
-                F.lit("scheduled").alias("metric"), "value")
-    )
-    if ctx.lineage_gauges:
-        # two of these are full-table counts over monotonically growing
-        # tables — diagnostics only, honoring the flag keeps tight loops
-        # O(round) instead of O(total-seen) per round.
-        gauges = [
-            ("fetched", n_fetched),
-            ("frontier_size", ctx.frontier.read().count()),
-            ("seen_size", ctx.seen.read().count()),
-        ]
-        lin = lin.unionByName(ctx.spark.createDataFrame(
-            [(rnd, -1, m, int(v)) for m, v in gauges], schemas.LINEAGE))
-    with _stage("write_lineage"):
-        ctx.lineage.write(lin.coalesce(1), mode="append")
+    def _commit_frontier_bloom() -> None:
+        with _stage("write_frontier"):
+            seg = ctx.frontier.commit_round(
+                new_rows.select([f.name for f in schemas.FRONTIER]),
+                sched.select("url"))
+        # discovered-bloom update (op 31): hash ONLY this round's
+        # frontier adds — read back from the freshly written delta
+        # segment, so the link pipeline is not re-derived — and
+        # OR-merge into the persisted bitmaps (O(delta), like the
+        # delta append itself)
+        if ctx.use_bloom:
+            with _stage("write_bloom"):
+                ctx.bloom.write(bloom_ops.update_bloom(
+                    ctx.bloom.read(), seg, n_buckets=ctx.bloom_buckets,
+                    m_bits=ctx.bloom_m_bits, k=ctx.bloom_k))
+
+    def _commit_lineage(after) -> None:
+        # lineage / metrics (ops 04b/18): per-partition scheduled counts
+        # plus round-level fetch/dedup/frontier gauges (partition_id=-1)
+        lin = (
+            sched.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("value"))
+            .select(F.lit(rnd).alias("round"),
+                    F.col("partition_id").cast("int"),
+                    F.lit("scheduled").alias("metric"), "value")
+        )
+        if ctx.lineage_gauges:
+            # the frontier-size gauge reads the post-commit pending set;
+            # two of these are full-table counts over monotonically
+            # growing tables — diagnostics only, honoring the flag
+            # keeps tight loops O(round) instead of O(total-seen).
+            after.result()
+            gauges = [
+                ("fetched", n_fetched),
+                ("frontier_size", ctx.frontier.read().count()),
+                ("seen_size", ctx.seen.read().count()),
+            ]
+            lin = lin.unionByName(ctx.spark.createDataFrame(
+                [(rnd, -1, m, int(v)) for m, v in gauges], schemas.LINEAGE))
+        with _stage("write_lineage"):
+            ctx.lineage.write(lin.coalesce(1), mode="append")
+
+    # the three commit groups touch disjoint tables and read only
+    # round-cached data — submit them concurrently to overlap their
+    # fixed job latency (the crawl checkpoint below is what makes the
+    # round atomic, so commit ORDER between tables is irrelevant:
+    # a crash before the checkpoint rolls every table back together)
+    with ThreadPoolExecutor(3) as ex:
+        f_ext = ex.submit(_commit_extracted)
+        f_fb = ex.submit(_commit_frontier_bloom)
+        f_lin = ex.submit(_commit_lineage, f_fb)
+        f_ext.result()
+        f_fb.result()
+        f_lin.result()
 
     # the commit point: everything above is replayable until this lands
     ctx.checkpoint.commit({

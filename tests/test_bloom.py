@@ -115,3 +115,69 @@ def test_crawl_invariant_membership_join_mode(spark, web1k, tmp_path):
     f_bc = sorted(r.url for r in bc["ctx"].frontier.read().collect())
     f_sh = sorted(r.url for r in sh["ctx"].frontier.read().collect())
     assert f_bc == f_sh
+
+
+def test_probe_three_way_parity(spark, seen, bloom):
+    """probe_udf (pandas spec mirror), probe_cogrouped (distributed) and
+    probe_native (JVM broadcast, the crawl's hot path) must mark the
+    same candidates, and the native plan must contain no Python eval."""
+    from data_crawler_spark.operators.bloom import (
+        probe_cogrouped,
+        probe_native,
+        probe_udf,
+    )
+    cand = (spark.range(0, 9000, 3)
+            .select(F.xxhash64(F.col("id").cast("string")).alias("url_hash")))
+    rows = [r.asDict() for r in bloom.collect()]
+    via_udf = cand.withColumn(
+        "_maybe", probe_udf(rows, N_BUCKETS)(F.col("url_hash")))
+    via_cg = probe_cogrouped(cand, bloom, N_BUCKETS)
+    via_nat = probe_native(cand, bloom, N_BUCKETS, M_BITS, K)
+    u = {(r.url_hash, r._maybe) for r in via_udf.collect()}
+    c = {(r.url_hash, r._maybe) for r in via_cg.collect()}
+    n = {(r.url_hash, r._maybe) for r in via_nat.collect()}
+    assert u == c == n and len(n) == 3000
+    plan = via_nat._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+
+
+def test_native_link_pipeline_has_no_python(spark, web1k):
+    """The crawl's candidate pipeline (resolve -> canonicalize -> hash
+    -> bloom probe) must be pure JVM: Python workers appear once per
+    round (the Arrow extraction), never in link processing."""
+    from data_crawler_spark.operators.bloom import build_bloom, probe_native
+    from data_crawler_spark.operators.links import (
+        canonicalize_col,
+        is_http_col,
+        resolve_href_col,
+    )
+    pages = spark.read.parquet(str(web1k / "pages.parquet")).limit(50)
+    seen_h = pages.select(F.xxhash64("url").alias("url_hash"))
+    bl = build_bloom(seen_h, n_buckets=8, m_bits=1 << 12, k=5)
+    cand = (pages.select("url", F.explode(F.split(F.col("text"), " ")).alias("href"))
+            .withColumn("link", canonicalize_col(
+                resolve_href_col(F.col("url"), F.col("href"))))
+            .filter(is_http_col(F.col("link")))
+            .select(F.col("link").alias("url"))
+            .withColumn("url_hash", F.xxhash64("url")))
+    marked = probe_native(cand, bl, 8, 1 << 12, 5)
+    plan = marked._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+
+
+def test_update_bloom_equals_build_plus_merge(spark):
+    """The crawl's one-pass incremental update == build(delta) OR-merged
+    into the old sidecar."""
+    from data_crawler_spark.operators.bloom import update_bloom
+    old_rows = spark.range(0, 3000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    delta = spark.range(3000, 5000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    old = build_bloom(old_rows, N_BUCKETS, m_bits=M_BITS, k=K)
+    fused = {r.bucket: (list(r.bitmap), r.n_items)
+             for r in update_bloom(old, delta, N_BUCKETS, M_BITS, K).collect()}
+    two_step = {r.bucket: (list(r.bitmap), r.n_items)
+                for r in merge_blooms(
+                    old, build_bloom(delta, N_BUCKETS, m_bits=M_BITS, k=K)
+                ).collect()}
+    assert fused == two_step
