@@ -377,3 +377,73 @@ class IncrementalMinHashIndex:
         )
         sigs_delta.unpersist()
         return pairs
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster extraction: connected components over a near-dup
+# pair graph. Pairs tell you WHAT collides; a training-data pipeline
+# keeps ONE document per component, so the component id is the useful
+# artifact (keep doc_id == cluster_id, drop the rest).
+# ---------------------------------------------------------------------------
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         id_col: str = "doc_id",
+                         src_col: str = "id_a", dst_col: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(id, cluster_id) where cluster_id = min vertex id reachable in the
+    undirected graph; singletons map to themselves.
+
+    Min-label propagation: each iteration, every vertex takes the min of
+    its own label and its neighbors' labels — one hash join + partial
+    aggregate per iteration, converging in O(graph diameter) rounds.
+    Near-dup graphs are clique-like (diameter 1-3), so this is 2-4
+    shuffles total; per-iteration state is one (vertex, label) row per
+    vertex, hash-partitioned — no single task ever sees the graph.
+    (For adversarial long-chain graphs, large-star/small-star pointer
+    doubling converges in O(log d); not needed for dedup workloads.)
+    Raises if ``max_iter`` rounds don't converge — an exactness guard,
+    never a silent truncation.
+    """
+    # localCheckpoint (not persist): each iteration's plan references the
+    # previous one's — with plain caching the logical plan still nests
+    # one join per iteration and Catalyst analysis blows up on long
+    # chains; checkpointing truncates lineage to the materialized blocks
+    labels = vertices.select(F.col(id_col).alias("node"),
+                             F.col(id_col).alias("comp")).localCheckpoint()
+    bidir = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+             .unionByName(
+                 edges.select(F.col(dst_col).alias("src"),
+                              F.col(src_col).alias("dst")))).persist()
+    try:
+        for _ in range(max_iter):
+            neigh = (bidir.join(labels, bidir.src == labels.node)
+                     .groupBy(F.col("dst").alias("node"))
+                     .agg(F.min("comp").alias("ncomp")))
+            new_labels = (labels.join(neigh, "node", "left")
+                          .select("node",
+                                  F.least("comp", "ncomp").alias("comp"))
+                          .localCheckpoint())
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F.col("n.comp") != F.col("o.comp"))
+                       .limit(1).count())
+            labels = new_labels
+            if changed == 0:
+                return labels.select(F.col("node").alias(id_col),
+                                     F.col("comp").alias("cluster_id"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        bidir.unpersist()
+
+
+def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", group_col: str | None = None,
+                       threshold: float = 0.9) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY document: components of the exact
+    n-gram-Jaccard near-dup graph (jaccard_pairs). The dedup policy
+    "keep one per cluster" is then `filter(doc_id == cluster_id)`."""
+    edges = jaccard_pairs(df, id_col=id_col, text_col=text_col,
+                          group_col=group_col, threshold=threshold)
+    return connected_components(df.select(id_col), edges, id_col=id_col)

@@ -578,6 +578,31 @@ def dd02(spark, sf):
                                group_col="source", threshold=0.9)
 
 
+@q("dd06_dup_clusters", sql="""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, source,
+                 list_distinct(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS ws
+          FROM documents),
+    e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE LEN(list_distinct(list_concat(a.ws, b.ws))) > 0
+            AND LEN(list_intersect(a.ws, b.ws))
+                / CAST(LEN(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) >= 0.9),
+    bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    cc AS (SELECT doc_id AS node, doc_id AS comp FROM documents
+           UNION
+           SELECT b.dst, cc.comp FROM cc JOIN bidir b ON b.src = cc.node)
+    SELECT node AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY node
+""")
+def dd06(spark, sf):
+    """Duplicate-cluster extraction: connected components over the exact
+    n-gram-Jaccard near-dup graph — cluster_id = min doc_id reachable
+    (the 'keep one per cluster' dedup policy is doc_id == cluster_id).
+    Distributed min-label propagation vs DuckDB's recursive CTE."""
+    return dedup.duplicate_clusters(load(spark, sf, "documents"),
+                                    group_col="source", threshold=0.9)
+
+
 @q("dd03_minhash_lsh")  # rows-only: recall/precision property-tested in pytest
 def dd03(spark, sf):
     return dedup.minhash_near_dups(load(spark, sf, "documents"), threshold=0.7)

@@ -156,3 +156,53 @@ def test_incremental_matches_batch_candidates(spark, tmp_path):
              for r in lsh_candidate_pairs(sigs, n_bands=16, rows_per_band=4).collect()
              if r.id_a > 3 or r.id_b > 3}
     assert p2 == batch
+
+
+def test_connected_components_known_graph(spark):
+    """Components of a hand-built graph: {1,2,3,4} via chain, {10,11},
+    singleton {20}; cluster id = min member."""
+    from data_crawler_spark.operators.dedup import connected_components
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]],
+                                  "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_id)
+           for r in connected_components(verts, edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-node path (diameter 39) must still converge exactly — the
+    propagation loop runs to fixpoint, not to a guessed round count."""
+    from data_crawler_spark.operators.dedup import connected_components
+    n = 40
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    got = connected_components(verts, edges, max_iter=n + 1).collect()
+    assert all(r.cluster_id == 0 for r in got) and len(got) == n
+
+
+def test_duplicate_clusters_consistent_with_pairs(spark):
+    """Every near-dup pair lands in one cluster; docs in different
+    clusters never share a pair; keep-one-per-cluster keeps min ids."""
+    from data_crawler_spark.operators.dedup import (
+        duplicate_clusters,
+        jaccard_pairs,
+    )
+    docs_df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+               .select("doc_id", "source", "text"))
+    pairs = {(r.id_a, r.id_b) for r in
+             jaccard_pairs(docs_df, group_col="source", threshold=0.9).collect()}
+    clusters = {r.doc_id: r.cluster_id
+                for r in duplicate_clusters(
+                    docs_df, group_col="source", threshold=0.9).collect()}
+    assert pairs, "fixture produced no near-dup pairs"  
+    for a, b in pairs:
+        assert clusters[a] == clusters[b]
+    # each cluster id is the min of its members and a member itself
+    by_cluster = {}
+    for d, c in clusters.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert c == min(members)
