@@ -107,3 +107,21 @@ def text_profile(df: DataFrame, text: str = "text") -> DataFrame:
         langid_col(t).alias("lang_pred"),
         fingerprint_col(t).alias("fingerprint"),
     )
+
+
+def remove_repeated_tokens(df: DataFrame, text: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition removal: keep each token's FIRST
+    occurrence, preserving original order — the standard cleanup for
+    boilerplate/keyword-stuffed web text in a training-data pipeline.
+    Pure native expressions: split + array_distinct (which keeps
+    first-occurrence order), no shuffle, no Python; mirrored in the
+    DuckDB oracle by an explicit first-occurrence window (DuckDB's
+    list_distinct does NOT preserve order)."""
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    uniq = F.array_distinct(toks)
+    return (df.filter(F.length(F.trim(F.col(text))) > 0)
+            .select(F.col(id_col),
+                    F.array_join(uniq, " ").alias("clean_text"),
+                    F.size(toks).cast("long").alias("n_tokens"),
+                    F.size(uniq).cast("long").alias("n_unique")))

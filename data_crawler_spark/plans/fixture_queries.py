@@ -625,6 +625,26 @@ def dd05(spark, sf):
             .select("id_a", "id_b"))
 
 
+@q("txt04_repetition_removal", sql="""
+    WITH t AS (SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+               FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS arr
+                     FROM documents WHERE LENGTH(TRIM(text)) > 0)),
+    sel AS (SELECT doc_id, w, i,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY i) AS rn
+            FROM t)
+    SELECT doc_id,
+           STRING_AGG(w, ' ' ORDER BY i) FILTER (WHERE rn = 1) AS clean_text,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_unique
+    FROM sel GROUP BY doc_id
+""")
+def txt04(spark, sf):
+    """Intra-document repetition removal (first-occurrence token dedup,
+    order preserved) — native split/array_distinct vs DuckDB's explicit
+    first-occurrence window."""
+    return text.remove_repeated_tokens(load(spark, sf, "documents"))
+
+
 # --- similarity search ------------------------------------------------------
 
 @q("sim01_cosine_topk", sql="""

@@ -45,3 +45,21 @@ def test_profile_runs_on_fixture_documents(spark):
     assert out.count() == docs.count()
     assert set(r.lang_pred for r in out.select("lang_pred").distinct().collect()) <= {
         "en", "es", "de", "fr", "zh"}
+
+
+def test_remove_repeated_tokens(spark):
+    """First occurrence kept, order preserved, counts right."""
+    from data_crawler_spark.operators.text import remove_repeated_tokens
+    df = spark.createDataFrame(
+        [(1, "buy now buy now best best deal now"),
+         (2, "  a  b a   c  "),
+         (3, "   "),
+         (4, "unique words only here")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.n_unique)
+           for r in remove_repeated_tokens(df).collect()}
+    assert got == {
+        1: ("buy now best deal", 8, 4),
+        2: ("a b c", 4, 3),          # whitespace runs collapse
+        4: ("unique words only here", 4, 4),
+    }  # doc 3 (whitespace-only) is filtered
