@@ -21,6 +21,14 @@ PySpark exposes no DataFrame-level bloomFilter builder (df.stat has
 none), hence hand-rolled; Spark's runtime bloom-join
 (spark.sql.optimizer.runtime.bloomFilter.enabled) complements but
 cannot persist across rounds.
+
+Bloom over cuckoo (the north star allows either, BASELINE.json:6
+"cuckoo/bloom"): a cuckoo filter's advantages are deletion support and
+better space at low FPR targets — but the discovered/seen set is
+MONOTONE (urls are never un-discovered), so deletions buy nothing,
+while bloom bitmaps OR-merge associatively, which is exactly what the
+per-round incremental update and the crash-rollback story need
+(re-merging a replayed round is idempotent; cuckoo inserts are not).
 """
 
 from __future__ import annotations
