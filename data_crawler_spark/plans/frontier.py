@@ -82,9 +82,18 @@ class FrontierStore:
         DataFrame over exactly the rows just appended (read back from
         the new segment — e.g. for the discovered-bloom update —
         without re-deriving the link pipeline)."""
-        v = self.delta.write(new_rows, mode="append")
+        from concurrent.futures import ThreadPoolExecutor
+
+        # delta and tombstone appends touch different tables — submit
+        # both jobs concurrently (the caller's round checkpoint is the
+        # atomic commit point; a crash between them replays the round)
+        with ThreadPoolExecutor(2) as ex:
+            f_delta = ex.submit(self.delta.write, new_rows, "append")
+            f_removed = ex.submit(
+                self.removed.write, removed_urls.select("url"), "append")
+            v = f_delta.result()
+            f_removed.result()
         seg = self.delta.segment_df(v)
-        self.removed.write(removed_urls.select("url"), mode="append")
         if self.delta.n_segments() >= self.compact_every:
             self.compact()
         return seg
