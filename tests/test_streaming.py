@@ -65,3 +65,69 @@ def test_streaming_crawl_matches_batch(spark, web1k, tmp_path):
     vo_s = [(r.round, r.url) for r in visit_order_df(stream["ctx"]).collect()]
     assert vo_b == vo_s
     assert batch["seen_count"] == stream["seen_count"]
+
+
+def test_streaming_host_quota_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-host
+    window quota over two micro-batches — state (window, used) must
+    carry across batches, so a host exhausting its budget in batch 1
+    stays blocked for that window in batch 2."""
+    import pandas as pd
+
+    from data_crawler_spark.streaming.quota import (
+        _gate_batch,
+        streaming_host_quota,
+    )
+
+    schema = "host string, ts timestamp"
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def rows(host, offsets_s):
+        return [(host, (base + pd.Timedelta(seconds=o)).to_pydatetime())
+                for o in offsets_s]
+
+    batch1 = rows("a.com", [0, 5, 10]) + rows("b.com", [1])
+    batch2 = rows("a.com", [20, 30, 70]) + rows("b.com", [65])
+
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    sink = str(tmp_path / "qsink")
+    ckpt = str(tmp_path / "qckpt")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    gated = streaming_host_quota(stream, budget=2, interval_s=60)
+
+    def run_once():
+        # SAME checkpoint both runs: the second run restores the store
+        # and processes ONLY the new file — if (win, used) failed to
+        # carry, a.com's minute-0 stragglers would be re-allowed
+        q = (gated.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(src / "b2"))
+    run_once()
+    got = {(r.host, r.ts): r.allowed
+           for r in spark.read.parquet(sink).collect()}
+
+    # reference: the same pure function run per host over the ordered
+    # concatenation with carried state
+    want = {}
+    for host in ("a.com", "b.com"):
+        win, used = -1, 0
+        for batch in (batch1, batch2):
+            pdf = pd.DataFrame([r for r in batch if r[0] == host],
+                               columns=["host", "ts"])
+            out, win, used = _gate_batch(pdf, 2, 60, win, used)
+            for _, r in out.iterrows():
+                want[(host, r.ts.to_pydatetime())] = bool(r.allowed)
+    assert got == want
+    # a.com: budget 2/min -> 3rd request in minute 0 denied in batch 1,
+    # and batch 2's minute-0 stragglers stay denied; minute-1 resets
+    a = {k[1].second + 60 * k[1].minute: v
+         for k, v in got.items() if k[0] == "a.com"}
+    assert a == {0: True, 5: True, 10: False, 20: False, 30: False, 70: True}
