@@ -388,7 +388,11 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
             cand, ctx.bloom.read(), ctx.bloom_buckets,
             m_bits=ctx.bloom_m_bits, k=ctx.bloom_k)
             .filter(F.col("_maybe")).select("url"))
-        ever = frontier.select("url").unionByName(seen_all.select("url"))
+        # raw pending view (no tombstone anti-join): tombstoned urls
+        # are scheduled urls, which `seen` already contains, and
+        # duplicate urls are harmless on the scan side of a semi-join
+        ever = (ctx.frontier.read_with_tombstoned().select("url")
+                .unionByName(seen_all.select("url")))
         if ctx.membership_join == "broadcast":
             # scan-side check: `ever` is only SCANNED (url column,
             # pruned parquet) — never shuffled, never built into an

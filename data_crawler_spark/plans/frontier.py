@@ -60,11 +60,21 @@ class FrontierStore:
 
     def read(self) -> DataFrame:
         """The current pending set (what the naive table would hold)."""
+        pending = self.read_with_tombstoned()
+        if self.removed.n_segments():
+            pending = pending.join(self.removed.read(), "url", "left_anti")
+        return pending
+
+    def read_with_tombstoned(self) -> DataFrame:
+        """base ∪ delta WITHOUT the tombstone anti-join — i.e. every url
+        ever added to the frontier since the last compaction folded the
+        logs. For consumers that union this with `seen` (the crawl's
+        discovered-membership check), the tombstone filter is pure
+        wasted work: tombstoned urls are scheduled urls, all of which
+        are in `seen` anyway."""
         pending = self.base.read()
         if self.delta.n_segments():
             pending = pending.unionByName(self.delta.read())
-        if self.removed.n_segments():
-            pending = pending.join(self.removed.read(), "url", "left_anti")
         return pending
 
     # -- writes --------------------------------------------------------
