@@ -56,10 +56,13 @@ def optimal_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     power of two (the position scheme masks with m-1 so the JVM-native
     probe and the numpy builder agree bit-for-bit — see
     functions/hashing.bloom_positions_np). Rounding up only lowers the
-    actual FPR; k is then re-derived for the rounded m."""
+    actual FPR; k is then re-derived for the rounded m. Floor is 64
+    bits: the bitmap is stored as array<bigint> words, so m must be a
+    multiple of 64 (smaller sizes made bitmap.view('<u8') in
+    build_bloom raise on tiny inputs)."""
     n = max(n_items, 1)
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
-    m = 1 << max(3, (m - 1).bit_length())
+    m = 1 << max(6, (m - 1).bit_length())
     k = max(1, round(m / n * math.log(2)))
     return m, k
 
@@ -170,6 +173,18 @@ def update_bloom(old: DataFrame, delta: DataFrame, n_buckets: int,
             bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
             n_old = 0
         else:
+            # layout contract: a caller-passed (m_bits, k) that differs
+            # from the persisted rows' would index out of bounds when
+            # growing or silently corrupt bits (bloom false negatives =
+            # re-crawled URLs) — fail loudly instead.
+            old_m = int(bloom["m_bits"].iloc[0])
+            old_k = int(bloom["k"].iloc[0])
+            if (old_m, old_k) != (m_bits, k):
+                raise ValueError(
+                    f"update_bloom layout mismatch: persisted (m_bits={old_m}, "
+                    f"k={old_k}) != caller (m_bits={m_bits}, k={k}); resume "
+                    "must reuse the persisted layout (see plans/crawl.py "
+                    "open_crawl)")
             bucket = int(bloom["bucket"].iloc[0])
             bitmap = _to_bytes_view(bloom["bitmap"].iloc[0]).copy()
             n_old = int(bloom["n_items"].sum())

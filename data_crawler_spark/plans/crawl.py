@@ -156,6 +156,16 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
         if f.exists()) or (1 << 20)
     want_bits_per_bucket = (store_bytes // 160) * 10 // 64
     bloom_m_bits = 1 << min(20, max(14, int(want_bits_per_bucket).bit_length()))
+    bloom_k = 7
+    # resume safety: the persisted sidecar's layout is authoritative —
+    # re-deriving m_bits from file size could drift across resumes
+    # (store re-encoded, clamp boundary shift) and a mismatched layout
+    # means silent bloom mis-reads (update_bloom now also hard-asserts).
+    bloom_table = SnapshotTable(spark, state, "bloom", schemas.BLOOM)
+    if bloom_table.current_version() > 0:
+        row = bloom_table.read().select("m_bits", "k").limit(1).collect()
+        if row:
+            bloom_m_bits, bloom_k = int(row[0]["m_bits"]), int(row[0]["k"])
     return CrawlContext(
         spark=spark, web_dir=web, state_dir=state,
         pages=pages, hosts=hosts, rules=rules,
@@ -164,13 +174,14 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
         scheduled=SnapshotTable(spark, state, "scheduled", schemas.SCHEDULED),
         extracted=SnapshotTable(spark, state, "extracted", schemas.EXTRACTED),
         lineage=SnapshotTable(spark, state, "lineage", schemas.LINEAGE),
-        bloom=SnapshotTable(spark, state, "bloom", schemas.BLOOM),
+        bloom=bloom_table,
         checkpoint=Checkpoint(state),
         n_salts=n_salts,
         pages_bucketed=pages_bucketed,
         pages_n_buckets=pages_n_buckets,
         use_bloom=use_bloom,
         bloom_m_bits=bloom_m_bits,
+        bloom_k=bloom_k,
         gc_keep=gc_keep,
         lineage_gauges=lineage_gauges,
         budget_scale=budget_scale,

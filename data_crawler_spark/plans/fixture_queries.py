@@ -625,7 +625,7 @@ def dd05(spark, sf):
             .select("id_a", "id_b"))
 
 
-@q("txt04_repetition_removal", sql="""
+@q("txt04_repetition_removal", sql=r"""
     WITH t AS (SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
                FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS arr
                      FROM documents WHERE LENGTH(TRIM(text)) > 0)),

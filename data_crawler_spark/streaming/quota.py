@@ -28,10 +28,16 @@ STATE_SCHEMA = "win long, used long"
 
 
 def _gate_batch(pdf: pd.DataFrame, budget: int, interval_s: int,
-                win: int, used: int) -> tuple[pd.DataFrame, int, int]:
+                win: int | None, used: int) -> tuple[pd.DataFrame, int | None, int]:
     """Vectorized quota pass over one (sorted) pandas batch; returns the
     gated frame and the new (win, used) state. Pure function — shared
-    by the streaming operator and the test's reference computation."""
+    by the streaming operator and the test's reference computation.
+
+    ``win is None`` = no state yet (there is no watermark here, so -1
+    would collide with legitimate pre-epoch window ids). Late rows —
+    rows in a window OLDER than the state's — are DENIED and never
+    touch state: committing their window would regress (win, used) and
+    hand the current window a fresh budget on the next batch."""
     pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
     ts = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
     w = ts // (interval_s * 1_000_000)
@@ -44,15 +50,19 @@ def _gate_batch(pdf: pd.DataFrame, budget: int, interval_s: int,
         first_idx = starts[np.searchsorted(starts, np.arange(len(w)), "right") - 1]
     pos = np.arange(len(w)) - first_idx
     # rows continuing the state's current window start offset by `used`
-    if len(w) and win >= 0:
+    if len(w) and win is not None:
         pos = pos + np.where(w == win, used, 0)
     allowed = pos < budget
+    if len(w) and win is not None:
+        allowed &= w >= win  # late-window rows: deny, don't regress state
     if len(w):
         last_w = int(w[-1])
-        in_last = w == last_w
-        carry = int(used) if last_w == win else 0
-        used = carry + int(allowed[in_last].sum())
-        win = last_w
+        if win is None or last_w > win:
+            used = int(allowed[w == last_w].sum())
+            win = last_w
+        elif last_w == win:
+            used = int(used) + int(allowed[w == last_w].sum())
+        # last_w < win: whole batch was late — state untouched
     out = pd.DataFrame({"host": pdf["host"], "ts": pdf["ts"],
                         "allowed": allowed})
     return out, win, used
@@ -66,10 +76,11 @@ def streaming_host_quota(requests: DataFrame, budget: int,
 
     def gate(key: tuple, pdfs: Iterator[pd.DataFrame],
              state: GroupState) -> Iterator[pd.DataFrame]:
-        win, used = state.get if state.exists else (-1, 0)
+        win, used = state.get if state.exists else (None, 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
         out, win, used = _gate_batch(batch, budget, interval_s, win, used)
-        state.update((int(win), int(used)))
+        if win is not None:
+            state.update((int(win), int(used)))
         out["host"] = key[0]
         yield out
 

@@ -181,3 +181,33 @@ def test_update_bloom_equals_build_plus_merge(spark):
                     old, build_bloom(delta, N_BUCKETS, m_bits=M_BITS, k=K)
                 ).collect()}
     assert fused == two_step
+
+
+def test_default_sized_build_small_input(spark):
+    """Default sizing on a tiny seen set must produce a valid 64-bit-
+    aligned layout (m_bits floor = one bigint word) — regression: small
+    n derived m_bits of 8-32 and bitmap.view('<u8') raised."""
+    tiny = spark.range(0, 3).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    bl = build_bloom(tiny, n_buckets=4)  # m_bits/k unset -> default sizing
+    rows = bl.collect()
+    assert rows
+    for r in rows:
+        assert r.m_bits >= 64 and r.m_bits % 64 == 0
+        assert len(r.bitmap) == r.m_bits // 64
+    # and the filter still has no false negatives
+    unseen, maybe = prefilter_candidates(tiny, bl, 4)
+    assert unseen.count() == 0 and maybe.count() == 3
+
+
+def test_update_bloom_layout_mismatch_raises(spark):
+    """A caller-passed (m_bits, k) differing from the persisted rows'
+    must fail loudly, not corrupt bitmaps silently."""
+    from data_crawler_spark.operators.bloom import update_bloom
+    old_rows = spark.range(0, 100).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    delta = spark.range(100, 200).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    old = build_bloom(old_rows, N_BUCKETS, m_bits=M_BITS, k=K)
+    with pytest.raises(Exception, match="layout mismatch"):
+        update_bloom(old, delta, N_BUCKETS, m_bits=M_BITS * 2, k=K).collect()

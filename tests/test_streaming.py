@@ -118,7 +118,7 @@ def test_streaming_host_quota_stateful(spark, tmp_path):
     # concatenation with carried state
     want = {}
     for host in ("a.com", "b.com"):
-        win, used = -1, 0
+        win, used = None, 0
         for batch in (batch1, batch2):
             pdf = pd.DataFrame([r for r in batch if r[0] == host],
                                columns=["host", "ts"])
@@ -131,3 +131,35 @@ def test_streaming_host_quota_stateful(spark, tmp_path):
     a = {k[1].second + 60 * k[1].minute: v
          for k, v in got.items() if k[0] == "a.com"}
     assert a == {0: True, 5: True, 10: False, 20: False, 30: False, 70: True}
+
+
+def test_quota_late_window_does_not_regress_state():
+    """A batch whose rows are all in an OLDER window than the state must
+    not regress (win, used): late rows are denied, and the current
+    window keeps its spent budget on the next batch (there is no
+    watermark in this operator, so this is the state-safety rule)."""
+    import pandas as pd
+
+    from data_crawler_spark.streaming.quota import _gate_batch
+
+    base = pd.Timestamp("2026-01-01 00:02:00")
+    w0 = base.value // 1_000 // (60 * 1_000_000)  # epoch minute-window id
+
+    def pdf(offsets_s):
+        return pd.DataFrame({
+            "host": ["a.com"] * len(offsets_s),
+            "ts": [base + pd.Timedelta(seconds=o) for o in offsets_s]})
+
+    # batch 1: window w0, budget 2 -> state (w0, 2)
+    out, win, used = _gate_batch(pdf([0, 10]), 2, 60, None, 0)
+    assert list(out["allowed"]) == [True, True] and (win, used) == (w0, 2)
+    # batch 2: entirely late (window w0-1) -> denied, state unchanged
+    out, win, used = _gate_batch(pdf([-30, -20]), 2, 60, win, used)
+    assert list(out["allowed"]) == [False, False] and (win, used) == (w0, 2)
+    # batch 3: back in window w0 -> budget is still spent, NOT refreshed
+    out, win, used = _gate_batch(pdf([30]), 2, 60, win, used)
+    assert list(out["allowed"]) == [False] and (win, used) == (w0, 2)
+    # mixed batch: one late row (denied) + window-(w0+1) rows (fresh budget)
+    out, win, used = _gate_batch(pdf([-10, 61, 62, 63]), 2, 60, win, used)
+    assert list(out["allowed"]) == [False, True, True, False]
+    assert (win, used) == (w0 + 1, 2)
