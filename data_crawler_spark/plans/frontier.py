@@ -84,14 +84,17 @@ class FrontierStore:
         self.base.write(df)
 
     def commit_round(self, new_rows: DataFrame,
-                     removed_urls: DataFrame) -> DataFrame:
+                     removed_urls: DataFrame,
+                     compact: bool = True) -> DataFrame:
         """O(delta) round commit: append the round's new pending rows
         (caller guarantees they are url-disjoint from the current view)
         and the round's scheduled urls as tombstones; compact when the
-        delta log reaches ``compact_every`` segments. Returns a
+        delta log reaches ``compact_every`` segments (callers that need
+        a pre-compaction hook — e.g. folding the delta log into the
+        bloom sidecar — pass ``compact=False`` and drive
+        ``needs_compaction()``/``compact()`` themselves). Returns a
         DataFrame over exactly the rows just appended (read back from
-        the new segment — e.g. for the discovered-bloom update —
-        without re-deriving the link pipeline)."""
+        the new segment) without re-deriving the link pipeline."""
         from concurrent.futures import ThreadPoolExecutor
 
         # delta and tombstone appends touch different tables — submit
@@ -104,9 +107,12 @@ class FrontierStore:
             v = f_delta.result()
             f_removed.result()
         seg = self.delta.segment_df(v)
-        if self.delta.n_segments() >= self.compact_every:
+        if compact and self.needs_compaction():
             self.compact()
         return seg
+
+    def needs_compaction(self) -> bool:
+        return self.delta.n_segments() >= self.compact_every
 
     def compact(self) -> None:
         """Fold delta+tombstones into a fresh base version. Reads the

@@ -36,20 +36,25 @@ def test_crash_mid_round_rolls_back(spark, web1k, tmp_path):
     cp_before = ctx.checkpoint.load()
 
     # simulate a crash AFTER some table commits of round 2 but BEFORE
-    # the round checkpoint: append junk to scheduled + seen
+    # the round checkpoint: append junk to scheduled + extracted (the
+    # seen set is a VIEW over scheduled, so poisoning scheduled poisons
+    # both — the rollback must scrub it from both surfaces)
     junk = ctx.spark.createDataFrame(
         [(2, 1, "https://junk.example.com/x", 0, "junk.example.com", 0, 1.0, 1)],
         ctx.scheduled.schema)
     ctx.scheduled.write(junk, mode="append")
-    ctx.seen.write(
-        ctx.spark.createDataFrame([(0, "https://junk.example.com/x", 2)],
-                                  ctx.seen.schema), mode="append")
+    ctx.extracted.write(
+        ctx.spark.createDataFrame(
+            [("https://junk.example.com/x", None, "junk", "en", 4, 2)],
+            ctx.extracted.schema), mode="append")
     assert ctx.scheduled.current_version() != cp_before["scheduled_v"]
 
     resumed = run_crawl(spark, web1k, state, max_rounds=ROUNDS)
     rctx = resumed["ctx"]
     urls = {r.url for r in rctx.seen.read().select("url").collect()}
     assert "https://junk.example.com/x" not in urls
+    ex_urls = {r.url for r in rctx.extracted.read().select("url").collect()}
+    assert "https://junk.example.com/x" not in ex_urls
 
     full = run_crawl(spark, web1k, tmp_path / "full2", max_rounds=ROUNDS)
     assert _state_signature(rctx) == _state_signature(full["ctx"])
