@@ -443,16 +443,20 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     """(id, cluster_id) where cluster_id = min vertex id reachable in the
     undirected graph; singletons map to themselves.
 
-    Min-label propagation: each iteration, every vertex takes the min of
-    its own label and its neighbors' labels — one hash join + partial
-    aggregate per iteration, converging in O(graph diameter) rounds.
-    Near-dup graphs are clique-like (diameter 1-3), so this is 2-4
-    shuffles total; per-iteration state is one (vertex, label) row per
-    vertex, hash-partitioned — no single task ever sees the graph.
-    (For adversarial long-chain graphs, large-star/small-star pointer
-    doubling converges in O(log d); not needed for dedup workloads.)
-    Raises if ``max_iter`` rounds don't converge — an exactness guard,
-    never a silent truncation.
+    Min-label propagation WITH pointer jumping: each iteration every
+    vertex takes the min of its own label and its neighbors' labels
+    (one hash join + partial aggregate), then jumps through its label's
+    label (one equi-join of the O(V) label table with itself) —
+    pointer jumping halves the remaining label-chain depth, so even an
+    adversarial PATH graph converges in O(log diameter) rounds instead
+    of O(diameter) (property-tested on a 20k-node path in
+    tests/test_dedup.py). Near-dup graphs are clique-like (diameter
+    1-3) and converge in 2-3 rounds either way. Per-iteration state is
+    one (vertex, label) row per vertex, hash-partitioned — no single
+    task ever sees the graph. Labels are min-monotone and always
+    vertex ids of the same component, so the fixed point is the
+    component min. Raises if ``max_iter`` rounds don't converge — an
+    exactness guard, never a silent truncation.
     """
     # localCheckpoint (not persist): each iteration's plan references the
     # previous one's — with plain caching the logical plan still nests
@@ -469,9 +473,18 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             neigh = (bidir.join(labels, bidir.src == labels.node)
                      .groupBy(F.col("dst").alias("node"))
                      .agg(F.min("comp").alias("ncomp")))
-            new_labels = (labels.join(neigh, "node", "left")
+            stepped = (labels.join(neigh, "node", "left")
+                       .select("node", F.least("comp", "ncomp").alias("comp")))
+            # pointer jump: comp <- label(comp). comp is always a vertex
+            # id, and labels are min-monotone (label(c) <= c), so the
+            # jump can only lower the label and never leaves the
+            # component.
+            jump = stepped.select(F.col("node").alias("comp"),
+                                  F.col("comp").alias("jcomp"))
+            new_labels = (stepped.join(jump, "comp", "left")
                           .select("node",
-                                  F.least("comp", "ncomp").alias("comp"))
+                                  F.coalesce(F.least("jcomp", "comp"),
+                                             F.col("comp")).alias("comp"))
                           .localCheckpoint())
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), "node")

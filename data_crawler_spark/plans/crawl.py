@@ -19,12 +19,18 @@ tested on local[32]):
   probe) is pure JVM whole-stage codegen (operators/links.py,
   operators/bloom.py probe_native) — Python workers only touch the
   one Arrow extraction pass per round.
-- URL-seen/discovered membership is O(round), not O(frontier): the
-  discovered bloom splits candidates, and the exact check SCANS the
-  pending∪seen url columns against a broadcast of the round's
-  maybe-set — the frontier is never shuffled and never driver-hashed
-  (membership_join="shuffle" is the beyond-broadcast fallback; a real
-  cluster co-locates it with bucketed Iceberg tables instead).
+- URL-seen/discovered membership is O(round) work against an
+  O(touched-buckets) scan: the discovered bloom (∪ the un-folded delta
+  hashes) splits candidates, and the exact check scans the frontier's
+  bucketed discovered log — pruned to the maybe-set's bucket
+  partitions once the base is large — against a broadcast of the
+  round's maybe-set. The frontier is never shuffled and never
+  driver-hashed (membership_join="shuffle" is the beyond-broadcast
+  fallback; a real cluster co-locates it with bucketed Iceberg
+  storage-partitioned joins).
+- there is no separate seen table: the discovered log keeps scheduled
+  rows (pending=false), and the seen VIEW projects the scheduled
+  table — one state commit per round fewer on both counts.
 - every state write is a new snapshot version + atomic manifest
   commit; the round checkpoint commits LAST, so a crash anywhere
   replays the round idempotently.
@@ -121,6 +127,10 @@ class CrawlContext:
     # exceeds broadcast limits (on a real cluster, bucketed Iceberg
     # tables + storage-partitioned joins make this co-located instead)
     membership_join: str = "broadcast"
+    # bucket-pruned membership engages once the discovered base exceeds
+    # this size (below it the pruning bookkeeping costs more than the
+    # full url-column scan it saves)
+    membership_prune_min_bytes: int = 64 << 20
     # snapshot GC: keep the last N versions of each state table (None =
     # keep everything / full time travel). >=3 keeps the checkpointed
     # version safe for mid-round crash rollback.
@@ -422,8 +432,10 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         "parent_url",
     )
     # membership (ops 10/31): new frontier rows = candidates that were
-    # never discovered (∉ pending ∪ seen), on the full url string —
-    # url_hash alone would admit hash collisions at 10^10 rows.
+    # never discovered (∉ the frontier's discovered log — which covers
+    # seen: scheduled rows keep their base row with pending=false), on
+    # the full url string — url_hash alone would admit hash collisions
+    # at 10^10 rows.
     # Collision rule (min discovered_round, depth, parent) within the
     # round is the window below; against earlier rounds every pending
     # row predates every candidate (discovered_round <= rnd < rnd+1),
@@ -435,7 +447,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # inside the single delta-write action), so the expensive explode +
     # canonicalize + hash pipeline below it runs ONCE, JVM-side, with
     # no round-sized cache.
-    seen_all = ctx.seen.read()
+    maybe_cached = None
     if ctx.use_bloom and ctx.bloom.current_version() > 0:
         cand = new_cand.withColumn("url_hash", F.xxhash64("url"))
         # probe pass: candidate urls that MIGHT be discovered. Runs the
@@ -460,16 +472,28 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
             maybe_urls = maybe_urls.unionByName(
                 cand.join(F.broadcast(recent), "url_hash", "left_semi")
                 .select("url"))
-        # raw pending view (no tombstone anti-join): tombstoned urls
-        # are scheduled urls, which `seen` already contains, and
-        # duplicate urls are harmless on the scan side of a semi-join
-        ever = (ctx.frontier.read_with_tombstoned().select("url")
-                .unionByName(seen_all.select("url")))
         if ctx.membership_join == "broadcast":
-            # scan-side check: `ever` is only SCANNED (url column,
-            # pruned parquet) — never shuffled, never built into an
-            # O(frontier) driver-side broadcast hash (that build was
-            # 2-5s/round and the JVM's main full-GC source)
+            # scan-side check: the discovered log is only SCANNED (url
+            # column, pruned parquet) — never shuffled, never built
+            # into an O(frontier) driver-side broadcast hash (that
+            # build was 2-5s/round and the JVM's main full-GC source).
+            # Once the base outgrows membership_prune_min_bytes the
+            # maybe-set is cached, its distinct buckets collected
+            # (≤ n_buckets ints), and the base scan statically prunes
+            # to those bucket partitions — O(touched buckets), not
+            # O(corpus). Below the threshold the full scan is cheaper
+            # than the extra cache-fill job, and a maybe-set touching
+            # most buckets degenerates to the full scan anyway.
+            buckets = None
+            if ctx.frontier.base_bytes() >= ctx.membership_prune_min_bytes:
+                maybe_cached = maybe_urls = _persist(maybe_urls)
+                got = [int(r["b"]) for r in maybe_urls.select(
+                    F.pmod(F.xxhash64("url"),
+                           F.lit(ctx.frontier.n_buckets)).cast("int")
+                    .alias("b")).distinct().collect()]
+                if len(got) <= 0.5 * ctx.frontier.n_buckets:
+                    buckets = got
+            ever = ctx.frontier.discovered(buckets).select("url")
             hits = ever.join(F.broadcast(maybe_urls), "url", "left_semi")
             # no-false-negative property: every discovered candidate url
             # is in maybe_urls, so `hits` = ever ∩ candidate urls and
@@ -477,13 +501,14 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
             new_rows = _dedup_frontier(cand).join(
                 F.broadcast(hits), "url", "left_anti")
         else:
+            ever = ctx.frontier.discovered().select("url")
             hits = ever.join(maybe_urls, "url", "left_semi")
             new_rows = _dedup_frontier(cand).join(hits, "url", "left_anti")
         new_rows = new_rows.drop("url_hash")
     else:
-        fresh = new_cand.join(seen_all.select("url"), "url", "left_anti")
-        new_rows = _dedup_frontier(fresh).join(
-            frontier.select("url"), "url", "left_anti")
+        fresh = new_cand.join(
+            ctx.frontier.discovered().select("url"), "url", "left_anti")
+        new_rows = _dedup_frontier(fresh)
 
     # the commit is O(delta): new rows append to the delta log, the
     # scheduled urls append as tombstones; the store compacts every few
@@ -572,6 +597,8 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     })
     enriched.unpersist()
     sched.unpersist()
+    if maybe_cached is not None:
+        maybe_cached.unpersist()
     if seq_parts > 1:
         base.unpersist()
     if ctx.gc_keep:

@@ -1,30 +1,44 @@
-"""LSM-style frontier store: O(delta) per-round commits at any frontier
-size (SURVEY.md §2 ops 02/04/41; the 10^10-URL design point of
-BASELINE.json:6,14).
+"""LSM-style frontier store over a BUCKETED discovered log: O(delta)
+per-round commits at any frontier size, and O(touched-buckets)
+membership scans (SURVEY.md §2 ops 02/04/10/41; the 10^10-URL design
+point of BASELINE.json:6,14 — "partitioned ... URL-seen filter keyed
+on canonicalized-URL xxhash64").
 
 The naive formulation rewrites the whole pending set every round — at
 web10m that write was 100s of a 167s five-round crawl, and at a
-10^10-row frontier it is simply impossible (O(frontier) parquet encode
-per round). This store splits the frontier across three snapshot
-tables (plans/snapshots.py — same versioned-manifest commit semantics):
+10^10-row frontier it is simply impossible. This store keeps three
+snapshot tables (plans/snapshots.py — same versioned-manifest commit
+semantics):
 
-  base     the last compacted pending set (internally deduped)
+  base     the compacted DISCOVERED log: every url ever added to the
+           frontier, with a ``pending`` flag (false = already
+           scheduled). Laid out partitioned by
+           ``bucket = pmod(url_hash, n_buckets)`` and by ``pending``,
+           so (a) the pending view statically prunes to pending=true
+           directories and (b) membership probes prune to the buckets
+           their candidates actually hash into — the scan is
+           O(touched buckets), never O(corpus).
   delta    one append per round: the round's NEW pending urls. Each
-           append was anti-joined against the full pending view by the
-           caller before commit, so no url ever appears twice across
-           base/delta segments — reads need NO dedup.
+           append was anti-joined against the full discovered view by
+           the caller before commit, so no url ever appears twice
+           across base/delta segments — reads need NO dedup.
   removed  one append per round: the urls scheduled (tombstoned) that
            round. Bounded by rounds-since-compaction x Σ host budgets.
 
-  read() = (base ∪ delta) ⟕̸anti removed
+  pending view   = (base[pending=true] ∪ delta) ⟕̸anti removed
+  discovered set = base ∪ delta       (url-seen membership — the
+                   crawled rows keep their base row with
+                   pending=false, so no separate seen table is needed)
 
 The tombstone table stays small between compactions, so Catalyst picks
 a broadcast anti-join from its file-size stats — the read adds ZERO
 exchange at sandbox scale and one bounded small-side shuffle beyond
-broadcast size. Every ``compact_every`` rounds the merged view is
-rewritten as the new base and delta/removed truncate (pure manifest
-ops) — amortized O(frontier / compact_every) write per round instead
-of O(frontier).
+broadcast size. Every ``compact_every`` rounds the flag-fold rewrites
+the base (amortized O(discovered / compact_every) per round) and
+delta/removed truncate (pure manifest ops). On a real cluster the
+refinement is bucket-level compaction — rewrite only the bucket
+partitions whose delta/tombstone fraction crosses a threshold — which
+the partitioned layout here is exactly shaped for.
 
 Crash safety: the crawl checkpoint records all three table versions
 after commit_round; resume rolls all three back together, so a crash
@@ -39,40 +53,100 @@ import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BooleanType, IntegerType, StringType,
+                               StructField, StructType)
 
 from data_crawler_spark.plans.snapshots import SnapshotTable
 
 REMOVED_SCHEMA = StructType([StructField("url", StringType(), False)])
 
 
+def _base_schema(schema: StructType) -> StructType:
+    """Discovered-log schema: caller's frontier schema + the pending
+    flag and bucket partition column (fresh StructType — never mutate
+    the shared one)."""
+    return StructType(list(schema.fields) + [
+        StructField("pending", BooleanType(), True),
+        StructField("bucket", IntegerType(), True),
+    ])
+
+
 class FrontierStore:
     def __init__(self, spark: SparkSession, root: str | os.PathLike,
-                 schema: StructType, compact_every: int = 4):
-        self.base = SnapshotTable(spark, root, "frontier", schema)
+                 schema: StructType, compact_every: int = 4,
+                 n_buckets: int = 64):
+        self.base = SnapshotTable(spark, root, "frontier",
+                                  _base_schema(schema))
         self.delta = SnapshotTable(spark, Path(root), "frontier_delta", schema)
         self.removed = SnapshotTable(spark, Path(root), "frontier_removed",
                                      REMOVED_SCHEMA)
         self.schema = schema
         self.compact_every = compact_every
+        # the bucket count is part of the on-disk layout: persist it at
+        # bootstrap and reuse on re-open — a drifted runtime value would
+        # make pruning filters silently miss buckets
+        self._marker = Path(root) / "frontier" / "_BUCKETS"
+        if self._marker.exists():
+            self.n_buckets = int(self._marker.read_text())
+        else:
+            if self.base.current_version() > 0:
+                raise RuntimeError(
+                    "frontier state dir uses a pre-bucketed layout; "
+                    "start a fresh state dir")
+            self.n_buckets = n_buckets
+
+    # -- layout helpers ------------------------------------------------
+
+    def _bucketed(self, df: DataFrame, pending) -> DataFrame:
+        return (df.withColumn("pending", pending)
+                .withColumn("bucket",
+                            F.pmod(F.col("url_hash"),
+                                   F.lit(self.n_buckets)).cast("int")))
+
+    def _write_base(self, df: DataFrame) -> None:
+        # ≤ 2 files per bucket: one shuffle keyed on the partition col
+        self.base.write(df.repartition(F.col("bucket")),
+                        partition_by=["bucket", "pending"])
+        if not self._marker.exists():
+            self._marker.write_text(str(self.n_buckets))
 
     # -- reads ---------------------------------------------------------
 
     def read(self) -> DataFrame:
-        """The current pending set (what the naive table would hold)."""
-        pending = self.read_with_tombstoned()
+        """The current pending set (what the naive table would hold).
+        The base side statically prunes to pending=true directories."""
+        pending = self.base.read().filter(F.col("pending")) \
+                      .drop("pending", "bucket")
+        if self.delta.n_segments():
+            pending = pending.unionByName(self.delta.read())
         if self.removed.n_segments():
-            pending = pending.join(self.removed.read(), "url", "left_anti")
+            pending = pending.join(
+                F.broadcast(self.removed.read()), "url", "left_anti")
         return pending
 
+    def discovered(self, buckets: list[int] | None = None) -> DataFrame:
+        """(url, url_hash) of every url ever added to the frontier —
+        the URL-seen membership set (scheduled rows keep their base row
+        with pending=false, so this COVERS the seen set; no tombstone
+        anti-join, tombstoned urls are discovered by definition).
+
+        ``buckets`` prunes the base scan to the given bucket partitions
+        (statically, at file-listing time) — pass the distinct buckets
+        of the candidate set being checked; the delta log (bounded by
+        compact_every rounds) is always scanned in full."""
+        b = self.base.read()
+        if buckets is not None:
+            b = b.filter(F.col("bucket").isin([int(x) for x in buckets]))
+        out = b.select("url", "url_hash")
+        if self.delta.n_segments():
+            out = out.unionByName(self.delta.read().select("url", "url_hash"))
+        return out
+
     def read_with_tombstoned(self) -> DataFrame:
-        """base ∪ delta WITHOUT the tombstone anti-join — i.e. every url
-        ever added to the frontier since the last compaction folded the
-        logs. For consumers that union this with `seen` (the crawl's
-        discovered-membership check), the tombstone filter is pure
-        wasted work: tombstoned urls are scheduled urls, all of which
-        are in `seen` anyway."""
-        pending = self.base.read()
+        """Backward-compat alias for the discovered view (full columns
+        minus layout cols), tombstone filter skipped by design."""
+        pending = self.base.read().drop("pending", "bucket")
         if self.delta.n_segments():
             pending = pending.unionByName(self.delta.read())
         return pending
@@ -80,8 +154,8 @@ class FrontierStore:
     # -- writes --------------------------------------------------------
 
     def bootstrap(self, df: DataFrame) -> None:
-        """Round-0 pending set (seed list)."""
-        self.base.write(df)
+        """Round-0 discovered log (seed list, all pending)."""
+        self._write_base(self._bucketed(df, F.lit(True)))
 
     def commit_round(self, new_rows: DataFrame,
                      removed_urls: DataFrame,
@@ -114,13 +188,41 @@ class FrontierStore:
     def needs_compaction(self) -> bool:
         return self.delta.n_segments() >= self.compact_every
 
+    def base_bytes(self) -> int:
+        """On-disk size of the current base version (driver-side stat
+        walk — no Spark job); used to decide when bucket-pruned
+        membership pays for its bookkeeping."""
+        m = self.base._manifest()
+        total = 0
+        for d in m["versions"].get(str(m["current"]), []):
+            root = self.base.dir / d
+            if root.exists():
+                total += sum(f.stat().st_size
+                             for f in root.rglob("*.parquet"))
+        return total
+
     def compact(self) -> None:
-        """Fold delta+tombstones into a fresh base version. Reads the
-        OLD versions while staging the new data dir (snapshot writes
-        never mutate committed dirs), then truncates the logs — all
-        three commits are independent manifest renames; a crash between
-        them is undone by the caller's checkpoint rollback."""
-        self.base.write(self.read())
+        """Fold delta + tombstones into a fresh bucketed base version:
+        delta rows join the log as pending, and rows whose url is in
+        the removed log flip pending -> false (they stay in the log —
+        they are discovered). Reads the OLD versions while staging the
+        new data dir (snapshot writes never mutate committed dirs),
+        then truncates the logs — all three commits are independent
+        manifest renames; a crash between them is undone by the
+        caller's checkpoint rollback."""
+        rows = self.base.read().drop("bucket")
+        if self.delta.n_segments():
+            rows = rows.unionByName(
+                self.delta.read().withColumn("pending", F.lit(True)))
+        if self.removed.n_segments():
+            rm = self.removed.read().distinct().withColumn("_rm", F.lit(True))
+            rows = (rows.join(F.broadcast(rm), "url", "left")
+                    .withColumn("pending",
+                                F.col("pending") & F.col("_rm").isNull())
+                    .drop("_rm"))
+        self._write_base(rows.withColumn(
+            "bucket", F.pmod(F.col("url_hash"),
+                             F.lit(self.n_buckets)).cast("int")))
         self.delta.truncate()
         self.removed.truncate()
 

@@ -70,19 +70,26 @@ class SnapshotTable:
         paths = [str(self.dir / d) for d in dirs]
         return self.spark.read.schema(self.schema).parquet(*paths)
 
-    def write(self, df: DataFrame, mode: str = "overwrite") -> int:
+    def write(self, df: DataFrame, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> int:
         """Commit ``df`` as a new snapshot version.
 
         mode="append": new version = previous dirs + one new dir
         (O(delta)); mode="overwrite": new version = the new dir only
         (old dirs stay readable for time travel until pruned).
+        ``partition_by`` lays the data dir out hive-partitioned on the
+        given columns (they must be in the table schema) — reads then
+        statically prune on filters over those columns.
         """
         m = self._manifest()
         dname = f"d{m['next_dir']:06d}"
         ddir = self.dir / dname
         if ddir.exists():  # leftover from a crashed, uncommitted write
             shutil.rmtree(ddir)
-        df.write.mode("overwrite").parquet(str(ddir))
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(ddir))
         new_v = m["current"] + 1
         prev = self._dirs_for(m, m["current"]) if mode == "append" else []
         m["versions"][str(new_v)] = prev + [dname]

@@ -211,3 +211,32 @@ def test_update_bloom_layout_mismatch_raises(spark):
     old = build_bloom(old_rows, N_BUCKETS, m_bits=M_BITS, k=K)
     with pytest.raises(Exception, match="layout mismatch"):
         update_bloom(old, delta, N_BUCKETS, m_bits=M_BITS * 2, k=K).collect()
+
+
+def test_crawl_invariant_pruned_membership(spark, web1k, tmp_path):
+    """Forcing the bucket-pruned membership path (prune threshold 0)
+    must produce exactly the same crawl as the full-scan path."""
+    from data_crawler_spark.plans.crawl import (
+        open_crawl,
+        run_round,
+        visit_order_df,
+    )
+    from data_crawler_spark.plans.crawl import bootstrap as crawl_bootstrap
+
+    def drive(state, prune_min):
+        ctx = open_crawl(spark, web1k, state)
+        ctx.membership_prune_min_bytes = prune_min
+        crawl_bootstrap(ctx)
+        for rnd in range(4):
+            if run_round(ctx, rnd) == 0:
+                break
+        return ctx
+
+    full = drive(tmp_path / "full", 1 << 60)   # never prune
+    pruned = drive(tmp_path / "pruned", 0)     # always prune
+    vo_f = [(r.round, r.url) for r in visit_order_df(full).collect()]
+    vo_p = [(r.round, r.url) for r in visit_order_df(pruned).collect()]
+    assert vo_f == vo_p
+    f_f = sorted(r.url for r in full.frontier.read().collect())
+    f_p = sorted(r.url for r in pruned.frontier.read().collect())
+    assert f_f == f_p

@@ -206,3 +206,17 @@ def test_duplicate_clusters_consistent_with_pairs(spark):
         by_cluster.setdefault(c, []).append(d)
     for c, members in by_cluster.items():
         assert c == min(members)
+
+
+def test_connected_components_long_chain(spark):
+    """Adversarial PATH graph (diameter 19999): pointer jumping must
+    converge in O(log d) rounds — max_iter=25 would be hopeless for
+    plain min-label propagation (O(d) rounds)."""
+    from data_crawler_spark.operators import dedup
+    n = 20_000
+    vertices = spark.range(n).withColumnRenamed("id", "doc_id")
+    edges = (spark.range(n - 1)
+             .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")))
+    out = dedup.connected_components(vertices, edges)
+    assert out.filter(F.col("cluster_id") != 0).count() == 0
+    assert out.count() == n

@@ -96,3 +96,43 @@ def test_read_is_single_broadcast_antijoin(spark, store):
     plan = store.read()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_discovered_covers_tombstoned(spark, store):
+    """The discovered view must retain scheduled (tombstoned) urls —
+    it IS the url-seen membership set."""
+    store.commit_round(_rows(spark, ["https://h1.x/a"], 1),
+                       spark.createDataFrame([("https://h0.x/p0",)], ["url"]))
+    store.compact()
+    disc = sorted(r.url for r in store.discovered().collect())
+    assert "https://h0.x/p0" in disc  # tombstoned but discovered
+    assert "https://h1.x/a" in disc
+    # and the pending view dropped it
+    assert "https://h0.x/p0" not in _urls(store)
+
+
+def test_discovered_bucket_pruning_is_static(spark, store):
+    """discovered(buckets) must prune at the FILE level: the base scan
+    lists only the requested bucket partitions (PartitionFilters in the
+    scan node + inputFiles restricted to those directories)."""
+    store.compact()  # fold seeds into the bucketed layout
+    all_buckets = sorted(
+        r.bucket for r in store.base.read().select("bucket").distinct().collect())
+    assert len(all_buckets) > 1
+    want = [all_buckets[0]]
+    pruned = store.discovered(want)
+    from pyspark.sql import functions as SF2
+    files = [r.f for r in
+             pruned.select(SF2.input_file_name().alias("f")).distinct().collect()]
+    assert files, "pruned scan read no files"
+    for f in files:
+        assert f"bucket={want[0]}/" in f, f
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # and pruning loses no rows within the requested buckets
+    from pyspark.sql import functions as SF
+    full_in_bucket = {
+        r.url for r in store.base.read()
+        .filter(SF.col("bucket").isin(want)).select("url").collect()}
+    got = {r.url for r in pruned.collect()}
+    assert full_in_bucket <= got
