@@ -121,12 +121,15 @@ class CrawlContext:
     bloom_m_bits: int = 1 << 20
     bloom_k: int = 7
     # exact membership check for maybe-discovered candidates:
-    # "broadcast" = scan pending+seen url columns against a broadcast of
-    # the (round-sized) maybe set — no shuffle, no O(frontier) driver
-    # hash; "shuffle" = plain anti-join for rounds whose maybe set
-    # exceeds broadcast limits (on a real cluster, bucketed Iceberg
-    # tables + storage-partitioned joins make this co-located instead)
-    membership_join: str = "broadcast"
+    # "auto" (default) picks per round from the measured maybe-set
+    # count — "broadcast" (scan the discovered log's url column against
+    # a broadcast of the maybe set: no shuffle, no O(frontier) driver
+    # hash) while the maybe set is driver-hashable, else "shuffle"
+    # (both sides shuffled on url: scales with cores; on a real cluster
+    # bucketed Iceberg storage-partitioned joins co-locate it). Either
+    # name forces that strategy (results identical — tested).
+    membership_join: str = "auto"
+    membership_broadcast_max_rows: int = 300_000
     # bucket-pruned membership engages once the discovered base exceeds
     # this size (below it the pruning bookkeeping costs more than the
     # full url-column scan it saves)
@@ -165,7 +168,7 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
                gc_keep: int | None = None,
                lineage_gauges: bool = True,
                budget_scale: int = 1,
-               membership_join: str = "broadcast") -> CrawlContext:
+               membership_join: str = "auto") -> CrawlContext:
     web = Path(web_dir)
     state = Path(state_dir)
     state.mkdir(parents=True, exist_ok=True)
@@ -240,18 +243,21 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
 STAGE_TIMES: dict[str, float] = {}
 
 
-def _persist(df: DataFrame) -> DataFrame:
+def _persist(df: DataFrame, level: str | None = None) -> DataFrame:
     """Round-scoped cache, DISK_ONLY by default (override with
     DCS_CACHE_LEVEL). On a single fat JVM, on-heap columnar cache
-    batches fill the old generation and full-GC wall was ~11s of a 22s
-    stage at local[32] (event-log task metrics, web10m round 3);
-    DISK_ONLY keeps the heap flat and cut the 5-round web10m crawl from
-    ~161s to ~134s at local[32]. On a real cluster executors are
-    4-8-core JVMs where MEMORY_AND_DISK is fine — this knob is about
-    the single-JVM local mode."""
+    batches of the html-bearing frames fill the old generation and
+    full-GC wall was ~11s of a 22s stage at local[32] (event-log task
+    metrics, web10m round 3); DISK_ONLY keeps the heap flat and cut the
+    5-round web10m crawl from ~161s to ~134s at local[32]. On a real
+    cluster executors are 4-8-core JVMs where MEMORY_AND_DISK is fine —
+    this knob is about the single-JVM local mode. Callers cache SKINNY
+    frames (no html: cand/maybe/sched) with level="MEMORY_AND_DISK" —
+    their bytes are tiny, and a disk round-trip through the ONE shared
+    virtio disk is pure flat latency that no core count can hide."""
     from pyspark import StorageLevel
 
-    name = os.environ.get("DCS_CACHE_LEVEL", "DISK_ONLY")
+    name = level or os.environ.get("DCS_CACHE_LEVEL", "DISK_ONLY")
     return df.persist(getattr(StorageLevel, name))
 
 
@@ -350,7 +356,8 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     seq_parts = max(1, min(200, est // ctx.seq_rows_per_task))
     if seq_parts > 1:
         base = _persist(base)
-    sched = _persist(with_crawl_seq(base, num_partitions=seq_parts))
+    sched = _persist(with_crawl_seq(base, num_partitions=seq_parts),
+                     "MEMORY_AND_DISK")
     with _stage("gate_schedule_seq"):
         # ONE wide pass fills the cache and yields the round size —
         # concurrent consumers below then drain the cache instead of
@@ -442,19 +449,26 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # so dropping rediscovered urls IS the min rule, in O(round).
     #
     # With the discovered bloom, definitely-new candidates take no join
-    # at all; maybe-discovered ones get the exact check. The branches
-    # deliberately share the dedup window's Exchange (ReusedExchange
-    # inside the single delta-write action), so the expensive explode +
-    # canonicalize + hash pipeline below it runs ONCE, JVM-side, with
-    # no round-sized cache.
-    maybe_cached = None
+    # at all; maybe-discovered ones get the exact check. The candidate
+    # set and the maybe-set are round-scoped caches: the expensive
+    # explode + canonicalize + hash pipeline runs ONCE into the cand
+    # cache (round 2 re-derived it under every consumer — the
+    # "shared Exchange" only covered the dedup-window branch, so the
+    # maybe broadcast build and the bucket collect each re-ran ~1M
+    # canonicalizations per round at web10m), and the cached maybe-set
+    # yields its COUNT, which picks the join strategy per round:
+    # broadcast while the maybe-set is driver-hashable, scalable
+    # shuffle join beyond that (the driver-side broadcast build is
+    # single-threaded — at web10m it was the crawl's main non-scaling
+    # component).
+    round_caches = []
     if ctx.use_bloom and ctx.bloom.current_version() > 0:
-        cand = new_cand.withColumn("url_hash", F.xxhash64("url"))
-        # probe pass: candidate urls that MIGHT be discovered. Runs the
-        # link pipeline once with url-only pruning and NO window —
-        # duplicate urls are harmless inside a broadcast hash build —
-        # and bloom false positives only inflate this probe set, never
-        # the result.
+        cand = _persist(new_cand.withColumn("url_hash", F.xxhash64("url")),
+                        "MEMORY_AND_DISK")
+        round_caches.append(cand)
+        # probe pass: candidate urls that MIGHT be discovered.
+        # Duplicate urls are harmless in the semi-join build, and bloom
+        # false positives only inflate this probe set, never the result.
         maybe_urls = (bloom_ops.mark_candidates(
             cand, ctx.bloom.read(), ctx.bloom_buckets,
             m_bits=ctx.bloom_m_bits, k=ctx.bloom_k)
@@ -472,28 +486,36 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
             maybe_urls = maybe_urls.unionByName(
                 cand.join(F.broadcast(recent), "url_hash", "left_semi")
                 .select("url"))
-        if ctx.membership_join == "broadcast":
+        maybe_urls = _persist(maybe_urls, "MEMORY_AND_DISK")
+        round_caches.append(maybe_urls)
+        with _stage("maybe_set"):
+            # one pass fills BOTH caches (cand under the probe) and
+            # yields the maybe count for the strategy choice below
+            n_maybe = maybe_urls.count()
+        # bucket pruning: once the base outgrows
+        # membership_prune_min_bytes, collect the maybe-set's distinct
+        # buckets (≤ n_buckets ints, off the cache) and statically
+        # prune the discovered-log scan to those partitions —
+        # O(touched buckets), not O(corpus). A maybe-set touching most
+        # buckets degenerates to the full scan.
+        buckets = None
+        if ctx.frontier.base_bytes() >= ctx.membership_prune_min_bytes:
+            got = [int(r["b"]) for r in maybe_urls.select(
+                F.pmod(F.xxhash64("url"),
+                       F.lit(ctx.frontier.n_buckets)).cast("int")
+                .alias("b")).distinct().collect()]
+            if len(got) <= 0.5 * ctx.frontier.n_buckets:
+                buckets = got
+        ever = ctx.frontier.discovered(buckets).select("url")
+        use_broadcast = ctx.membership_join == "broadcast" or (
+            ctx.membership_join == "auto"
+            and n_maybe <= ctx.membership_broadcast_max_rows)
+        if use_broadcast:
             # scan-side check: the discovered log is only SCANNED (url
-            # column, pruned parquet) — never shuffled, never built
-            # into an O(frontier) driver-side broadcast hash (that
-            # build was 2-5s/round and the JVM's main full-GC source).
-            # Once the base outgrows membership_prune_min_bytes the
-            # maybe-set is cached, its distinct buckets collected
-            # (≤ n_buckets ints), and the base scan statically prunes
-            # to those bucket partitions — O(touched buckets), not
-            # O(corpus). Below the threshold the full scan is cheaper
-            # than the extra cache-fill job, and a maybe-set touching
-            # most buckets degenerates to the full scan anyway.
-            buckets = None
-            if ctx.frontier.base_bytes() >= ctx.membership_prune_min_bytes:
-                maybe_cached = maybe_urls = _persist(maybe_urls)
-                got = [int(r["b"]) for r in maybe_urls.select(
-                    F.pmod(F.xxhash64("url"),
-                           F.lit(ctx.frontier.n_buckets)).cast("int")
-                    .alias("b")).distinct().collect()]
-                if len(got) <= 0.5 * ctx.frontier.n_buckets:
-                    buckets = got
-            ever = ctx.frontier.discovered(buckets).select("url")
+            # column, bucket-pruned parquet) — never shuffled, never
+            # built into an O(frontier) driver-side broadcast hash
+            # (that build was 2-5s/round and the JVM's main full-GC
+            # source).
             hits = ever.join(F.broadcast(maybe_urls), "url", "left_semi")
             # no-false-negative property: every discovered candidate url
             # is in maybe_urls, so `hits` = ever ∩ candidate urls and
@@ -501,7 +523,10 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
             new_rows = _dedup_frontier(cand).join(
                 F.broadcast(hits), "url", "left_anti")
         else:
-            ever = ctx.frontier.discovered().select("url")
+            # beyond-broadcast rounds: shuffle both sides on url — the
+            # join scales with cores instead of serializing into the
+            # driver's broadcast build (a real cluster co-locates this
+            # with bucketed storage-partitioned joins)
             hits = ever.join(maybe_urls, "url", "left_semi")
             new_rows = _dedup_frontier(cand).join(hits, "url", "left_anti")
         new_rows = new_rows.drop("url_hash")
@@ -597,8 +622,8 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     })
     enriched.unpersist()
     sched.unpersist()
-    if maybe_cached is not None:
-        maybe_cached.unpersist()
+    for c in round_caches:
+        c.unpersist()
     if seq_parts > 1:
         base.unpersist()
     if ctx.gc_keep:
@@ -614,7 +639,7 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
               gc_keep: int | None = None,
               lineage_gauges: bool = True,
               budget_scale: int = 1,
-              membership_join: str = "broadcast") -> dict:
+              membership_join: str = "auto") -> dict:
     """Drive rounds to quiescence (or max_rounds). Resumable: picks up
     from the last committed checkpoint when ``resume`` and one exists."""
     ctx = open_crawl(spark, web_dir, state_dir, n_salts=n_salts,
