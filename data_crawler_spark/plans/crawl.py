@@ -239,8 +239,11 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
 
 
 # DCS_PROFILE=1: accumulate wall time per run_round action (diagnostic
-# only — which per-round job dominates; see bench/scaling notes)
+# only — which per-round job dominates; see bench/scaling notes).
+# CURRENT_STAGES tracks the stages active right now (diagnostics can
+# attribute driver-idle time to a phase).
 STAGE_TIMES: dict[str, float] = {}
+CURRENT_STAGES: set = set()
 
 
 def _persist(df: DataFrame, level: str | None = None) -> DataFrame:
@@ -269,8 +272,10 @@ class _stage:
 
     def __enter__(self):
         self.t0 = time.time()
+        CURRENT_STAGES.add(self.name)
 
     def __exit__(self, *exc):
+        CURRENT_STAGES.discard(self.name)
         if os.environ.get("DCS_PROFILE") == "1":
             STAGE_TIMES[self.name] = (STAGE_TIMES.get(self.name, 0.0)
                                       + time.time() - self.t0)
@@ -482,28 +487,32 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         # the semi-join broadcasts only int64 hashes (a url_hash
         # collision merely inflates the maybe set).
         if ctx.frontier.delta.n_segments():
-            recent = ctx.frontier.delta.read().select("url_hash")
+            recent = ctx.frontier._delta_df().select("url_hash")
             maybe_urls = maybe_urls.unionByName(
                 cand.join(F.broadcast(recent), "url_hash", "left_semi")
                 .select("url"))
         maybe_urls = _persist(maybe_urls, "MEMORY_AND_DISK")
         round_caches.append(maybe_urls)
         with _stage("maybe_set"):
-            # one pass fills BOTH caches (cand under the probe) and
-            # yields the maybe count for the strategy choice below
-            n_maybe = maybe_urls.count()
-        # bucket pruning: once the base outgrows
-        # membership_prune_min_bytes, collect the maybe-set's distinct
-        # buckets (≤ n_buckets ints, off the cache) and statically
-        # prune the discovered-log scan to those partitions —
-        # O(touched buckets), not O(corpus). A maybe-set touching most
-        # buckets degenerates to the full scan.
-        buckets = None
-        if ctx.frontier.base_bytes() >= ctx.membership_prune_min_bytes:
-            got = [int(r["b"]) for r in maybe_urls.select(
+            # ONE job fills both caches (cand under the probe) and
+            # yields the per-bucket maybe histogram: its sum is the
+            # count that picks the join strategy, its keys are the
+            # bucket list for pruned scans (driver latency is the
+            # crawl's non-scaling component — every folded action
+            # counts)
+            hist = maybe_urls.groupBy(
                 F.pmod(F.xxhash64("url"),
                        F.lit(ctx.frontier.n_buckets)).cast("int")
-                .alias("b")).distinct().collect()]
+                .alias("b")).count().collect()
+        n_maybe = sum(int(r["count"]) for r in hist)
+        # bucket pruning: once the base outgrows
+        # membership_prune_min_bytes, statically prune the
+        # discovered-log scan to the maybe-set's buckets — O(touched
+        # buckets), not O(corpus). A maybe-set touching most buckets
+        # degenerates to the full scan.
+        buckets = None
+        if ctx.frontier.base_bytes() >= ctx.membership_prune_min_bytes:
+            got = [int(r["b"]) for r in hist]
             if len(got) <= 0.5 * ctx.frontier.n_buckets:
                 buckets = got
         ever = ctx.frontier.discovered(buckets).select("url")
@@ -563,7 +572,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
                 with _stage("write_bloom"):
                     ctx.bloom.write(bloom_ops.update_bloom(
                         ctx.bloom.read(),
-                        ctx.frontier.delta.read().select("url_hash"),
+                        ctx.frontier._delta_df().select("url_hash"),
                         n_buckets=ctx.bloom_buckets,
                         m_bits=ctx.bloom_m_bits, k=ctx.bloom_k))
             with _stage("compact_frontier"):

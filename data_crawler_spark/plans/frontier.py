@@ -86,6 +86,14 @@ class FrontierStore:
         # the bucket count is part of the on-disk layout: persist it at
         # bootstrap and reuse on re-open — a drifted runtime value would
         # make pruning filters silently miss buckets
+        # version-keyed DataFrame memos: several consumers per round
+        # read base/delta (gate view, membership, bloom fold); reusing
+        # ONE DataFrame object per table version reuses its FileIndex,
+        # so the partition-dir listing and scan relation are built once
+        # per version instead of once per consumer — driver-side
+        # latency is the crawl's non-scaling component.
+        self._base_memo: tuple[int, DataFrame] | None = None
+        self._delta_memo: tuple[int, DataFrame] | None = None
         self._marker = Path(root) / "frontier" / "_BUCKETS"
         if self._marker.exists():
             self.n_buckets = int(self._marker.read_text())
@@ -113,13 +121,25 @@ class FrontierStore:
 
     # -- reads ---------------------------------------------------------
 
+    def _base_df(self) -> DataFrame:
+        v = self.base.current_version()
+        if self._base_memo is None or self._base_memo[0] != v:
+            self._base_memo = (v, self.base.read())
+        return self._base_memo[1]
+
+    def _delta_df(self) -> DataFrame:
+        v = self.delta.current_version()
+        if self._delta_memo is None or self._delta_memo[0] != v:
+            self._delta_memo = (v, self.delta.read())
+        return self._delta_memo[1]
+
     def read(self) -> DataFrame:
         """The current pending set (what the naive table would hold).
         The base side statically prunes to pending=true directories."""
-        pending = self.base.read().filter(F.col("pending")) \
+        pending = self._base_df().filter(F.col("pending")) \
                       .drop("pending", "bucket")
         if self.delta.n_segments():
-            pending = pending.unionByName(self.delta.read())
+            pending = pending.unionByName(self._delta_df())
         if self.removed.n_segments():
             pending = pending.join(
                 F.broadcast(self.removed.read()), "url", "left_anti")
@@ -135,20 +155,20 @@ class FrontierStore:
         (statically, at file-listing time) — pass the distinct buckets
         of the candidate set being checked; the delta log (bounded by
         compact_every rounds) is always scanned in full."""
-        b = self.base.read()
+        b = self._base_df()
         if buckets is not None:
             b = b.filter(F.col("bucket").isin([int(x) for x in buckets]))
         out = b.select("url", "url_hash")
         if self.delta.n_segments():
-            out = out.unionByName(self.delta.read().select("url", "url_hash"))
+            out = out.unionByName(self._delta_df().select("url", "url_hash"))
         return out
 
     def read_with_tombstoned(self) -> DataFrame:
         """Backward-compat alias for the discovered view (full columns
         minus layout cols), tombstone filter skipped by design."""
-        pending = self.base.read().drop("pending", "bucket")
+        pending = self._base_df().drop("pending", "bucket")
         if self.delta.n_segments():
-            pending = pending.unionByName(self.delta.read())
+            pending = pending.unionByName(self._delta_df())
         return pending
 
     # -- writes --------------------------------------------------------
@@ -210,10 +230,10 @@ class FrontierStore:
         then truncates the logs — all three commits are independent
         manifest renames; a crash between them is undone by the
         caller's checkpoint rollback."""
-        rows = self.base.read().drop("bucket")
+        rows = self._base_df().drop("bucket")
         if self.delta.n_segments():
             rows = rows.unionByName(
-                self.delta.read().withColumn("pending", F.lit(True)))
+                self._delta_df().withColumn("pending", F.lit(True)))
         if self.removed.n_segments():
             rm = self.removed.read().distinct().withColumn("_rm", F.lit(True))
             rows = (rows.join(F.broadcast(rm), "url", "left")
