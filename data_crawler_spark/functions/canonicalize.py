@@ -87,8 +87,19 @@ def canonicalize_series(s: pd.Series) -> pd.Series:
     res = res.mask(has_q, res + "?" + query)
 
     # whitespace that was interior on input (e.g. "/a ?") can become
-    # terminal once an empty query/fragment is dropped — final strip
-    # keeps the function idempotent
+    # terminal once an empty query/fragment is dropped. A plain final
+    # strip is NOT enough for queryless rows: a space can shield a
+    # trailing '/' from the path-level slash strip ("/0/ " + empty
+    # query), and stripping the space would then expose the slash —
+    # breaking idempotence. Queryless rows therefore drop their entire
+    # trailing whitespace+slash run in one pass (restoring the root
+    # path's single '/'); rows with a query keep it verbatim modulo
+    # the final whitespace strip.
+    noq = ok & ~has_q
+    junk = res.str.replace(r"(?s)[\s\x1c-\x1f/]+\Z", "", regex=True)
+    rootless = junk.str.match(r"[a-z][a-z0-9+.\-]*://[^/?#]*\Z", na=False)
+    junk = junk.mask(rootless, junk + "/")
+    res = res.mask(noq, junk)
     out = u.where(~ok, res).str.strip()
     return out.astype(object).where(~orig_na, None)
 

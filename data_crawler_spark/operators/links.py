@@ -117,8 +117,17 @@ def canonicalize_col(x: Column) -> Column:
         F.concat(F.lit("/"), F.array_join(folded, "/")))
 
     res = F.concat(scheme, F.lit("://"), hostport, path)
-    res = F.when(query != "", F.concat(res, F.lit("?"), query)).otherwise(res)
-    return F.when(ok, _strip_col(res)).otherwise(u)
+    # queryless rows drop their whole trailing whitespace+slash run in
+    # one pass (a space can shield a '/' from the path-level strip —
+    # idempotence; see canonicalize_series), restoring the root path's
+    # single '/'; rows with a query keep it verbatim modulo the final
+    # whitespace strip.
+    junk = F.regexp_replace(res, f"(?:{_WS}|/)+\\z", "")
+    rootless = junk.rlike(r"^[a-z][a-z0-9+.\-]*://[^/?#]*\z")
+    junk = F.when(rootless, F.concat(junk, F.lit("/"))).otherwise(junk)
+    res = F.when(query != "",
+                 _strip_col(F.concat(res, F.lit("?"), query))).otherwise(junk)
+    return F.when(ok, res).otherwise(u)
 
 
 def url_struct_col(url: Column) -> Column:
