@@ -240,3 +240,32 @@ def test_crawl_invariant_pruned_membership(spark, web1k, tmp_path):
     f_f = sorted(r.url for r in full.frontier.read().collect())
     f_p = sorted(r.url for r in pruned.frontier.read().collect())
     assert f_f == f_p
+
+
+def test_crawl_invariant_auto_shuffle_switch(spark, web1k, tmp_path):
+    """membership_join='auto' with a zero broadcast threshold must take
+    the shuffle branch every round and still produce the exact crawl."""
+    from data_crawler_spark.plans.crawl import (
+        open_crawl,
+        run_round,
+        visit_order_df,
+    )
+    from data_crawler_spark.plans.crawl import bootstrap as crawl_bootstrap
+
+    def drive(state, max_rows):
+        ctx = open_crawl(spark, web1k, state)  # membership_join="auto"
+        ctx.membership_broadcast_max_rows = max_rows
+        crawl_bootstrap(ctx)
+        for rnd in range(4):
+            if run_round(ctx, rnd) == 0:
+                break
+        return ctx
+
+    bc = drive(tmp_path / "bc", 1 << 60)  # always broadcast
+    sh = drive(tmp_path / "sh", 0)        # always shuffle
+    vo_b = [(r.round, r.url) for r in visit_order_df(bc).collect()]
+    vo_s = [(r.round, r.url) for r in visit_order_df(sh).collect()]
+    assert vo_b == vo_s
+    f_b = sorted(r.url for r in bc.frontier.read().collect())
+    f_s = sorted(r.url for r in sh.frontier.read().collect())
+    assert f_b == f_s
