@@ -100,18 +100,15 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     Mitzenmacher double-hash family g_j(x) = h1(x) + j*h2(x) derived
     via splitmix64 (functions/hashing.py).
 
-    Plan shape for a 10^12-shingle corpus: repartition the raw (id,
-    text) rows by document FIRST — one shuffle whose payload is the
-    corpus text, which is SMALLER than the per-shingle int64 stream
-    (every token rides in n shingles, so n_shingles x 8B > text bytes)
-    — then tokenize/shingle/xxhash64 in whole-stage codegen at full
-    cluster parallelism, then a partition-wise numpy/pandas groupby-min
-    inside mapInPandas (the up-front repartition makes partitions
-    doc-disjoint; explode/project are narrow and preserve it). The
-    previous formulation (shingle in the scan task, shuffle hashed
-    int64s) serialized the expensive shingle expressions into however
-    few partitions the file scan produced — a small parquet = ONE task
-    doing all tokenization. Three earlier formulations measured far
+    Plan shape for a 10^12-shingle corpus: SHUFFLE-FREE. One input row
+    per id means any partitioning is doc-disjoint (a doc's shingles
+    come from its single row; explode/project are narrow), so the
+    sweep is scan -> tokenize/shingle/xxhash64 in whole-stage codegen
+    -> partition-wise numpy/pandas groupby-min inside mapInPandas,
+    with a repartition ONLY when the scan is under-partitioned (small
+    fixture files). The round-2 formulation (shuffle one int64 per
+    shingle keyed by doc) moved n_shingles x 8B > corpus-text bytes
+    through the exchange every sweep. Three earlier formulations measured far
     worse: array_min-of-transform per component re-evaluates the
     shingle array 64x (CollapseProject); 64 min-aggregate columns
     allocate 64 boxed cells per shingle row (GC-bound, anti-scaled with
@@ -122,10 +119,21 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """
     from data_crawler_spark.functions.hashing import splitmix64_np
 
-    ex = (df.select(F.col(id_col), F.col(text_col))
-          .repartition(_doc_partitions(df), id_col)
-          .select(F.col(id_col),
-                  F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")))
+    # CONTRACT: one input row per id (every caller here passes a
+    # deduplicated (id, text) table). Then ANY partitioning is
+    # doc-disjoint — a doc's shingles come from its single row and
+    # explode/project are narrow — so the corpus text only needs a
+    # shuffle when the scan is UNDER-partitioned (a small parquet =
+    # few/one split): at 100 TB the scan has thousands of splits and
+    # the signature sweep is shuffle-FREE; at fixture scale the
+    # explicit repartition buys full-width tokenization for one
+    # trivially small exchange.
+    src = df.select(F.col(id_col), F.col(text_col))
+    parts = _doc_partitions(df)
+    if src.rdd.getNumPartitions() < parts:
+        src = src.repartition(parts, id_col)
+    ex = src.select(F.col(id_col),
+                    F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh"))
     hashed = ex.select(F.col(id_col), F.xxhash64("sh").alias("h"))
     j = np.arange(n_hashes, dtype=np.uint64)
 
@@ -287,9 +295,14 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     # minhash_signatures: text bytes < per-token int64 stream, and the
     # expensive expressions run at full parallelism instead of in the
     # scan task); downstream stays doc-disjoint for the vote merge.
-    ex = (df.select(F.col(id_col), F.col(text_col))
-          .repartition(_doc_partitions(df), id_col)
-          .select(F.col(id_col), F.explode(toks).alias("w")))
+    # same one-row-per-id contract / conditional repartition as
+    # minhash_signatures: votes are complete per partition because a
+    # doc's tokens come from its single row
+    src = df.select(F.col(id_col), F.col(text_col))
+    parts = _doc_partitions(df)
+    if src.rdd.getNumPartitions() < parts:
+        src = src.repartition(parts, id_col)
+    ex = src.select(F.col(id_col), F.explode(toks).alias("w"))
     hashed = ex.select(F.col(id_col), F.xxhash64("w").alias("h"))
     shifts = np.arange(64, dtype=np.uint64)
 
