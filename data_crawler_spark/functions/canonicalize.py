@@ -53,14 +53,34 @@ def canonicalize_series(s: pd.Series) -> pd.Series:
     ok = scheme.notna()
 
     for sch, port in _DEFAULT_PORTS.items():
+        # strip the whole trailing default-port RUN, not one copy:
+        # garbage hosts like "h.io:80:80" must canonicalize in one
+        # pass (idempotence) — ":8080" is untouched (no ':' before
+        # the trailing "80")
         mask = ok & (scheme == sch) & hostport.str.endswith(port)
         if mask.any():
-            hostport = hostport.mask(mask, hostport.str.slice(0, -len(port)))
+            hostport = hostport.mask(mask, hostport.str.replace(
+                rf"(?:{port})+\Z", "", regex=True))
 
     path = path.fillna("")
     path = path.mask(ok & (path == ""), "/")
+    has_q = query.notna() & (query != "")
+    # queryless rows shed the path's trailing whitespace+slash junk
+    # INSIDE the fixed-point loop: the query/fragment is gone, so that
+    # run is terminal junk — and it must reduce together with the dot
+    # rules, because each can expose the other ("/. " hides a dot
+    # segment behind a space; "/a/ /." exposes a whitespace segment
+    # when the dot drops). Rows with a query keep their path bytes
+    # (the query shields them; single trailing-slash strip below).
+    # Path-level on purpose: a URL-level strip would eat trailing
+    # HOSTPORT bytes ("http://h.io:80 ?" has the space inside the host
+    # group), changing what the default-port strip sees on a re-parse.
+    noq = ok & ~has_q
     for _ in range(_MAX_DOT_PASSES):
         before = path
+        junked = path.str.replace(r"(?s)[\s\x1c-\x1f/]+\Z", "", regex=True)
+        junked = junked.mask(junked == "", "/")
+        path = path.mask(noq, junked)
         path = path.str.replace(r"//+", "/", regex=True)
         # '/./' runs to ITS OWN fixed point: non-overlapping sub leaves
         # every second '/./' of a '/././..' run in place, and the later
@@ -80,26 +100,12 @@ def canonicalize_series(s: pd.Series) -> pd.Series:
         path = path.mask(ok & (path == ""), "/")
         if before.equals(path):
             break
+    # single trailing-slash strip (all rows; for queryless rows the
+    # loop already reached this fixed point, so it is a no-op there)
     path = path.str.replace(r"(?s)(.+?)/+\Z", r"\1", regex=True)
 
     res = scheme + "://" + hostport + path
-    has_q = query.notna() & (query != "")
     res = res.mask(has_q, res + "?" + query)
-
-    # whitespace that was interior on input (e.g. "/a ?") can become
-    # terminal once an empty query/fragment is dropped. A plain final
-    # strip is NOT enough for queryless rows: a space can shield a
-    # trailing '/' from the path-level slash strip ("/0/ " + empty
-    # query), and stripping the space would then expose the slash —
-    # breaking idempotence. Queryless rows therefore drop their entire
-    # trailing whitespace+slash run in one pass (restoring the root
-    # path's single '/'); rows with a query keep it verbatim modulo
-    # the final whitespace strip.
-    noq = ok & ~has_q
-    junk = res.str.replace(r"(?s)[\s\x1c-\x1f/]+\Z", "", regex=True)
-    rootless = junk.str.match(r"[a-z][a-z0-9+.\-]*://[^/?#]*\Z", na=False)
-    junk = junk.mask(rootless, junk + "/")
-    res = res.mask(noq, junk)
     out = u.where(~ok, res).str.strip()
     return out.astype(object).where(~orig_na, None)
 

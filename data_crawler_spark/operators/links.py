@@ -91,18 +91,21 @@ def canonicalize_col(x: Column) -> Column:
     raw_path = F.regexp_extract(u, _NATIVE_URL_RE, 3)
     query = F.regexp_extract(u, _NATIVE_URL_RE, 4)
 
+    # strip the whole trailing default-port RUN (mirror of the spec):
+    # "h.io:80:80" canonicalizes in one pass; ":8080" untouched
     hostport = (
-        F.when((scheme == "http") & hostport.endswith(":80"),
-               F.substring(hostport, 1, F.length(hostport) - 3))
-        .when((scheme == "https") & hostport.endswith(":443"),
-              F.substring(hostport, 1, F.length(hostport) - 4))
+        F.when(scheme == "http",
+               F.regexp_replace(hostport, r"(?::80)+\z", ""))
+        .when(scheme == "https",
+              F.regexp_replace(hostport, r"(?::443)+\z", ""))
         .otherwise(hostport)
     )
 
     # remove_dot_segments as a stack fold over '/'-split segments (the
     # URL_RE path group always starts with '/' or is empty; '..' never
     # survives on the stack, so an unpoppable '..' is simply dropped —
-    # the spec's leading-'/..' strip)
+    # the spec's leading-'/..' strip). Rows WITH a query keep their
+    # path bytes verbatim beyond this fold.
     segs = F.split(raw_path, "/", -1)
     folded = F.aggregate(
         segs,
@@ -113,20 +116,54 @@ def canonicalize_col(x: Column) -> Column:
             .otherwise(F.concat(acc, F.array(s)))
         ),
     )
-    path = F.when(F.size(folded) == 0, F.lit("/")).otherwise(
+    path_q = F.when(F.size(folded) == 0, F.lit("/")).otherwise(
         F.concat(F.lit("/"), F.array_join(folded, "/")))
 
+    # QUERYLESS rows: the query/fragment is gone, so the path's
+    # trailing whitespace is terminal junk — and junk shedding must
+    # interleave with dot handling ("/. " hides a dot segment behind a
+    # space; "/a/.. " hides a pop). The spec iterates regex rules to a
+    # fixed point; the native mirror is a single RIGHT-to-left fold
+    # with three zones: in the pure TERMINAL zone (nothing kept yet,
+    # no pending pops) a segment is judged on its whitespace-rstripped
+    # form (''/'.' skip, '..' counts a pop, ordinary kept RSTRIPPED);
+    # with pops pending, segments are judged RAW — the spec's '/X/../'
+    # rule consumes the literal previous segment, whitespace-only or
+    # not — and after the first keep, interior segments are judged and
+    # kept with their original bytes (interior whitespace is content).
+    # Fuzz-tested byte-equal to the spec loop
+    # (tests/test_canonicalize.py).
+    zero = F.struct(F.lit(0).cast("int").alias("pops"),
+                    F.lit(False).alias("took"),
+                    F.array().cast("array<string>").alias("acc"))
+
+    def _rstep(st, s):
+        t = F.regexp_replace(s, f"{_WS}+\\z", "")
+        pre0 = ~st["took"] & (st["pops"] == 0)
+        j = F.when(pre0, t).otherwise(s)  # judged form per zone
+        skip = (j == "") | (j == ".")
+        pop = j == ".."
+        ordinary = ~skip & ~pop
+        consumed = ordinary & (st["pops"] > 0)
+        keep = ordinary & ~consumed
+        kept_val = F.when(pre0, t).otherwise(s)
+        return F.struct(
+            (F.when(pop, st["pops"] + 1)
+             .when(consumed, st["pops"] - 1)
+             .otherwise(st["pops"])).cast("int").alias("pops"),
+            (st["took"] | keep).alias("took"),
+            F.when(keep, F.concat(st["acc"], F.array(kept_val)))
+            .otherwise(st["acc"]).alias("acc"),
+        )
+
+    kept = F.reverse(F.aggregate(F.reverse(segs), zero, _rstep)["acc"])
+    path_noq = F.when(F.size(kept) == 0, F.lit("/")).otherwise(
+        F.concat(F.lit("/"), F.array_join(kept, "/")))
+
+    path = F.when(query != "", path_q).otherwise(path_noq)
     res = F.concat(scheme, F.lit("://"), hostport, path)
-    # queryless rows drop their whole trailing whitespace+slash run in
-    # one pass (a space can shield a '/' from the path-level strip —
-    # idempotence; see canonicalize_series), restoring the root path's
-    # single '/'; rows with a query keep it verbatim modulo the final
-    # whitespace strip.
-    junk = F.regexp_replace(res, f"(?:{_WS}|/)+\\z", "")
-    rootless = junk.rlike(r"^[a-z][a-z0-9+.\-]*://[^/?#]*\z")
-    junk = F.when(rootless, F.concat(junk, F.lit("/"))).otherwise(junk)
     res = F.when(query != "",
-                 _strip_col(F.concat(res, F.lit("?"), query))).otherwise(junk)
+                 _strip_col(F.concat(res, F.lit("?"), query))).otherwise(res)
     return F.when(ok, res).otherwise(u)
 
 

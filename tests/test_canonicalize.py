@@ -42,6 +42,18 @@ SPEC = [
     ("https://example.com/a/.", "https://example.com/a"),
     ("mailto:x@y.z", "mailto:x@y.z"),  # non-URL passthrough (filtered later)
     ("notaurl", "notaurl"),
+    # terminal-junk interactions (idempotence regressions, round 3):
+    # whitespace shielding slashes/dots from the path rules, hostport
+    # whitespace shielding the default-port strip, doubled ports
+    ("https://ex.com/0/ ?", "https://ex.com/0"),
+    ("HTTP://h.io:80 ?", "http://h.io:80 /"),  # ws INSIDE host group stays
+    ("https://q.com:443/. ?", "https://q.com/"),
+    ("https://q.com/a/ /. ?", "https://q.com/a"),
+    ("https://q.com/a/ /..", "https://q.com/a"),
+    ("https://h//b/a/.../a//a./ /..", "https://h/b/a/.../a/a."),
+    ("http://h.io:80:80/x", "http://h.io/x"),
+    ("https://q.com:8080/x", "https://q.com:8080/x"),  # :8080 is NOT :80
+    ("https://q.com/a?b/ ", "https://q.com/a?b/"),  # query kept verbatim
 ]
 
 
@@ -56,12 +68,15 @@ def test_null_passthrough():
     assert out[0] is None and out[1] == "https://a.com/"
 
 
-@settings(max_examples=200, deadline=None)
-@given(st.text(alphabet="abcXYZ019:/.?#%~_- ", max_size=40))
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abcXYZ04819:/.?#%~_- \t", max_size=40))
 def test_idempotent_random(suffix):
-    u = "https://Ex.COM" + suffix
-    c1 = canonicalize_one(u)
-    assert canonicalize_one(c1) == c1
+    # alphabet includes 4/8/tab so doubled default ports (:443:443)
+    # and whitespace-shielded junk are reachable
+    for prefix in ("https://Ex.COM", "HTTP://h.io:80"):
+        u = prefix + suffix
+        c1 = canonicalize_one(u)
+        assert canonicalize_one(c1) == c1, u
 
 
 def test_idempotent_on_generated_links(web1k):
