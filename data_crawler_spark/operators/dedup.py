@@ -94,7 +94,8 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 64,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       unique_ids: bool = True) -> DataFrame:
     """MinHash signature as an array<bigint>: component j = min over
     shingles of g_j(xxhash64(shingle)), with g_j the Kirsch-
     Mitzenmacher double-hash family g_j(x) = h1(x) + j*h2(x) derived
@@ -119,18 +120,27 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """
     from data_crawler_spark.functions.hashing import splitmix64_np
 
-    # CONTRACT: one input row per id (every caller here passes a
-    # deduplicated (id, text) table). Then ANY partitioning is
-    # doc-disjoint — a doc's shingles come from its single row and
-    # explode/project are narrow — so the corpus text only needs a
-    # shuffle when the scan is UNDER-partitioned (a small parquet =
-    # few/one split): at 100 TB the scan has thousands of splits and
-    # the signature sweep is shuffle-FREE; at fixture scale the
-    # explicit repartition buys full-width tokenization for one
+    # CONTRACT (``unique_ids=True``, the default): one input row per id
+    # (every caller here passes a deduplicated (id, text) table). Then
+    # ANY partitioning is doc-disjoint — a doc's shingles come from its
+    # single row and explode/project are narrow — so the corpus text
+    # only needs a shuffle when the scan is UNDER-partitioned (a small
+    # parquet = few/one split): at 100 TB the scan has thousands of
+    # splits and the signature sweep is shuffle-FREE; at fixture scale
+    # the explicit repartition buys full-width tokenization for one
     # trivially small exchange.
+    #
+    # ``unique_ids=False`` lifts the contract for callers whose table
+    # may hold several rows per id (signature = min over the UNION of
+    # the rows' shingle sets): one unconditional hash repartition on
+    # id_col co-locates each id's rows, and the per-partition
+    # groupby-min is then complete again. That repartition shuffles the
+    # corpus text — the price of not knowing the ids are unique.
     src = df.select(F.col(id_col), F.col(text_col))
     parts = _doc_partitions(df)
-    if src.rdd.getNumPartitions() < parts:
+    if not unique_ids:
+        src = src.repartition(parts, id_col)
+    elif src.rdd.getNumPartitions() < parts:
         src = src.repartition(parts, id_col)
     ex = src.select(F.col(id_col),
                     F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh"))
@@ -206,37 +216,43 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     rows = n_hashes // n_bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, n_bands, rows).persist()
-    # materialize the candidate cache in ONE pass before the verify
-    # stage forks it (cand_ids broadcast + verify left side): two
-    # branches racing an unfilled cache serialize on block locks and
-    # re-run the whole signature pipeline
-    cands.count()
-    cand_ids = (cands.select(F.col("id_a").alias(id_col))
-                .unionByName(cands.select(F.col("id_b").alias(id_col)))
-                .distinct())
-    # broadcast the candidate id set: the semi-join must NOT shuffle the
-    # corpus text (a plain SMJ here moves every document's full text for
-    # a filter that keeps a tiny fraction); LSH guarantees candidates
-    # are a small slice, so the id set broadcasts. Then only candidate
-    # docs are shingled, and those shingle rows broadcast onto the pairs.
-    sh = (df.join(F.broadcast(cand_ids), id_col, "left_semi")
-          .select(F.col(id_col),
-                  shingles_col(F.col(text_col), shingle_n).alias("sh")))
-    verified = (
-        cands
-        .join(F.broadcast(sh.select(F.col(id_col).alias("id_a"),
-                                    F.col("sh").alias("sh_a"))), "id_a")
-        .join(F.broadcast(sh.select(F.col(id_col).alias("id_b"),
-                                    F.col("sh").alias("sh_b"))), "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
-        .withColumn("jaccard",
-                    F.round(F.when(F.col("uni") > 0,
-                                   F.col("inter").cast("double") / F.col("uni"))
-                            .otherwise(F.lit(0.0)), 4))
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select("id_a", "id_b", "jaccard")
+    try:
+        # materialize the candidate cache in ONE pass before the verify
+        # stage forks it (cand_ids broadcast + verify left side): two
+        # branches racing an unfilled cache serialize on block locks and
+        # re-run the whole signature pipeline
+        cands.count()
+        cand_ids = (cands.select(F.col("id_a").alias(id_col))
+                    .unionByName(cands.select(F.col("id_b").alias(id_col)))
+                    .distinct())
+        # broadcast the candidate id set: the semi-join must NOT shuffle the
+        # corpus text (a plain SMJ here moves every document's full text for
+        # a filter that keeps a tiny fraction); LSH guarantees candidates
+        # are a small slice, so the id set broadcasts. Then only candidate
+        # docs are shingled, and those shingle rows broadcast onto the pairs.
+        sh = (df.join(F.broadcast(cand_ids), id_col, "left_semi")
+              .select(F.col(id_col),
+                      shingles_col(F.col(text_col), shingle_n).alias("sh")))
+        verified = (
+            cands
+            .join(F.broadcast(sh.select(F.col(id_col).alias("id_a"),
+                                        F.col("sh").alias("sh_a"))), "id_a")
+            .join(F.broadcast(sh.select(F.col(id_col).alias("id_b"),
+                                        F.col("sh").alias("sh_b"))), "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+            .withColumn("jaccard",
+                        F.round(F.when(F.col("uni") > 0,
+                                       F.col("inter").cast("double") / F.col("uni"))
+                                .otherwise(F.lit(0.0)), 4))
+            .filter(F.col("jaccard") >= threshold)
+        )
+        # materialize the (small) verified pair set so the candidate
+        # cache can be released before returning — repeated invocations
+        # in one session previously accumulated cached candidate blocks
+        return verified.select("id_a", "id_b", "jaccard").localCheckpoint()
+    finally:
+        cands.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -279,7 +295,8 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       unique_ids: bool = True) -> DataFrame:
     """Vectorized 64-bit SimHash, minhash-shaped plan: explode tokens
     (duplicates kept — every occurrence votes, same spec as
     simhash_udf), ONE JVM xxhash64 per token inside codegen, shuffle a
@@ -297,10 +314,14 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     # scan task); downstream stays doc-disjoint for the vote merge.
     # same one-row-per-id contract / conditional repartition as
     # minhash_signatures: votes are complete per partition because a
-    # doc's tokens come from its single row
+    # doc's tokens come from its single row. ``unique_ids=False``
+    # co-locates multi-row ids with an unconditional hash repartition
+    # (votes then sum over ALL the id's rows — every occurrence votes).
     src = df.select(F.col(id_col), F.col(text_col))
     parts = _doc_partitions(df)
-    if src.rdd.getNumPartitions() < parts:
+    if not unique_ids:
+        src = src.repartition(parts, id_col)
+    elif src.rdd.getNumPartitions() < parts:
         src = src.repartition(parts, id_col)
     ex = src.select(F.col(id_col), F.explode(toks).alias("w"))
     hashed = ex.select(F.col(id_col), F.xxhash64("w").alias("h"))
@@ -325,7 +346,8 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                             "sim": sim.astype(np.int64)})
 
     sigs = hashed.mapInPandas(vote_partition, f"{id_col} long, sim long")
-    return (df.select(id_col).join(sigs, id_col, "left")
+    spine = df.select(id_col) if unique_ids else df.select(id_col).distinct()
+    return (spine.join(sigs, id_col, "left")
             .select(F.col(id_col), F.coalesce("sim", F.lit(0)).alias("sim")))
 
 
@@ -410,10 +432,16 @@ class IncrementalMinHashIndex:
         sigs_delta = minhash_signatures(
             delta, self.id_col, text_col,
             n_hashes=self.n_hashes, shingle_n=self.shingle_n).persist()
-        self.table.write(sigs_delta, mode="append")
+        v = self.table.write(sigs_delta, mode="append")
+        # band the delta from the COMMITTED segment, not the cached
+        # frame: the returned pair DataFrame then has no dependency on
+        # the cache, so unpersisting it here can't silently re-run the
+        # whole signature pipeline when the caller evaluates the pairs
+        sigs_delta.unpersist()
 
         all_sigs = self.table.read()
-        d_band = banded(sigs_delta, self.id_col, self.n_bands, self.rows_per_band)
+        d_band = banded(self.table.segment_df(v), self.id_col,
+                        self.n_bands, self.rows_per_band)
         a_band = banded(all_sigs, self.id_col, self.n_bands, self.rows_per_band)
         cands = (
             d_band.select(F.col(self.id_col).alias("id_a"), "band", "bh")
@@ -437,7 +465,6 @@ class IncrementalMinHashIndex:
             .filter(F.col("est_jaccard") >= threshold)
             .select("id_a", "id_b", "est_jaccard")
         )
-        sigs_delta.unpersist()
         return pairs
 
 

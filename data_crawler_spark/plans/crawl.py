@@ -244,6 +244,9 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
 # attribute driver-idle time to a phase).
 STAGE_TIMES: dict[str, float] = {}
 CURRENT_STAGES: set = set()
+# DCS_PROFILE=1: per-round membership scan-bytes records (pruned vs
+# full base) — consumed by bench/membership.py
+MEMBERSHIP_METRICS: list[dict] = []
 
 
 def _persist(df: DataFrame, level: str | None = None) -> DataFrame:
@@ -364,11 +367,16 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     sched = _persist(with_crawl_seq(base, num_partitions=seq_parts),
                      "MEMORY_AND_DISK")
     with _stage("gate_schedule_seq"):
-        # ONE wide pass fills the cache and yields the round size —
-        # concurrent consumers below then drain the cache instead of
-        # racing to fill it (unfilled-cache races serialize on block
-        # locks while occupying task slots)
-        n_sched = sched.count()
+        # ONE wide pass fills the cache and yields BOTH the round size
+        # and the per-partition lineage counts (the lineage commit then
+        # writes driver-held rows instead of re-scanning sched — one
+        # fewer full pass per round); concurrent consumers below drain
+        # the cache instead of racing to fill it (unfilled-cache races
+        # serialize on block locks while occupying task slots)
+        sched_hist = (sched.groupBy(F.spark_partition_id()
+                                    .alias("partition_id"))
+                      .count().collect())
+    n_sched = sum(int(r["count"]) for r in sched_hist)
     ctx.last_n_sched = n_sched
     if n_sched == 0:
         sched.unpersist()
@@ -381,11 +389,26 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     ncoal = max(1, min(32, n_sched // 100_000 + 1))
 
     commit_pool = ThreadPoolExecutor(4)
+    try:
+        return _run_round_commits(ctx, rnd, commit_pool, sched, base,
+                                  seq_parts, n_sched, sched_hist, ncoal)
+    finally:
+        # one finally spans pool creation through the commit barrier: an
+        # exception anywhere in between (e.g. during the extraction
+        # count) previously leaked the executor thread and swallowed a
+        # _commit_scheduled failure
+        commit_pool.shutdown(wait=True)
 
+
+def _run_round_commits(ctx: CrawlContext, rnd: int,
+                       commit_pool: ThreadPoolExecutor, sched: DataFrame,
+                       base: DataFrame, seq_parts: int, n_sched: int,
+                       sched_hist: list, ncoal: int) -> int:
     def _commit_scheduled() -> None:
         with _stage("write_scheduled"):
             ctx.scheduled.write(
-                sched.select(F.lit(rnd).alias("round"), "seq", "url",
+                sched.select(F.lit(rnd).alias("round"),
+                             F.col("seq").cast("long").alias("seq"), "url",
                              "url_hash", "host", "depth", "priority",
                              "rn").coalesce(ncoal),
                 "append")
@@ -511,10 +534,24 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         # buckets), not O(corpus). A maybe-set touching most buckets
         # degenerates to the full scan.
         buckets = None
-        if ctx.frontier.base_bytes() >= ctx.membership_prune_min_bytes:
+        base_bytes = ctx.frontier.base_bytes()
+        if base_bytes >= ctx.membership_prune_min_bytes:
             got = [int(r["b"]) for r in hist]
             if len(got) <= 0.5 * ctx.frontier.n_buckets:
                 buckets = got
+        if os.environ.get("DCS_PROFILE") == "1":
+            # scan-bytes accounting for the exact-membership base scan
+            # (driver stat walk, profiling only): what a pruned scan
+            # reads vs the full base
+            MEMBERSHIP_METRICS.append({
+                "round": rnd,
+                "base_bytes": base_bytes,
+                "scanned_bytes": (ctx.frontier.bucket_bytes(buckets)
+                                  if buckets is not None else base_bytes),
+                "buckets_touched": (len(buckets) if buckets is not None
+                                    else ctx.frontier.n_buckets),
+                "pruned": buckets is not None,
+            })
         ever = ctx.frontier.discovered(buckets).select("url")
         use_broadcast = ctx.membership_join == "broadcast" or (
             ctx.membership_join == "auto"
@@ -560,7 +597,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         with _stage("write_frontier"):
             ctx.frontier.commit_round(
                 new_rows.select([f.name for f in schemas.FRONTIER]),
-                sched.select("url"), compact=False)
+                sched.select("url", "url_hash"), compact=False)
         # discovered-bloom fold (op 31), amortized: instead of a
         # read-merge-write of the full bitmap table every round, the
         # fold runs at the frontier's compaction cadence and hashes the
@@ -580,14 +617,10 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
 
     def _commit_lineage(after) -> None:
         # lineage / metrics (ops 04b/18): per-partition scheduled counts
+        # (already collected by the round-size pass — no sched re-scan)
         # plus round-level fetch/dedup/frontier gauges (partition_id=-1)
-        lin = (
-            sched.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("value"))
-            .select(F.lit(rnd).alias("round"),
-                    F.col("partition_id").cast("int"),
-                    F.lit("scheduled").alias("metric"), "value")
-        )
+        rows = [(rnd, int(r["partition_id"]), "scheduled", int(r["count"]))
+                for r in sched_hist]
         if ctx.lineage_gauges:
             # the frontier-size gauge reads the post-commit pending set;
             # two of these are full-table counts over monotonically
@@ -600,8 +633,8 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
                 ("frontier_size", ctx.frontier.read().count()),
                 ("seen_size", ctx.seen.read().count()),
             ]
-            lin = lin.unionByName(ctx.spark.createDataFrame(
-                [(rnd, -1, m, int(v)) for m, v in gauges], schemas.LINEAGE))
+            rows += [(rnd, -1, m, int(v)) for m, v in gauges]
+        lin = ctx.spark.createDataFrame(rows, schemas.LINEAGE)
         with _stage("write_lineage"):
             ctx.lineage.write(lin.coalesce(1), mode="append")
 
@@ -611,14 +644,13 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # round atomic, so commit ORDER between tables is irrelevant:
     # a crash before the checkpoint rolls every table back together).
     # f_sched (submitted before the extraction pass) joins the barrier.
-    try:
-        f_ext = commit_pool.submit(_commit_extracted)
-        f_fb = commit_pool.submit(_commit_frontier_bloom)
-        f_lin = commit_pool.submit(_commit_lineage, (f_fb, f_sched))
-        for f in (f_sched, f_ext, f_fb, f_lin):
-            f.result()
-    finally:
-        commit_pool.shutdown(wait=True)
+    # The pool itself is shut down by run_round's finally, which spans
+    # from pool creation through here.
+    f_ext = commit_pool.submit(_commit_extracted)
+    f_fb = commit_pool.submit(_commit_frontier_bloom)
+    f_lin = commit_pool.submit(_commit_lineage, (f_fb, f_sched))
+    for f in (f_sched, f_ext, f_fb, f_lin):
+        f.result()
 
     # the commit point: everything above is replayable until this lands
     ctx.checkpoint.commit({

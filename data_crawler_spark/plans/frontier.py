@@ -33,12 +33,15 @@ semantics):
 The tombstone table stays small between compactions, so Catalyst picks
 a broadcast anti-join from its file-size stats — the read adds ZERO
 exchange at sandbox scale and one bounded small-side shuffle beyond
-broadcast size. Every ``compact_every`` rounds the flag-fold rewrites
-the base (amortized O(discovered / compact_every) per round) and
-delta/removed truncate (pure manifest ops). On a real cluster the
-refinement is bucket-level compaction — rewrite only the bucket
-partitions whose delta/tombstone fraction crosses a threshold — which
-the partitioned layout here is exactly shaped for.
+broadcast size. Every ``compact_every`` rounds the flag-fold runs at
+BUCKET granularity: only the bucket partitions the delta/tombstone
+logs touch are rewritten; clean buckets carry over by manifest
+reference (SnapshotTable.write_replacing_parts — the Iceberg
+dynamic-partition-overwrite shape), so the per-compaction write is
+O(dirty-bucket bytes), never O(corpus). Delta/removed then truncate
+(pure manifest ops). A full single-dir rewrite still runs when most
+buckets are dirty or after ``max_base_entries`` incremental rounds
+(bounds read fan-in and dead bytes in partially-replaced dirs).
 
 Crash safety: the crawl checkpoint records all three table versions
 after commit_round; resume rolls all three back together, so a crash
@@ -59,7 +62,14 @@ from pyspark.sql.types import (BooleanType, IntegerType, StringType,
 
 from data_crawler_spark.plans.snapshots import SnapshotTable
 
-REMOVED_SCHEMA = StructType([StructField("url", StringType(), False)])
+from pyspark.sql.types import LongType
+
+# the tombstone log carries url_hash alongside url so bucket-level
+# compaction can locate each tombstone's base partition WITHOUT
+# assuming the caller's hash convention (url_hash is a caller-provided
+# column; the crawl uses xxhash64)
+REMOVED_SCHEMA = StructType([StructField("url", StringType(), False),
+                             StructField("url_hash", LongType(), True)])
 
 
 def _base_schema(schema: StructType) -> StructType:
@@ -75,7 +85,7 @@ def _base_schema(schema: StructType) -> StructType:
 class FrontierStore:
     def __init__(self, spark: SparkSession, root: str | os.PathLike,
                  schema: StructType, compact_every: int = 4,
-                 n_buckets: int = 64):
+                 n_buckets: int = 64, max_base_entries: int = 8):
         self.base = SnapshotTable(spark, root, "frontier",
                                   _base_schema(schema))
         self.delta = SnapshotTable(spark, Path(root), "frontier_delta", schema)
@@ -83,6 +93,11 @@ class FrontierStore:
                                      REMOVED_SCHEMA)
         self.schema = schema
         self.compact_every = compact_every
+        # incremental (bucket-level) compactions add one manifest entry
+        # each; past this many the next compaction folds everything
+        # back into ONE dir (bounds read fan-in and dead bytes from
+        # partially-replaced dirs)
+        self.max_base_entries = max_base_entries
         # the bucket count is part of the on-disk layout: persist it at
         # bootstrap and reuse on re-open — a drifted runtime value would
         # make pruning filters silently miss buckets
@@ -113,11 +128,15 @@ class FrontierStore:
                                    F.lit(self.n_buckets)).cast("int")))
 
     def _write_base(self, df: DataFrame) -> None:
+        # the marker lands BEFORE the base commit: a crash in between
+        # leaves marker + base v0, which __init__ opens fine; the other
+        # order left a committed bucketed base that __init__ permanently
+        # refused as "pre-bucketed layout"
+        if not self._marker.exists():
+            self._marker.write_text(str(self.n_buckets))
         # ≤ 2 files per bucket: one shuffle keyed on the partition col
         self.base.write(df.repartition(F.col("bucket")),
                         partition_by=["bucket", "pending"])
-        if not self._marker.exists():
-            self._marker.write_text(str(self.n_buckets))
 
     # -- reads ---------------------------------------------------------
 
@@ -197,7 +216,8 @@ class FrontierStore:
         with ThreadPoolExecutor(2) as ex:
             f_delta = ex.submit(self.delta.write, new_rows, "append")
             f_removed = ex.submit(
-                self.removed.write, removed_urls.select("url"), "append")
+                self.removed.write, removed_urls.select("url", "url_hash"),
+                "append")
             v = f_delta.result()
             f_removed.result()
         seg = self.delta.segment_df(v)
@@ -211,40 +231,120 @@ class FrontierStore:
     def base_bytes(self) -> int:
         """On-disk size of the current base version (driver-side stat
         walk — no Spark job); used to decide when bucket-pruned
-        membership pays for its bookkeeping."""
+        membership pays for its bookkeeping. Partial (bucket-restricted)
+        entries count only their referenced partition subtrees."""
         m = self.base._manifest()
         total = 0
-        for d in m["versions"].get(str(m["current"]), []):
-            root = self.base.dir / d
-            if root.exists():
-                total += sum(f.stat().st_size
-                             for f in root.rglob("*.parquet"))
+        for e in m["versions"].get(str(m["current"]), []):
+            if isinstance(e, dict):
+                roots = [self.base.dir / e["dir"] / p for p in e["parts"]]
+            else:
+                roots = [self.base.dir / e]
+            for root in roots:
+                if root.exists():
+                    total += sum(f.stat().st_size
+                                 for f in root.rglob("*.parquet"))
         return total
 
-    def compact(self) -> None:
-        """Fold delta + tombstones into a fresh bucketed base version:
-        delta rows join the log as pending, and rows whose url is in
-        the removed log flip pending -> false (they stay in the log —
-        they are discovered). Reads the OLD versions while staging the
-        new data dir (snapshot writes never mutate committed dirs),
-        then truncates the logs — all three commits are independent
-        manifest renames; a crash between them is undone by the
-        caller's checkpoint rollback."""
-        rows = self._base_df().drop("bucket")
+    def bucket_bytes(self, buckets: list[int]) -> int:
+        """On-disk bytes of ONLY the given bucket partitions in the
+        current base version (driver-side stat walk) — what a
+        bucket-pruned membership scan actually reads from the base."""
+        want = {f"bucket={int(b)}" for b in buckets}
+        m = self.base._manifest()
+        total = 0
+        for e in m["versions"].get(str(m["current"]), []):
+            if isinstance(e, dict):
+                parts = [p for p in e["parts"] if p in want]
+                roots = [self.base.dir / e["dir"] / p for p in parts]
+            else:
+                roots = [self.base.dir / e / p for p in want]
+            for root in roots:
+                if root.exists():
+                    total += sum(f.stat().st_size
+                                 for f in root.rglob("*.parquet"))
+        return total
+
+    def _fold_removed(self, rows: DataFrame) -> DataFrame:
+        """Flip pending -> false for rows whose url is tombstoned (they
+        stay in the log — they are discovered)."""
+        if not self.removed.n_segments():
+            return rows
+        rm = (self.removed.read().select("url").distinct()
+              .withColumn("_rm", F.lit(True)))
+        return (rows.join(F.broadcast(rm), "url", "left")
+                .withColumn("pending",
+                            F.col("pending") & F.col("_rm").isNull())
+                .drop("_rm"))
+
+    def _dirty_buckets(self) -> list[int]:
+        """Buckets touched by the delta + tombstone logs — the only
+        base partitions a compaction has to rewrite. One O(delta-log)
+        job collecting ≤ n_buckets ints."""
+        touched = None
         if self.delta.n_segments():
-            rows = rows.unionByName(
-                self._delta_df().withColumn("pending", F.lit(True)))
+            touched = self._delta_df().select("url_hash")
         if self.removed.n_segments():
-            rm = self.removed.read().distinct().withColumn("_rm", F.lit(True))
-            rows = (rows.join(F.broadcast(rm), "url", "left")
-                    .withColumn("pending",
-                                F.col("pending") & F.col("_rm").isNull())
-                    .drop("_rm"))
-        self._write_base(rows.withColumn(
-            "bucket", F.pmod(F.col("url_hash"),
-                             F.lit(self.n_buckets)).cast("int")))
+            rm = self.removed.read().select("url_hash")
+            touched = rm if touched is None else touched.unionByName(rm)
+        if touched is None:
+            return []
+        rows = (touched.select(
+            F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
+            .alias("b")).distinct().collect())
+        return sorted(int(r["b"]) for r in rows)
+
+    def compact(self) -> None:
+        """Fold delta + tombstones into the base — at BUCKET granularity:
+        only the bucket partitions the logs actually touch are rewritten
+        (delta rows join as pending; tombstoned urls flip
+        pending -> false); clean buckets carry over by manifest
+        reference (SnapshotTable.write_replacing_parts — the Iceberg
+        dynamic-partition-overwrite shape). Per-compaction write cost is
+        O(dirty-bucket bytes), not O(corpus) — the last O(corpus) write
+        on the crawl path at the 10^10 design point. Every
+        ``max_base_entries`` incremental compactions the fold rewrites
+        the whole base into one dir (bounds read fan-in / dead bytes).
+
+        Reads the OLD versions while staging the new data dir (snapshot
+        writes never mutate committed dirs), then truncates the logs —
+        all three commits are independent manifest renames; a crash
+        between them is undone by the caller's checkpoint rollback."""
+        dirty = self._dirty_buckets()
+        n_entries = len(self.base._manifest()["versions"]
+                        .get(str(self.base.current_version()), []))
+        incremental = (
+            0 < len(dirty) <= self.n_buckets // 2
+            and n_entries > 0  # bootstrap not committed yet -> full
+            and n_entries < self.max_base_entries
+        )
+        if incremental:
+            # dirty buckets only: base rows keep their pending flag
+            rows = (self._base_df()
+                    .filter(F.col("bucket").isin(dirty)).drop("bucket"))
+            if self.delta.n_segments():
+                rows = rows.unionByName(
+                    self._delta_df().withColumn("pending", F.lit(True)))
+            rows = self._fold_removed(rows)
+            folded = self._bucketed_cols(rows)
+            self.base.write_replacing_parts(
+                folded.repartition(F.col("bucket")),
+                parts=[f"bucket={b}" for b in dirty],
+                partition_by=["bucket", "pending"])
+        else:
+            rows = self._base_df().drop("bucket")
+            if self.delta.n_segments():
+                rows = rows.unionByName(
+                    self._delta_df().withColumn("pending", F.lit(True)))
+            rows = self._fold_removed(rows)
+            self._write_base(self._bucketed_cols(rows))
         self.delta.truncate()
         self.removed.truncate()
+
+    def _bucketed_cols(self, rows: DataFrame) -> DataFrame:
+        return rows.withColumn(
+            "bucket", F.pmod(F.col("url_hash"),
+                             F.lit(self.n_buckets)).cast("int"))
 
     # -- versioning (crawl checkpoint integration) ----------------------
 

@@ -15,6 +15,13 @@ scaling shape:
   append commits ONE new data dir and a manifest entry referencing
   previous dirs plus the new one (O(delta) I/O, like an Iceberg
   fast-append snapshot; the table is never rewritten).
+- an entry may also be PART of a dir: ``{"dir": "d000001", "parts":
+  ["bucket=3", ...]}`` restricts the reference to the named hive
+  partition subpaths. ``write_replacing_parts`` uses this for
+  partition-level rewrites (Iceberg dynamic partition overwrite): the
+  new version references the fresh dir for the replaced partitions and
+  the previous dirs for everything else — untouched partitions carry
+  over WITHOUT rewrite.
 - ``write`` stages the new data dir first, then commits by writing
   manifest.tmp and ``os.replace``: a crash before the rename leaves the
   previous version current, so a crawl round replays idempotently.
@@ -58,17 +65,42 @@ class SnapshotTable:
         tmp.write_text(json.dumps(manifest))
         os.replace(tmp, self._manifest_path)  # the atomic commit point
 
-    def _dirs_for(self, m: dict, version: int) -> list[str]:
+    def _dirs_for(self, m: dict, version: int) -> list:
         return m["versions"].get(str(version), [])
+
+    @staticmethod
+    def _entry_dir(entry) -> str:
+        return entry["dir"] if isinstance(entry, dict) else entry
 
     def read(self, version: int | None = None) -> DataFrame:
         m = self._manifest()
         v = m["current"] if version is None else version
-        dirs = self._dirs_for(m, v)
-        if not dirs:
+        entries = self._dirs_for(m, v)
+        if not entries:
             return self.spark.createDataFrame([], self.schema)
-        paths = [str(self.dir / d) for d in dirs]
-        return self.spark.read.schema(self.schema).parquet(*paths)
+        plain = [e for e in entries if not isinstance(e, dict)]
+        dfs = []
+        if plain:
+            dfs.append(self.spark.read.schema(self.schema)
+                       .parquet(*[str(self.dir / d) for d in plain]))
+        for e in entries:
+            if not isinstance(e, dict):
+                continue
+            paths = [str(self.dir / e["dir"] / p) for p in e["parts"]]
+            if not paths:
+                continue
+            # basePath anchors partition-column inference at the data
+            # dir, so reading only some partition subpaths still yields
+            # the partition columns
+            dfs.append(self.spark.read
+                       .option("basePath", str(self.dir / e["dir"]))
+                       .schema(self.schema).parquet(*paths))
+        if not dfs:
+            return self.spark.createDataFrame([], self.schema)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def write(self, df: DataFrame, mode: str = "overwrite",
               partition_by: list[str] | None = None) -> int:
@@ -98,6 +130,44 @@ class SnapshotTable:
         self._commit(m)
         return new_v
 
+    def write_replacing_parts(self, df: DataFrame, parts: list[str],
+                              partition_by: list[str]) -> int:
+        """Commit a new version where ``df`` REPLACES the named hive
+        partition subpaths (e.g. ``["bucket=3", "bucket=17"]``) of the
+        current version; every other partition carries over BY
+        REFERENCE from the previous version's dirs — the partition-
+        level rewrite an Iceberg dynamic partition overwrite commits.
+        ``df`` must contain only rows belonging to ``parts``."""
+        m = self._manifest()
+        dname = f"d{m['next_dir']:06d}"
+        ddir = self.dir / dname
+        if ddir.exists():  # leftover from a crashed, uncommitted write
+            shutil.rmtree(ddir)
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(str(ddir))
+        replaced = set(parts)
+        new_entries: list = []
+        for e in self._dirs_for(m, m["current"]):
+            if isinstance(e, dict):
+                kept = [p for p in e["parts"] if p not in replaced]
+            else:
+                # a whole-dir entry: enumerate its top-level partition
+                # dirs so the replaced ones can be subtracted
+                kept = sorted(p.name for p in (self.dir / e).iterdir()
+                              if p.is_dir() and "=" in p.name
+                              and p.name not in replaced)
+            if kept:
+                new_entries.append({"dir": self._entry_dir(e), "parts": kept})
+        written = sorted(p.name for p in ddir.iterdir()
+                         if p.is_dir() and "=" in p.name)
+        if written:
+            new_entries.append({"dir": dname, "parts": written})
+        new_v = m["current"] + 1
+        m["versions"][str(new_v)] = new_entries
+        m["current"] = new_v
+        m["next_dir"] += 1
+        self._commit(m)
+        return new_v
+
     def segment_df(self, version: int | None = None) -> DataFrame:
         """Rows appended BY ``version`` (its newest data dir only) —
         the O(delta) read used to e.g. hash a round's frontier adds
@@ -109,7 +179,8 @@ class SnapshotTable:
         dirs = self._dirs_for(m, v)
         if not dirs:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(str(self.dir / dirs[-1]))
+        return self.spark.read.schema(self.schema).parquet(
+            str(self.dir / self._entry_dir(dirs[-1])))
 
     def n_segments(self) -> int:
         """Data dirs in the current version (== appends since the last
@@ -149,7 +220,7 @@ class SnapshotTable:
         keep = set(vs[-keep_last:])
         live: set[str] = set()
         for v in keep:
-            live.update(m["versions"][str(v)])
+            live.update(self._entry_dir(e) for e in m["versions"][str(v)])
         for v in vs:
             if v not in keep:
                 del m["versions"][str(v)]

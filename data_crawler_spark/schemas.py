@@ -42,7 +42,10 @@ SEEN = StructType([
 
 SCHEDULED = StructType([
     StructField("round", IntegerType(), False),
-    StructField("seq", IntegerType(), False),
+    # long: a round's seq is bounded by Σ host budgets, which exceeds
+    # int32 at the 10^10-URL design point; the two-phase sequencer
+    # (operators/scheduler.py) emits int64 natively
+    StructField("seq", LongType(), False),
     StructField("url", StringType(), False),
     StructField("url_hash", LongType(), False),
     StructField("host", StringType(), True),

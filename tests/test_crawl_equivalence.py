@@ -69,3 +69,29 @@ def test_lineage_totals(crawl_result, oracle1k):
         .orderBy("round").collect()
     )
     assert [r.n for r in lin] == oracle1k.scheduled_per_round
+
+
+def test_seq_partitioning_estimate_invariance(spark, web1k, tmp_path):
+    """The seq-partitioning estimate (Σ-budget / last-round size,
+    crawl.py run_round `est`) drives ONLY the two-phase partition
+    count. Pin that claim: estimates wildly wrong in both directions —
+    0 (single-window fallback) and ~10^6x actual (forces the 200-way
+    two-phase path on measurement-sized rounds) — must produce the
+    byte-identical visit order."""
+    from data_crawler_spark.plans.crawl import (bootstrap, open_crawl,
+                                                run_round, visit_order_df)
+
+    orders = []
+    for name, bound, last in [("est_zero", 0, 0),
+                              ("est_huge", 10**12, 10**9)]:
+        ctx = open_crawl(spark, web1k, tmp_path / name)
+        bootstrap(ctx)
+        for rnd in range(3):
+            # re-pin before every round: run_round writes last_n_sched
+            ctx.sched_budget_bound = bound
+            ctx.last_n_sched = last
+            if run_round(ctx, rnd) == 0:
+                break
+        orders.append([(r.round, r.seq, r.url)
+                       for r in visit_order_df(ctx).collect()])
+    assert orders[0] == orders[1]

@@ -75,6 +75,30 @@ def test_minhash_recall_vs_bruteforce(spark):
     assert len(false) <= 2, false
 
 
+def test_signatures_with_duplicate_ids(spark, docs):
+    """unique_ids=False lifts the one-row-per-id contract: a doc split
+    across several rows with the same id signatures as the UNION of the
+    rows' shingle/token multisets. Duplicating every row verbatim must
+    therefore reproduce the single-row signatures exactly (minhash: min
+    over the same shingle set; simhash: doubled votes, same sign)."""
+    from data_crawler_spark.operators.dedup import simhash_signatures
+    # spread the duplicate rows across many partitions so per-partition
+    # partials are genuinely incomplete without the co-locating shuffle
+    dup = docs.unionByName(docs).repartition(8)
+    want_mh = {r.doc_id: list(r.sig)
+               for r in minhash_signatures(docs).collect()}
+    got_mh = {r.doc_id: list(r.sig)
+              for r in minhash_signatures(dup, unique_ids=False).collect()}
+    assert got_mh == want_mh
+    want_sh = {r.doc_id: r.sim for r in simhash_signatures(docs).collect()}
+    got_sh = {r.doc_id: r.sim
+              for r in simhash_signatures(dup, unique_ids=False).collect()}
+    assert got_sh == want_sh
+    # one output row per id even though the input had two
+    assert minhash_signatures(dup, unique_ids=False).count() == len(want_mh)
+    assert simhash_signatures(dup, unique_ids=False).count() == len(want_sh)
+
+
 def test_simhash_identical_and_blocking(docs):
     sims = {r.doc_id: r.sim for r in
             docs.select("doc_id", simhash_udf("text").alias("sim")).collect()}

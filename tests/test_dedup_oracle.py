@@ -1,0 +1,104 @@
+"""Value-level bound checks for the rows-only dedup entries (dd03 /
+dd04): DuckDB full-pairs oracles at fixture scale assert that every
+emitted pair's VALUE is exact and that emitted pairs sit inside the
+oracle's above-threshold pair set. Recall stays approximate by design
+for MinHash LSH (the s-curve can miss borderline pairs — that tier is
+covered by the planted-near-dup recall test in test_dedup.py); SimHash
+blocking at hamming<=3 is pigeonhole-EXACT, so there the emitted set
+must equal the oracle's."""
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pandas as pd
+import pytest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+WORD_RE = "[A-Za-z0-9]+"
+
+
+@pytest.fixture(scope="module")
+def corpus() -> pd.DataFrame:
+    """Fixture documents + planted near-dups (one word perturbed), so
+    the emitted pair sets are non-empty regardless of the generated
+    corpus's natural duplicate rate."""
+    pdf = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{DOCS}')").df()
+    planted = []
+    for i, row in pdf.head(8).iterrows():
+        words = row["text"].split()
+        if len(words) > 6:
+            words[3] = "perturbed"
+        planted.append({"doc_id": 10_000_000 + int(row["doc_id"]),
+                        "text": " ".join(words)})
+    return pd.concat([pdf, pd.DataFrame(planted)], ignore_index=True)
+
+
+def test_dd03_minhash_pair_values_exact_vs_duckdb(spark, corpus):
+    """(a) every emitted pair's jaccard equals the DuckDB full-pairs
+    shingle-Jaccard for that pair; (b) emitted ⊆ oracle pairs above
+    threshold."""
+    from data_crawler_spark.operators.dedup import minhash_near_dups
+
+    thr = 0.5
+    docs = spark.createDataFrame(corpus)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_near_dups(docs, threshold=thr).collect()}
+    assert got, "planted near-dups must surface at fixture scale"
+
+    con = duckdb.connect()
+    con.register("docs", corpus)
+    oracle_rows = con.execute(f"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS toks
+          FROM docs
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+          FROM t WHERE len(toks) >= 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    """).fetchall()
+    oracle = {(ida, idb): j for ida, idb, j in oracle_rows}
+
+    for pair, jac in got.items():
+        assert pair in oracle, pair
+        # Spark rounds HALF_UP to 4 decimals
+        want = float(Decimal(str(oracle[pair]))
+                     .quantize(Decimal("0.0001"), ROUND_HALF_UP))
+        assert abs(jac - want) <= 1e-9, (pair, jac, oracle[pair])
+        assert oracle[pair] >= thr - 1e-9, (pair, oracle[pair])
+
+
+def test_dd04_simhash_pairs_equal_duckdb_oracle(spark, corpus):
+    """SimHash 16-bit-chunk blocking is EXACT at hamming<=3 (4 chunks,
+    <=3 differing bits -> some chunk matches exactly), so dd04's
+    emitted pair set must EQUAL the DuckDB all-pairs set within the
+    threshold, with exact hamming values. Signature correctness itself
+    is pinned byte-identical to the executable spec in test_dedup.py —
+    this check hardens the blocking + verify stages."""
+    from data_crawler_spark.operators.dedup import (simhash_near_dups,
+                                                    simhash_signatures)
+
+    max_h = 3
+    docs = spark.createDataFrame(corpus)
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_near_dups(docs, max_hamming=max_h).collect()}
+    assert got, "planted near-dups must collide at fixture scale"
+
+    sigs = simhash_signatures(docs).toPandas()
+    con = duckdb.connect()
+    con.register("sigs", sigs)
+    oracle_rows = con.execute("""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sim, b.sim)) AS h
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    """).fetchall()
+    oracle = {(x, y): h for x, y, h in oracle_rows}
+
+    want = {p: h for p, h in oracle.items() if h <= max_h}
+    assert got == want

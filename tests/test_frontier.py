@@ -18,6 +18,12 @@ def _rows(spark, urls, rnd):
         schemas.FRONTIER)
 
 
+def _rm(spark, urls):
+    # tombstones carry the SAME url_hash convention as _rows
+    return spark.createDataFrame([(u, hash(u) % 1000) for u in urls],
+                                 ["url", "url_hash"])
+
+
 def _urls(store):
     return sorted(r.url for r in store.read().collect())
 
@@ -33,8 +39,7 @@ def test_commit_round_appends_and_tombstones(spark, store):
     # schedule 2 of the seeds, discover 3 new
     store.commit_round(_rows(spark, ["https://h1.x/a", "https://h1.x/b",
                                      "https://h2.x/c"], 1),
-                       spark.createDataFrame([("https://h0.x/p0",),
-                                              ("https://h0.x/p1",)], ["url"]))
+                       _rm(spark, ["https://h0.x/p0", "https://h0.x/p1"]))
     assert _urls(store) == sorted(
         ["https://h0.x/p2", "https://h0.x/p3",
          "https://h1.x/a", "https://h1.x/b", "https://h2.x/c"])
@@ -50,7 +55,7 @@ def test_compaction_preserves_view_and_resets_logs(spark, store):
         new = [f"https://h{rnd}.x/n{j}" for j in range(3)]
         gone = sorted(expect)[:2]
         store.commit_round(_rows(spark, new, rnd),
-                           spark.createDataFrame([(u,) for u in gone], ["url"]))
+                           _rm(spark, gone))
         expect = (expect - set(gone)) | set(new)
         assert _urls(store) == sorted(expect)
     assert store.delta.n_segments() == 0  # truncated by compaction
@@ -63,7 +68,7 @@ def test_rollback_restores_all_three_tables(spark, store):
     v0 = store.versions()
     before = _urls(store)
     store.commit_round(_rows(spark, ["https://h9.x/z"], 1),
-                       spark.createDataFrame([("https://h0.x/p0",)], ["url"]))
+                       _rm(spark, ["https://h0.x/p0"]))
     assert _urls(store) != before
     store.rollback(v0)
     assert _urls(store) == before
@@ -78,9 +83,9 @@ def test_no_dedup_needed_invariant(spark, store):
     caller's contract violation this store does not need to handle —
     assert the view stays url-unique through tombstone + compaction."""
     store.commit_round(_rows(spark, ["https://h1.x/a"], 1),
-                       spark.createDataFrame([("https://h0.x/p0",)], ["url"]))
+                       _rm(spark, ["https://h0.x/p0"]))
     store.commit_round(_rows(spark, ["https://h1.x/b"], 2),
-                       spark.createDataFrame([("https://h1.x/a",)], ["url"]))
+                       _rm(spark, ["https://h1.x/a"]))
     store.compact()
     df = store.read()
     assert df.count() == df.select("url").distinct().count() == 4
@@ -92,7 +97,7 @@ def test_read_is_single_broadcast_antijoin(spark, store):
     log is rounds-since-compaction x Σ budgets, tiny) — no Exchange on
     the pending side at read time."""
     store.commit_round(_rows(spark, ["https://h1.x/a"], 1),
-                       spark.createDataFrame([("https://h0.x/p0",)], ["url"]))
+                       _rm(spark, ["https://h0.x/p0"]))
     plan = store.read()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "Exchange hashpartitioning" not in plan
@@ -102,7 +107,7 @@ def test_discovered_covers_tombstoned(spark, store):
     """The discovered view must retain scheduled (tombstoned) urls —
     it IS the url-seen membership set."""
     store.commit_round(_rows(spark, ["https://h1.x/a"], 1),
-                       spark.createDataFrame([("https://h0.x/p0",)], ["url"]))
+                       _rm(spark, ["https://h0.x/p0"]))
     store.compact()
     disc = sorted(r.url for r in store.discovered().collect())
     assert "https://h0.x/p0" in disc  # tombstoned but discovered
@@ -136,3 +141,129 @@ def test_discovered_bucket_pruning_is_static(spark, store):
         .filter(SF.col("bucket").isin(want)).select("url").collect()}
     got = {r.url for r in pruned.collect()}
     assert full_in_bucket <= got
+
+
+def test_buckets_marker_never_lags_base_commit(spark, tmp_path, monkeypatch):
+    """The _BUCKETS marker must land BEFORE the first base commit: a
+    crash in between then leaves (marker, base v0) — reopenable — not a
+    committed bucketed base that __init__ refuses as pre-bucketed."""
+    from data_crawler_spark.plans.snapshots import SnapshotTable
+
+    s = FrontierStore(spark, tmp_path, schemas.FRONTIER)
+    real_write = SnapshotTable.write
+    seen = {}
+
+    def checked_write(self, *a, **kw):
+        if self.name == "frontier":
+            seen["marker_at_write"] = s._marker.exists()
+        return real_write(self, *a, **kw)
+
+    monkeypatch.setattr(SnapshotTable, "write", checked_write)
+    s.bootstrap(_rows(spark, ["https://h0.x/p0"], 0))
+    assert seen["marker_at_write"] is True
+
+    # the crash-after-marker state (marker present, base still v0)
+    # reopens cleanly with the persisted bucket count
+    t2 = tmp_path / "crashed"
+    t2.mkdir()
+    (t2 / "frontier").mkdir()
+    (t2 / "frontier" / "_BUCKETS").write_text("32")
+    s2 = FrontierStore(spark, t2, schemas.FRONTIER)
+    assert s2.n_buckets == 32
+
+
+def test_incremental_compaction_rewrites_only_dirty_buckets(spark, tmp_path):
+    """Bucket-level compaction: the new base version's data dir holds
+    ONLY the buckets present in delta ∪ removed; clean buckets carry
+    over by manifest reference from the old dir (no rewrite)."""
+    s = FrontierStore(spark, tmp_path, schemas.FRONTIER, compact_every=2)
+    seeds = [f"https://h0.x/p{i}" for i in range(40)]
+    s.bootstrap(_rows(spark, seeds, 0))
+    old_entries = s.base._manifest()["versions"]["1"]
+    assert old_entries == ["d000001"]
+
+    new = ["https://h1.x/a", "https://h1.x/b"]
+    gone = [seeds[0]]
+    s.commit_round(_rows(spark, new, 1), _rm(spark, gone), compact=False)
+    dirty = sorted({hash(u) % 1000 % s.n_buckets for u in new + gone})
+    expect = sorted(set(seeds) - set(gone)) + sorted(new)
+    s.compact()
+
+    m = s.base._manifest()
+    entries = m["versions"][str(m["current"])]
+    # old dir referenced WITHOUT the dirty buckets; new dir = dirty only
+    by_dir = {e["dir"]: sorted(e["parts"]) for e in entries}
+    assert "d000001" in by_dir and len(by_dir) == 2
+    new_dir = next(d for d in by_dir if d != "d000001")
+    assert set(by_dir[new_dir]) == {f"bucket={b}" for b in dirty}
+    assert not set(by_dir[new_dir]) & set(by_dir["d000001"])
+    # the new dir's bytes on disk cover only dirty buckets
+    from pathlib import Path
+    written = sorted(p.name for p in (s.base.dir / new_dir).iterdir()
+                     if p.is_dir())
+    assert set(written) == {f"bucket={b}" for b in dirty}
+    # view correctness: pending set identical to the naive fold
+    assert _urls(s) == sorted(expect)
+    assert s.delta.n_segments() == 0 and s.removed.n_segments() == 0
+    # clean buckets are still served from the ORIGINAL files
+    from pyspark.sql import functions as SF
+    files = [r.f for r in s.base.read()
+             .filter(~SF.col("bucket").isin(dirty))
+             .select(SF.input_file_name().alias("f")).distinct().collect()]
+    assert files and all("/d000001/" in f for f in files)
+
+
+def test_incremental_compaction_entry_cap_folds_to_one_dir(spark, tmp_path):
+    """After max_base_entries incremental compactions the next fold
+    rewrites the whole base into a single dir (bounded read fan-in)."""
+    s = FrontierStore(spark, tmp_path, schemas.FRONTIER, compact_every=1,
+                      max_base_entries=3)
+    s.bootstrap(_rows(spark, [f"https://h0.x/p{i}" for i in range(30)], 0))
+    expect = {f"https://h0.x/p{i}" for i in range(30)}
+    for rnd in range(1, 6):
+        new = [f"https://h{rnd}.x/n{j}" for j in range(2)]
+        gone = [sorted(expect)[0]]
+        s.commit_round(_rows(spark, new, rnd), _rm(spark, gone))
+        expect = (expect - set(gone)) | set(new)
+        m = s.base._manifest()
+        n_entries = len(m["versions"][str(m["current"])])
+        assert n_entries <= 3
+        assert _urls(s) == sorted(expect)
+    # at least one fold hit the cap and produced a single-dir version
+    # (entry count dropped back to 1 at some point above); final state
+    # must still be exact, bucket pruning still static
+    some_bucket = s.base.read().select("bucket").first()["bucket"]
+    from pyspark.sql import functions as SF
+    files = [r.f for r in s.discovered([some_bucket])
+             .select(SF.input_file_name().alias("f")).distinct().collect()]
+    assert files and all(f"bucket={some_bucket}/" in f for f in files)
+
+
+def test_mid_incremental_compaction_crash_rolls_back(spark, tmp_path):
+    """A crash between the incremental base commit and the log
+    truncations must be fully undone by rollback to the checkpointed
+    versions (the crawl's resume path)."""
+    s = FrontierStore(spark, tmp_path, schemas.FRONTIER, compact_every=1)
+    s.bootstrap(_rows(spark, [f"https://h0.x/p{i}" for i in range(20)], 0))
+    s.commit_round(_rows(spark, ["https://h1.x/a"], 1),
+                   _rm(spark, ["https://h0.x/p0"]), compact=False)
+    v = s.versions()
+    before = _urls(s)
+
+    # crash INSIDE compact(): base committed, truncations never ran
+    real_truncate = type(s.delta).truncate
+
+    def boom(self):
+        raise RuntimeError("crash before truncate")
+
+    type(s.delta).truncate = boom
+    try:
+        with pytest.raises(RuntimeError):
+            s.compact()
+    finally:
+        type(s.delta).truncate = real_truncate
+    s.rollback(v)
+    assert _urls(s) == before
+    # and a re-run compaction completes cleanly after rollback
+    s.compact()
+    assert _urls(s) == before
