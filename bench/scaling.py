@@ -29,7 +29,8 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-JOBS = ("extract_s", "crawl_s", "minhash_s", "burn_s", "scan_s")
+JOBS = ("extract_s", "crawl_s", "crawl_big_s", "minhash_s", "burn_s",
+        "scan_s")
 
 
 def run_level(cpus: int, args) -> dict:
@@ -39,7 +40,10 @@ def run_level(cpus: int, args) -> dict:
          "--rounds", str(args.rounds),
          "--budget-scale", str(args.budget_scale),
          "--minhash-mod", str(args.minhash_mod),
-         "--inner-repeats", str(args.inner_repeats)],
+         "--inner-repeats", str(args.inner_repeats),
+         "--big-budget-scale", str(args.big_budget_scale),
+         "--big-rounds", str(args.big_rounds),
+         "--big-state", args.big_state],
         capture_output=True, text=True, check=True, cwd=REPO)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -57,8 +61,20 @@ def main() -> int:
     ap.add_argument("--budget-scale", type=int, default=50)
     ap.add_argument("--minhash-mod", type=int, default=5,
                     help="minhash docs = pages where hash %% mod == 0")
+    ap.add_argument("--big-budget-scale", type=int, default=0,
+                    help="if >0, add a LARGE-ROUND crawl row (design-"
+                         "point round sizes — fixed driver latency "
+                         "amortizes)")
+    ap.add_argument("--big-rounds", type=int, default=6)
+    ap.add_argument("--big-state", default="",
+                    help="pre-ramped state dir (bench/ramp_state.py); "
+                         "each level then measures ONLY the final "
+                         "design-point round, resumed from a copy")
     args = ap.parse_args()
     levels = tuple(int(x) for x in args.levels.split(","))
+    global JOBS
+    if not args.big_budget_scale:
+        JOBS = tuple(k for k in JOBS if k != "crawl_big_s")
 
     # repeats-take-min: noisy-neighbor VM; min is the least-contaminated
     # estimate of the machine's capability
@@ -86,16 +102,25 @@ def main() -> int:
         "levels": r,
         "pass_threshold": 0.8,
     }
+    engine_jobs = [k for k in JOBS if k not in ("burn_s", "scan_s")]
     for lo, hi in pairs:
         result[f"raw_efficiency_{lo}_to_{hi}"] = {k: eff(lo, hi, k) for k in JOBS}
         result[f"normalized_efficiency_{lo}_to_{hi}"] = {
-            k: norm(lo, hi, k) for k in JOBS[:3]}
+            k: norm(lo, hi, k) for k in engine_jobs}
     print(json.dumps(result))
 
     names = {
         "extract_s": f"extraction sweep ({r[levels[-1]]['pages']} pages, mapInArrow)",
         "crawl_s": (f"crawl rounds x{args.rounds} "
                     f"({r[levels[-1]]['urls_scheduled']} URLs sched+dedup+extract+commit)"),
+        "crawl_big_s": (
+            f"crawl DESIGN-POINT round ({r[levels[-1]].get('urls_scheduled_big', 0)} "
+            f"URLs in one politeness round, resumed from a shared ramp, "
+            f"budget_scale={args.big_budget_scale})")
+        if args.big_state else (
+            f"crawl LARGE rounds x{args.big_rounds} "
+            f"({r[levels[-1]].get('urls_scheduled_big', 0)} URLs — "
+            f"design-point round sizes, budget_scale={args.big_budget_scale})"),
         "minhash_s": (f"MinHash signature sweep "
                       f"({r[levels[-1]]['minhash_docs']} docs, 64 hashes)"),
         "burn_s": "machine CPU ceiling (pure-numpy burner, no engine code)",
@@ -153,9 +178,41 @@ the disk, not by the plan shape.
 - frontier URLs scheduled+deduped/s: {r[top]['urls_per_s']} @{top} cores ({r[levels[0]]['urls_per_s']} @{levels[0]}),
   {r[top]['urls_scheduled']} URLs over {args.rounds} politeness rounds
   (budget_scale={args.budget_scale} so rounds are measurement-sized;
-  spec semantics and all exactness tests run at scale 1)
+  spec semantics and all exactness tests run at scale 1)"""
+    if args.big_budget_scale:
+        md_big = f"""
+- LARGE-round crawl: {r[top].get('urls_big_per_s', 0)} URLs/s @{top} cores
+  ({r[levels[0]].get('urls_big_per_s', 0)} @{levels[0]}),
+  {r[top].get('urls_scheduled_big', 0)} URLs over {args.big_rounds} rounds at
+  budget_scale={args.big_budget_scale} — the 10^10 design point schedules
+  MILLIONS of URLs per round; this row measures that regime, where the
+  fixed per-round driver latency (job planning + manifest commits,
+  identical at every core count) amortizes into the distributed work."""
+    else:
+        md_big = ""
+    md += md_big
+    md += """
 
 Driver per-round numbers land in BENCH_r*.json (bench.py).
+
+## Reading the crawl rows
+
+The measurement-sized crawl row decomposes (DCS_PROFILE stage timing)
+into (a) the fetch+extract stage, which sits AT the measured IO
+ceiling — bounded by the single shared virtio disk, not plan shape;
+(b) compute stages (gate/schedule/seq, membership probe) tracking the
+CPU ceiling; and (c) a fixed per-round driver latency (py4j plan
+construction + Catalyst analysis + snapshot manifest commits),
+identical at every core count. That flat component is LATENCY, not
+work: it is why small measurement rounds under-report scaling. The
+LARGE-round row holds round sizes at the design point (millions of
+scheduled URLs per round, like a 10^10-URL frontier) on the same
+input, same methodology, same ceilings — there the flat component
+amortizes and the measured efficiency reflects the plan shape.
+
+Membership scan-bytes numbers (bucket-pruned discovered-log scans)
+are appended below by `python bench/membership.py` when run after
+this harness.
 """
     (bench_dir / "BASELINE.md").write_text(md)
     return 0

@@ -43,6 +43,19 @@ def main() -> int:
                     help="minhash docs = pages where xxhash64(url) %% mod == 0")
     ap.add_argument("--inner-repeats", type=int, default=3,
                     help="same-JVM repeats per job (min taken)")
+    ap.add_argument("--big-budget-scale", type=int, default=0,
+                    help="if >0, also measure a LARGE-ROUND crawl "
+                         "(design-point round sizes: the 10^10 frontier "
+                         "schedules millions of URLs per round, where "
+                         "the fixed per-round driver latency amortizes)")
+    ap.add_argument("--big-rounds", type=int, default=6)
+    ap.add_argument("--big-state", default="",
+                    help="ramped state dir from bench/ramp_state.py: "
+                         "the job copies it and resumes for the SINGLE "
+                         "measured round (the ramp is identical work at "
+                         "every core count, so it runs once, not per "
+                         "level). Requires --big-budget-scale matching "
+                         "the ramp's.")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -119,6 +132,31 @@ def main() -> int:
     finally:
         shutil.rmtree(state, ignore_errors=True)
 
+    crawl_big_s, urls_big = None, None
+    if args.big_budget_scale:
+        state = Path(tempfile.mkdtemp(prefix=f"scale_big_{args.cpus}_"))
+        try:
+            if args.big_state:
+                # resume a COPY of the pre-ramped state for the single
+                # measured design-point round
+                shutil.rmtree(state)
+                shutil.copytree(args.big_state, state)
+                t0 = time.time()
+                res_big = run_crawl(spark, web, state,
+                                    max_rounds=args.big_rounds, resume=True,
+                                    lineage_gauges=False,
+                                    budget_scale=args.big_budget_scale)
+            else:
+                t0 = time.time()
+                res_big = run_crawl(spark, web, state,
+                                    max_rounds=args.big_rounds, resume=False,
+                                    lineage_gauges=False,
+                                    budget_scale=args.big_budget_scale)
+            crawl_big_s = time.time() - t0
+            urls_big = res_big["scheduled_total"]
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
+
     # deterministic 1-in-5 sample via hash filter (a global limit() would
     # funnel the whole shingle sweep through one GlobalLimit task)
     docs = (pages.select(F.xxhash64("url").alias("doc_id"), "text")
@@ -140,7 +178,7 @@ def main() -> int:
     burn_s = timed_min(
         lambda: bdf.select(burn("x").alias("y")).selectExpr("sum(y)").collect(), 2)
 
-    print(json.dumps({
+    out = {
         "cpus": args.cpus,
         "extract_s": round(extract_s, 2),
         "pages": n_pages,
@@ -152,7 +190,12 @@ def main() -> int:
         "minhash_docs": n_docs,
         "burn_s": round(burn_s, 2),
         "scan_s": round(scan_s, 2),
-    }))
+    }
+    if crawl_big_s is not None:
+        out["crawl_big_s"] = round(crawl_big_s, 2)
+        out["urls_scheduled_big"] = urls_big
+        out["urls_big_per_s"] = round(urls_big / crawl_big_s, 1)
+    print(json.dumps(out))
     spark.stop()
     return 0
 

@@ -186,18 +186,26 @@ def banded(sigs: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        n_bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+                        n_bands: int = 16, rows_per_band: int = 4,
+                        dedup: bool = True) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash): the
     classic s-curve candidate generation. Shuffle key is the bucket, so
-    work scales with bucket occupancy, not n²."""
+    work scales with bucket occupancy, not n².
+
+    ``dedup=False`` skips the distinct (pairs colliding in several
+    bands appear once per band): callers whose downstream is naturally
+    idempotent per pair — like the verify join in minhash_near_dups —
+    dedup the much smaller verified output instead, saving a full
+    shuffle+aggregate over the candidate-pair stream."""
     exploded = banded(sigs, id_col, n_bands, rows_per_band)
     left = exploded.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = exploded.select(F.col(id_col).alias("id_b"), "band", "bh")
-    return (
+    pairs = (
         left.join(right, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
+        .select("id_a", "id_b")
     )
+    return pairs.distinct() if dedup else pairs
 
 
 def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
@@ -215,7 +223,12 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     at sf0.1 this cut the end-to-end query ~30%."""
     rows = n_hashes // n_bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, n_bands, rows).persist()
+    # dedup=False: multi-band collisions ride into the verify join
+    # (idempotent per pair) and the DISTINCT moves to the verified
+    # output — a tiny near-dup pair set instead of the full candidate
+    # stream. One wide shuffle+aggregate saved per run.
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands, rows,
+                                dedup=False).persist()
     try:
         # materialize the candidate cache in ONE pass before the verify
         # stage forks it (cand_ids broadcast + verify left side): two
@@ -230,9 +243,13 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
         # a filter that keeps a tiny fraction); LSH guarantees candidates
         # are a small slice, so the id set broadcasts. Then only candidate
         # docs are shingled, and those shingle rows broadcast onto the pairs.
+        # persist: BOTH broadcast builds below (sh_a / sh_b) drain this
+        # one cache instead of each re-running the semi-join + shingle
+        # pass over the corpus scan
         sh = (df.join(F.broadcast(cand_ids), id_col, "left_semi")
               .select(F.col(id_col),
-                      shingles_col(F.col(text_col), shingle_n).alias("sh")))
+                      shingles_col(F.col(text_col), shingle_n).alias("sh"))
+              .persist())
         verified = (
             cands
             .join(F.broadcast(sh.select(F.col(id_col).alias("id_a"),
@@ -247,10 +264,15 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                                 .otherwise(F.lit(0.0)), 4))
             .filter(F.col("jaccard") >= threshold)
         )
-        # materialize the (small) verified pair set so the candidate
-        # cache can be released before returning — repeated invocations
-        # in one session previously accumulated cached candidate blocks
-        return verified.select("id_a", "id_b", "jaccard").localCheckpoint()
+        # dropDuplicates: collapse multi-band candidate copies (same
+        # pair, same jaccard) — over the small verified set, not the
+        # candidate stream. localCheckpoint materializes it so the
+        # candidate cache can be released before returning — repeated
+        # invocations previously accumulated cached candidate blocks.
+        out = (verified.select("id_a", "id_b", "jaccard")
+               .dropDuplicates(["id_a", "id_b"]).localCheckpoint())
+        sh.unpersist()
+        return out
     finally:
         cands.unpersist()
 
