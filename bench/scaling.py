@@ -195,10 +195,16 @@ the disk, not by the plan shape.
   (budget_scale={args.budget_scale} so rounds are measurement-sized;
   spec semantics and all exactness tests run at scale 1)"""
     if args.big_budget_scale:
+        big_shape = (
+            f"{r[top].get('urls_scheduled_big', 0)} URLs in one resumed "
+            f"design-point round (shared pre-ramp, measured round only) at"
+            if args.big_state else
+            f"{r[top].get('urls_scheduled_big', 0)} URLs over "
+            f"{args.big_rounds} rounds at")
         md_big = f"""
 - LARGE-round crawl: {r[top].get('urls_big_per_s', 0)} URLs/s @{top} cores
   ({r[levels[0]].get('urls_big_per_s', 0)} @{levels[0]}),
-  {r[top].get('urls_scheduled_big', 0)} URLs over {args.big_rounds} rounds at
+  {big_shape}
   budget_scale={args.big_budget_scale} — the 10^10 design point schedules
   MILLIONS of URLs per round; this row measures that regime, where the
   fixed per-round driver latency (job planning + manifest commits,
