@@ -26,12 +26,19 @@ from data_crawler_spark.functions.hashing import xxhash64_str
 from data_crawler_spark.operators.text import WORD_RE
 
 
-def _doc_partitions(df: DataFrame) -> int:
+def _doc_partitions(df: DataFrame, override: int | None = None) -> int:
     """Explicit partition count for the pre-tokenize repartition: AQE's
     byte-based coalescing sees a few MB of text and folds the exchange
     to one partition — but downstream compute per byte (regexp
     tokenize, shingle, hash) is huge, so the exchange must keep the
-    cluster's task width regardless of byte size."""
+    cluster's task width regardless of byte size.
+
+    Defaults to ``spark.sql.shuffle.partitions``; a caller that tuned
+    that high for unrelated aggregations and is signaturing a tiny
+    corpus can pass ``override`` (surfaced as the public functions'
+    ``num_partitions``) to avoid near-empty tasks."""
+    if override is not None:
+        return max(1, int(override))
     try:
         return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
@@ -95,7 +102,8 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 64,
                        shingle_n: int = 3,
-                       unique_ids: bool = True) -> DataFrame:
+                       unique_ids: bool = True,
+                       num_partitions: int | None = None) -> DataFrame:
     """MinHash signature as an array<bigint>: component j = min over
     shingles of g_j(xxhash64(shingle)), with g_j the Kirsch-
     Mitzenmacher double-hash family g_j(x) = h1(x) + j*h2(x) derived
@@ -137,7 +145,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     # groupby-min is then complete again. That repartition shuffles the
     # corpus text — the price of not knowing the ids are unique.
     src = df.select(F.col(id_col), F.col(text_col))
-    parts = _doc_partitions(df)
+    parts = _doc_partitions(df, num_partitions)
     if not unique_ids:
         src = src.repartition(parts, id_col)
     elif src.rdd.getNumPartitions() < parts:
@@ -318,7 +326,8 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       unique_ids: bool = True) -> DataFrame:
+                       unique_ids: bool = True,
+                       num_partitions: int | None = None) -> DataFrame:
     """Vectorized 64-bit SimHash, minhash-shaped plan: explode tokens
     (duplicates kept — every occurrence votes, same spec as
     simhash_udf), ONE JVM xxhash64 per token inside codegen, shuffle a
@@ -340,7 +349,7 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     # co-locates multi-row ids with an unconditional hash repartition
     # (votes then sum over ALL the id's rows — every occurrence votes).
     src = df.select(F.col(id_col), F.col(text_col))
-    parts = _doc_partitions(df)
+    parts = _doc_partitions(df, num_partitions)
     if not unique_ids:
         src = src.repartition(parts, id_col)
     elif src.rdd.getNumPartitions() < parts:

@@ -41,6 +41,24 @@ def test_minhash_finds_near_dups(docs):
     assert (1, 4) not in pairs and (4, 6) not in pairs
 
 
+def test_signature_num_partitions_override(docs):
+    """num_partitions caps the pre-tokenize repartition width (tiny
+    corpus + high shuffle.partitions would otherwise oversplit into
+    near-empty tasks) without changing any signature value."""
+    from data_crawler_spark.operators.dedup import simhash_signatures
+
+    one = docs.coalesce(1)
+    base_mh = {r.doc_id: list(r.sig) for r in minhash_signatures(docs).collect()}
+    base_sh = {r.doc_id: r.sim for r in simhash_signatures(docs).collect()}
+    mh3 = minhash_signatures(one, num_partitions=3)
+    # a 1-partition scan widens to exactly the override, not to
+    # spark.sql.shuffle.partitions
+    assert mh3.rdd.getNumPartitions() == 3
+    assert {r.doc_id: list(r.sig) for r in mh3.collect()} == base_mh
+    sh3 = simhash_signatures(one, num_partitions=3)
+    assert {r.doc_id: r.sim for r in sh3.collect()} == base_sh
+
+
 def test_minhash_signature_deterministic(docs):
     s1 = {r.doc_id: list(r.sig) for r in minhash_signatures(docs).collect()}
     s2 = {r.doc_id: list(r.sig) for r in minhash_signatures(docs).collect()}
