@@ -81,8 +81,21 @@ def main() -> int:
     from data_crawler_spark.plans.fixture_queries import QUERIES
     from data_crawler_spark.sources.web import gen_tier
 
-    # warm up the JVM + python workers once (not timed)
+    # warm up the JVM + python workers once (not timed). The range-sum
+    # warms only the JVM; Arrow python workers pay ~1s of numpy/pandas
+    # import each on first use (30s+ across 32 cold workers), so spawn
+    # one per core with a no-op mapInArrow before any timed query —
+    # otherwise the first Arrow query in HEADLINE (dd03) absorbs the
+    # whole cold-start in its first repeat.
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _warm_arrow(batches):
+        import numpy  # noqa: F401 — force the worker-side import cost
+        import pandas  # noqa: F401
+        yield from batches
+
+    (spark.range(cpus * 2, numPartitions=cpus * 2)
+     .mapInArrow(_warm_arrow, "id long").collect())
 
     # min of REPEATS in-process runs per job: this VM shows up to 2x
     # noisy-neighbor drift between legs (BENCH/BASELINE.md), and the
