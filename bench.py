@@ -102,12 +102,17 @@ def main() -> int:
     # min is the least-contaminated estimate of machine capability —
     # each repeat re-executes the full query (no result caching).
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    # fixture queries are cheap (<=10s each) relative to the crawl, so
+    # they take an extra repeat: min-of-3 instead of min-of-2 halves
+    # the chance a noisy window contaminates a recorded query time for
+    # ~25s of extra suite cost (the crawl, ~2x25s, stays at REPEATS)
+    q_repeats = max(repeats, int(os.environ.get("SPARK_GRAFT_Q_REPEATS", "3")))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = None
-        for _ in range(repeats):
+        for _ in range(q_repeats):
             t0 = time.time()
             noop_write(fn(spark, sf_dir))
             dt = time.time() - t0
