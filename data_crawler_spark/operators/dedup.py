@@ -407,6 +407,105 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Exact substring (n-gram span) dedup: find token spans that repeat
+# ACROSS documents and cut them out — the "exact substring
+# deduplication" step of modern LLM training-data pipelines (publicly
+# described in Lee et al. 2021, "Deduplicating Training Data Makes
+# Language Models Better"; that paper builds a single-node suffix
+# array — here the same semantics at fixed span length n are a pure
+# DataFrame plan: position n-grams -> hash groupBy -> covered-position
+# rebuild, every stage distributed).
+# ---------------------------------------------------------------------------
+
+
+def ngram_pos_rows(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 8) -> DataFrame:
+    """(id, pos, ngram): one row per token position that starts a full
+    n-gram, over the normalized token stream (WORD_RE on lowered text —
+    the same stream shingles_col uses, so span dedup and MinHash agree
+    on what a token is). All native expressions: tokenize once, slide
+    an index sequence, posexplode."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    ng = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    return df.select(F.col(id_col), F.posexplode(ng).alias("pos", "ngram"))
+
+
+def duplicate_ngram_spans(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 8,
+                          min_docs: int = 2, by: str = "ngram") -> DataFrame:
+    """Token n-grams appearing in >= ``min_docs`` DISTINCT documents.
+
+    ``by="ngram"`` groups on the n-gram STRING and returns
+    (ngram, n_docs, n_occ, first_doc) — exact, DuckDB-mirrorable (the
+    driver entry dd07). ``by="hash"`` returns (ngram_hash, ...) — the
+    100 TB path: the one inherent shuffle then moves 8 bytes per token
+    position instead of ~8 n-gram words of text, and the map-side
+    partial aggregate collapses each partition's repeats before the
+    exchange. (xxhash64 collisions could merge two distinct n-grams —
+    at 2^-64 per pair this is the standard trade the hash path makes;
+    the string path exists precisely for exact verification.)"""
+    if by not in ("ngram", "hash"):
+        raise ValueError(f"by must be 'ngram' or 'hash', got {by!r}")
+    rows = ngram_pos_rows(df, id_col, text_col, n)
+    key_name = "ngram" if by == "ngram" else "ngram_hash"
+    key = F.col("ngram") if by == "ngram" else F.xxhash64("ngram")
+    return (rows.select(F.col(id_col), key.alias(key_name))
+            .groupBy(key_name)
+            .agg(F.countDistinct(id_col).alias("n_docs"),
+                 F.count("*").alias("n_occ"),
+                 F.min(id_col).alias("first_doc"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 8,
+                           min_docs: int = 2) -> DataFrame:
+    """Cut every cross-document duplicate n-gram occurrence out of the
+    corpus: positions covered by ANY duplicated n-gram start are
+    dropped, the survivors rejoin in order. Returns
+    (id, clean_text, n_tokens, n_removed); ``clean_text`` is the
+    normalized token stream (lowered WORD_RE tokens — the stream the
+    detector matched on) re-joined with single spaces.
+
+    Plan: detect on hashes (duplicate_ngram_spans by="hash"), semi-join
+    the position rows against the duplicate-key set (equi-join on one
+    int64 — Catalyst broadcasts it while small, shuffles both sides
+    keyed on the hash beyond that), explode each start into its n
+    covered positions, collect the per-doc covered set (bounded by the
+    doc's own token count), and rebuild with a two-arg array filter.
+    No stage ever holds more than one document's tokens in one value —
+    the covered-set row is O(doc length), same bound as the text
+    itself."""
+    rows = ngram_pos_rows(df, id_col, text_col, n)
+    keyed = rows.select(F.col(id_col), "pos",
+                        F.xxhash64("ngram").alias("ngram_hash"))
+    dup_keys = (duplicate_ngram_spans(df, id_col, text_col, n, min_docs,
+                                      by="hash")
+                .select("ngram_hash"))
+    starts = keyed.join(dup_keys, "ngram_hash", "left_semi")
+    covered = (starts
+               .select(F.col(id_col),
+                       F.explode(F.sequence(F.col("pos"),
+                                            F.col("pos") + (n - 1)))
+                       .alias("cp"))
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_set("cp")).alias("cov")))
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    keep = F.filter(toks, lambda t, i: ~F.array_contains(
+        F.coalesce(F.col("cov"), F.expr("array()").cast("array<int>")), i))
+    return (df.join(covered, id_col, "left")
+            .select(F.col(id_col),
+                    F.array_join(keep, " ").alias("clean_text"),
+                    F.size(toks).cast("long").alias("n_tokens"),
+                    F.coalesce(F.size("cov"), F.lit(0)).cast("long")
+                    .alias("n_removed")))
+
+
+# ---------------------------------------------------------------------------
 # Incremental (cross-snapshot) dedup
 # ---------------------------------------------------------------------------
 

@@ -19,6 +19,37 @@ WORD_RE = r"[A-Za-z0-9]+"
 PUNCT_RE = r"[^A-Za-z0-9\s]"
 CJK_RE = r"[一-鿿]"
 
+# PII patterns (op txt05), ordered: each later pattern runs over the
+# previous pattern's output, so the order must put the most specific
+# shape first (an email contains word chars a later pattern must not
+# re-match; the 12-19-digit card run must outrank the generic phone
+# digits). All patterns are in the RE2 ∩ Java subset (no lookaround)
+# so the Spark engine and the DuckDB oracle compile the SAME regex.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # email before anything that could eat its local part
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4 before phone (dotted quads contain 1-3 digit runs)
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # 12-19 digit runs (card-ish) before phone
+    (r"\b\d{12,19}\b", "<NUM>"),
+    # NANP-ish phone: 555-123-4567 / 555.123.4567 / (555) 123-4567
+    (r"(\(\d{3}\)[ ]?|\b\d{3}[-.])\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact_col(text: Column) -> Column:
+    """PII redaction (op txt05): mask emails, IPv4s, long digit runs,
+    and phone numbers with typed placeholders — the standard scrub pass
+    a training-data pipeline runs before publishing webtext. A chain of
+    native ``regexp_replace`` calls (JVM-side, whole-stage codegen; one
+    pass per pattern, no Python), mirrored verbatim in the DuckDB
+    oracle (fixture_queries txt04_05) and pinned against a Python
+    ``re`` reference in tests/test_text.py."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
 STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 

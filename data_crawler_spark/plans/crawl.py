@@ -438,13 +438,20 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
             .select(*fetch_cols)
         )
     enriched = _persist(extract_enrich_arrow(fetched))
-    # materialize the cache at full parallelism FIRST: the extracted
-    # write below coalesces to few files, and coalesce() is narrow — if
-    # it ran the cache-filling pass, the whole Arrow extraction would
-    # serialize into ncoal tasks. One count here keeps the expensive
-    # stage wide; the coalesced writes then just drain the cache.
-    with _stage("fetch_extract"):
-        n_fetched = enriched.count()
+    # The cache must materialize at full parallelism BEFORE the
+    # extracted write: that write coalesces to few files, and
+    # coalesce() is narrow — if it ran the cache-filling pass, the
+    # whole Arrow extraction would serialize into ncoal tasks. On the
+    # bloom path the maybe-set histogram job below consumes enriched
+    # (links -> cand -> probe) and fills the cache as a side effect, so
+    # the dedicated count job is SKIPPED — one serial per-round action
+    # fewer (the fetch/extract wall time then lands in the maybe_set
+    # profile stage). The n_fetched gauge moves into the concurrent
+    # lineage commit (a cache-drain count, only when gauges are on).
+    bloom_path = ctx.use_bloom and ctx.bloom.current_version() > 0
+    if not bloom_path:
+        with _stage("fetch_extract"):
+            enriched.count()
     extracted = enriched.select(
         "url", "warc_ts", "text", "lang",
         F.length("text").cast("long").alias("n_chars"),
@@ -490,7 +497,7 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
     # single-threaded — at web10m it was the crawl's main non-scaling
     # component).
     round_caches = []
-    if ctx.use_bloom and ctx.bloom.current_version() > 0:
+    if bloom_path:
         cand = _persist(new_cand.withColumn("url_hash", F.xxhash64("url")),
                         "MEMORY_AND_DISK")
         round_caches.append(cand)
@@ -629,7 +636,9 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
             for f in after:
                 f.result()
             gauges = [
-                ("fetched", n_fetched),
+                # cache-drain count (the wide pass already ran) —
+                # skipped entirely when gauges are off
+                ("fetched", enriched.count()),
                 ("frontier_size", ctx.frontier.read().count()),
                 ("seen_size", ctx.seen.read().count()),
             ]

@@ -555,26 +555,29 @@ def qt1(spark, sf):
                     F.round(text.stopword_ratio_col(F.col("text")), 4).alias("stopword_ratio"))
 
 
-@q("txt02_langid", sql="""
+@q("txt02_03_langid_fingerprint", sql="""
     SELECT doc_id,
-           CASE WHEN (LENGTH(text) - LENGTH(regexp_replace(text, '[一-鿿]', '', 'g')))
-                     / CAST(LENGTH(text) AS DOUBLE) > 0.05 THEN 'zh'
-                ELSE 'en' END AS lang_pred
-    FROM documents WHERE LENGTH(text) > 0
-""")
-def qt2(spark, sf):
-    d = load(spark, sf, "documents").filter(F.length("text") > 0)
-    pred = F.when(text.cjk_ratio_col(F.col("text")) > 0.05, F.lit("zh")).otherwise(F.lit("en"))
-    return d.select("doc_id", pred.alias("lang_pred"))
-
-
-@q("txt03_fingerprint", sql="""
-    SELECT doc_id, md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
+           CASE WHEN LENGTH(text) > 0 THEN
+             CASE WHEN (LENGTH(text) - LENGTH(regexp_replace(text, '[一-鿿]', '', 'g')))
+                       / CAST(LENGTH(text) AS DOUBLE) > 0.05 THEN 'zh'
+                  ELSE 'en' END
+           END AS lang_pred,
+           md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
     FROM documents
 """)
-def qt3(spark, sf):
-    return (load(spark, sf, "documents")
-            .select("doc_id", text.fingerprint_col(F.col("text")).alias("fingerprint")))
+def qt2_3(spark, sf):
+    """ops txt02+txt03 in one entry (driver caps at 50 correctness
+    rows; merged this round to free a slot for dd07): language-ID and
+    content fingerprint per document in ONE pass over the corpus —
+    both columns hash-verified. Empty docs get lang_pred NULL (txt02's
+    old filter, expressed as a lazy CASE on both sides)."""
+    d = load(spark, sf, "documents")
+    pred = F.when(
+        F.length("text") > 0,
+        F.when(text.cjk_ratio_col(F.col("text")) > 0.05, F.lit("zh"))
+        .otherwise(F.lit("en")))
+    return d.select("doc_id", pred.alias("lang_pred"),
+                    text.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
 # --- dedup family -----------------------------------------------------------
@@ -630,6 +633,31 @@ def dd06(spark, sf):
                                     group_col="source", threshold=0.9)
 
 
+@q("dd07_span_dedup", sql="""
+    WITH t AS (SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    p AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM t),
+    g AS (SELECT doc_id, i,
+                 STRING_AGG(w, ' ') OVER win AS ngram,
+                 COUNT(*) OVER win AS wlen
+          FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING))
+    SELECT ngram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+           MIN(doc_id) AS first_doc
+    FROM g WHERE wlen = 8
+    GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 2
+""")
+def dd07(spark, sf):
+    """Exact substring (cross-document duplicate n-gram span) detection
+    — the fixed-span DataFrame form of Lee et al. 2021's exact
+    substring dedup (dedup.duplicate_ngram_spans). The string-keyed
+    exact path is the driver entry; the 8-bytes-per-position hash path
+    plus span REMOVAL (dedup.remove_duplicate_spans) are
+    DuckDB-oracle-tested in tests/test_dedup_oracle.py."""
+    return dedup.duplicate_ngram_spans(load(spark, sf, "documents"),
+                                       n=8, min_docs=2)
+
+
 @q("dd03_minhash_lsh")  # rows-only: recall/precision property-tested in pytest
 def dd03(spark, sf):
     return dedup.minhash_near_dups(load(spark, sf, "documents"), threshold=0.7)
@@ -652,24 +680,72 @@ def dd05(spark, sf):
             .select("id_a", "id_b"))
 
 
-@q("txt04_repetition_removal", sql=r"""
+@q("txt04_05_clean_redact", sql=r"""
     WITH t AS (SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
                FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS arr
                      FROM documents WHERE LENGTH(TRIM(text)) > 0)),
     sel AS (SELECT doc_id, w, i,
                    ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY i) AS rn
-            FROM t)
-    SELECT doc_id,
-           STRING_AGG(w, ' ' ORDER BY i) FILTER (WHERE rn = 1) AS clean_text,
-           COUNT(*) AS n_tokens,
-           COUNT(*) FILTER (WHERE rn = 1) AS n_unique
-    FROM sel GROUP BY doc_id
+            FROM t),
+    clean AS (SELECT doc_id,
+                     STRING_AGG(w, ' ' ORDER BY i) FILTER (WHERE rn = 1) AS clean_text,
+                     COUNT(*) AS n_tokens,
+                     COUNT(*) FILTER (WHERE rn = 1) AS n_unique
+              FROM sel GROUP BY doc_id),
+    raw AS (SELECT c_custkey AS id,
+                   c_name || ' reached at '
+                     || printf('555-%03d-%04d', c_custkey % 1000, c_custkey % 10000)
+                     || ' mail user' || CAST(c_custkey AS VARCHAR) || '@example.com ip 10.0.'
+                     || CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST(c_custkey % 100 AS VARCHAR)
+                     || ' card ' || printf('%016d', c_custkey) AS txt
+            FROM customer)
+    SELECT 'clean' AS op_kind, doc_id AS id, clean_text AS text_out,
+           n_tokens, n_unique
+    FROM clean
+    UNION ALL
+    SELECT 'redact' AS op_kind, id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{12,19}\b', '<NUM>', 'g'),
+             '(\(\d{3}\)[ ]?|\b\d{3}[-.])\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text_out,
+           CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS n_unique
+    FROM raw
 """)
-def txt04(spark, sf):
-    """Intra-document repetition removal (first-occurrence token dedup,
-    order preserved) — native split/array_distinct vs DuckDB's explicit
-    first-occurrence window."""
-    return text.remove_repeated_tokens(load(spark, sf, "documents"))
+def txt04_05(spark, sf):
+    """ops txt04+txt05 in one entry (driver caps at 50 correctness
+    rows), tagged by op_kind — the corpus-cleaning pair:
+    - 'clean': intra-document repetition removal (first-occurrence
+      token dedup, order preserved) — native split/array_distinct vs
+      DuckDB's explicit first-occurrence window.
+    - 'redact': PII redaction (text.pii_redact_col — email/IP/card/
+      phone masking, a chain of native regexp_replace) over
+      deterministically constructed PII-bearing text from the customer
+      table (the fixture documents are PII-free word salad, so the
+      redaction op gets its value check from text both engines build
+      identically; the SQL mirrors the same PII_PATTERNS chain).
+    Both halves stay hash-verified."""
+    clean = (text.remove_repeated_tokens(load(spark, sf, "documents"))
+             .select(F.lit("clean").alias("op_kind"),
+                     F.col("doc_id").alias("id"),
+                     F.col("clean_text").alias("text_out"),
+                     "n_tokens", "n_unique"))
+    c = load(spark, sf, "customer")
+    raw = F.concat(
+        F.col("c_name"), F.lit(" reached at "),
+        F.format_string("555-%03d-%04d", F.col("c_custkey") % 1000,
+                        F.col("c_custkey") % 10000),
+        F.lit(" mail user"), F.col("c_custkey").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("c_custkey") % 256).cast("string"), F.lit("."),
+        (F.col("c_custkey") % 100).cast("string"),
+        F.lit(" card "), F.format_string("%016d", F.col("c_custkey")))
+    redact = c.select(F.lit("redact").alias("op_kind"),
+                      F.col("c_custkey").alias("id"),
+                      text.pii_redact_col(raw).alias("text_out"),
+                      F.lit(None).cast("long").alias("n_tokens"),
+                      F.lit(None).cast("long").alias("n_unique"))
+    return clean.unionByName(redact)
 
 
 # --- similarity search ------------------------------------------------------

@@ -102,3 +102,93 @@ def test_dd04_simhash_pairs_equal_duckdb_oracle(spark, corpus):
 
     want = {p: h for p, h in oracle.items() if h <= max_h}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dd07: exact substring (cross-doc duplicate n-gram span) dedup
+# ---------------------------------------------------------------------------
+
+SPAN_ORACLE = f"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS toks
+               FROM docs),
+    p AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM t),
+    g AS (SELECT doc_id, i,
+                 STRING_AGG(w, ' ') OVER win AS ngram,
+                 COUNT(*) OVER win AS wlen
+          FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING))
+"""
+
+
+def test_dd07_span_detection_exact_vs_duckdb(spark, corpus):
+    """String-keyed detection equals the DuckDB window oracle
+    value-for-value; the hash path finds the same groups."""
+    from data_crawler_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = spark.createDataFrame(corpus)
+    got = {r.ngram: (r.n_docs, r.n_occ, r.first_doc)
+           for r in duplicate_ngram_spans(docs, n=8, min_docs=2).collect()}
+    assert got, "the corpus shares 8-gram spans across docs by construction"
+
+    con = duckdb.connect()
+    con.register("docs", corpus)
+    oracle = {ng: (nd, no, fd) for ng, nd, no, fd in con.execute(
+        SPAN_ORACLE + """
+        SELECT ngram, COUNT(DISTINCT doc_id), COUNT(*), MIN(doc_id)
+        FROM g WHERE wlen = 8 GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 2
+        """).fetchall()}
+    assert got == oracle
+
+    n_hash = duplicate_ngram_spans(docs, n=8, min_docs=2, by="hash").count()
+    assert n_hash == len(oracle)
+
+
+def test_remove_duplicate_spans_vs_duckdb(spark, corpus):
+    """Span REMOVAL value check: per-doc clean_text / n_removed equal a
+    DuckDB oracle that drops every position covered by a cross-doc
+    duplicate 8-gram occurrence."""
+    from data_crawler_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(corpus)
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+           for r in remove_duplicate_spans(docs, n=8, min_docs=2).collect()}
+
+    con = duckdb.connect()
+    con.register("docs", corpus)
+    rows = con.execute(SPAN_ORACLE + """
+        , dup AS (SELECT ngram FROM g WHERE wlen = 8
+                  GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 2),
+        starts AS (SELECT doc_id, i FROM g
+                   WHERE wlen = 8 AND ngram IN (SELECT ngram FROM dup)),
+        cov AS (SELECT DISTINCT doc_id, i + j AS cp
+                FROM starts, generate_series(0, 7) s(j))
+        SELECT p.doc_id,
+               COALESCE(STRING_AGG(p.w, ' ' ORDER BY p.i)
+                        FILTER (WHERE cov.cp IS NULL), '') AS clean_text,
+               COUNT(*) AS n_tokens,
+               COUNT(cov.cp) AS n_removed
+        FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.i = cov.cp
+        GROUP BY p.doc_id
+    """).fetchall()
+    oracle = {d: (ct, nt, nr) for d, ct, nt, nr in rows}
+    assert got == oracle
+    assert sum(nr for _, _, nr in got.values()) > 0
+
+
+def test_remove_duplicate_spans_kills_all_original_dups(spark, corpus):
+    """No n-gram that was duplicated across the ORIGINAL corpus
+    survives anywhere in the cleaned corpus (removal can create new
+    adjacencies — Lee et al.'s known artifact — but never preserve an
+    original duplicate occurrence)."""
+    from data_crawler_spark.operators.dedup import (duplicate_ngram_spans,
+                                                    remove_duplicate_spans)
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(corpus)
+    cleaned = (remove_duplicate_spans(docs, n=8, min_docs=2)
+               .select("doc_id", F.col("clean_text").alias("text")))
+    orig_dups = (duplicate_ngram_spans(docs, n=8, min_docs=2, by="hash")
+                 .select("ngram_hash"))
+    surviving = (duplicate_ngram_spans(cleaned, n=8, min_docs=1, by="hash")
+                 .join(orig_dups, "ngram_hash", "left_semi"))
+    assert surviving.count() == 0

@@ -63,3 +63,39 @@ def test_remove_repeated_tokens(spark):
         2: ("a b c", 4, 3),          # whitespace runs collapse
         4: ("unique words only here", 4, 4),
     }  # doc 3 (whitespace-only) is filtered
+
+
+def test_pii_redact_matches_python_reference(spark):
+    """The Spark regexp_replace chain equals a Python ``re`` reference
+    applying the SAME PII_PATTERNS in order, over edge-casey inputs."""
+    import re
+    import pyspark.sql.functions as F
+    from data_crawler_spark.operators.text import PII_PATTERNS, pii_redact_col
+
+    samples = [
+        "mail bob.smith+x@ex-ample.co.uk now",
+        "a@b.io end-of-line a@b.c",                      # 1-char TLD: no match
+        "ips 10.0.0.1 and 192.168.001.255, not 1.2.3",   # 3 octets: no match
+        "card 4111111111111111 short 12345678901 long 11112222333344445555",
+        "call 555-123-4567 or (555) 123-4567 or 555.123.4567",
+        "5551234567 is not a phone match; 555-1234 neither",
+        "mixed: u.1@d.com,10.1.2.3;555-000-1111 123456789012.",
+        "",
+        None,
+    ]
+
+    def ref(t):
+        if t is None:
+            return None
+        for pat, repl in PII_PATTERNS:
+            t = re.sub(pat, repl, t)
+        return t
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "i long, t string")
+    got = {r.i: r.r for r in
+           df.select("i", pii_redact_col(F.col("t")).alias("r")).collect()}
+    want = {i: ref(s) for i, s in enumerate(samples)}
+    assert got == want
+    # placeholders carry no digits/@ -> redaction is idempotent
+    assert {i: ref(v) for i, v in want.items()} == want
