@@ -160,6 +160,23 @@ class CrawlContext:
     # for the frontier to ramp. 1 = spec politeness (all correctness
     # tests run at 1; the oracle knows nothing of this knob).
     budget_scale: int = 1
+    # round pipelining: round k's commit barrier overlaps round k+1's
+    # gate+schedule+seq pass. The prefetch waits for round k's frontier
+    # COMMIT, then plans from the committed read() — byte-identical to
+    # what round k+1 would build inline (no derived in-memory frames,
+    # no lineage growth across rounds), just built on a pool thread
+    # while the extracted/lineage commits and checkpoint drain. Purely
+    # a latency overlap: results are invariant (equivalence-suite
+    # exact), and a crash discards the in-memory prefetch (resume
+    # replans from the checkpoint). Default False so callers driving
+    # run_round directly (streaming wrapper, ad-hoc loops) never leave
+    # a staged prefetch behind at loop exit; run_crawl — the
+    # CLI/bench/spark-submit surface — turns it on and releases any
+    # staged plan when its loop ends.
+    pipeline_rounds: bool = False
+    # (round, base, sched, seq_parts, sched_hist) staged by the
+    # previous round's prefetch; consumed (and cleared) by run_round
+    _planned_next: tuple | None = None
 
 
 def open_crawl(spark: SparkSession, web_dir: str | Path,
@@ -335,19 +352,10 @@ def _dedup_frontier(df: DataFrame) -> DataFrame:
               .filter(F.col("_rk") == 1).drop("_rk"))
 
 
-def run_round(ctx: CrawlContext, rnd: int) -> int:
-    """One crawl round; returns the number of URLs scheduled.
-
-    Round 3 job-count diet (the round-2 driver bench showed ~9 commit
-    actions of fixed latency dominating measurement-sized rounds):
-    gate+schedule+seq is ONE wide pass (the round-size count now comes
-    from the cached seq output; seq partitioning uses the Σ-budget /
-    last-round estimate instead of its own count job); the seen table
-    is gone (SeenView above); the scheduled commit overlaps the
-    extraction pass; and the bloom fold is amortized to the frontier
-    compaction cadence instead of a read-merge-write every round."""
-    frontier = ctx.frontier.read()
-
+def _plan_round(ctx: CrawlContext, frontier: DataFrame):
+    """Build one round's gate+schedule+seq frames from a pending view:
+    returns (base, sched, seq_parts) with the caches REGISTERED but not
+    yet filled (the caller's histogram pass fills them)."""
     # gate + schedule (ops 09/14/22/15/26)
     cand = frontier.withColumn("path", path_col(F.col("url")))
     allowed = robots_gate(cand, ctx.rules).drop("path")
@@ -366,16 +374,57 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         base = _persist(base)
     sched = _persist(with_crawl_seq(base, num_partitions=seq_parts),
                      "MEMORY_AND_DISK")
-    with _stage("gate_schedule_seq"):
-        # ONE wide pass fills the cache and yields BOTH the round size
-        # and the per-partition lineage counts (the lineage commit then
-        # writes driver-held rows instead of re-scanning sched — one
-        # fewer full pass per round); concurrent consumers below drain
-        # the cache instead of racing to fill it (unfilled-cache races
-        # serialize on block locks while occupying task slots)
-        sched_hist = (sched.groupBy(F.spark_partition_id()
-                                    .alias("partition_id"))
-                      .count().collect())
+    return base, sched, seq_parts
+
+
+def _drop_planned(ctx: CrawlContext) -> None:
+    """Release a staged (unconsumed) prefetch's caches — called when the
+    crawl loop exits with a prefetch in flight, or a stale prefetch's
+    round number doesn't match (e.g. a caller drove run_round out of
+    order)."""
+    if ctx._planned_next is None:
+        return
+    _, base, sched, seq_parts, _ = ctx._planned_next
+    ctx._planned_next = None
+    sched.unpersist()
+    if seq_parts > 1:
+        base.unpersist()
+
+
+def _sched_hist(sched: DataFrame) -> list:
+    """ONE wide pass fills the sched cache and yields BOTH the round
+    size and the per-partition lineage counts (the lineage commit then
+    writes driver-held rows instead of re-scanning sched — one fewer
+    full pass per round); concurrent consumers drain the cache instead
+    of racing to fill it (unfilled-cache races serialize on block locks
+    while occupying task slots)."""
+    return (sched.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count().collect())
+
+
+def run_round(ctx: CrawlContext, rnd: int) -> int:
+    """One crawl round; returns the number of URLs scheduled.
+
+    Round 3 job-count diet (the round-2 driver bench showed ~9 commit
+    actions of fixed latency dominating measurement-sized rounds):
+    gate+schedule+seq is ONE wide pass (the round-size count now comes
+    from the cached seq output; seq partitioning uses the Σ-budget /
+    last-round estimate instead of its own count job); the seen table
+    is gone (SeenView above); the scheduled commit overlaps the
+    extraction pass; and the bloom fold is amortized to the frontier
+    compaction cadence instead of a read-merge-write every round.
+    Round 4 adds round pipelining: when the previous round prefetched
+    this round's gate/schedule/seq under its commit barrier
+    (ctx.pipeline_rounds), the staged frames + histogram are consumed
+    here and the round starts at the fetch stage."""
+    if ctx._planned_next is not None and ctx._planned_next[0] == rnd:
+        _, base, sched, seq_parts, sched_hist = ctx._planned_next
+        ctx._planned_next = None
+    else:
+        _drop_planned(ctx)  # stale prefetch for another round, if any
+        base, sched, seq_parts = _plan_round(ctx, ctx.frontier.read())
+        with _stage("gate_schedule_seq"):
+            sched_hist = _sched_hist(sched)
     n_sched = sum(int(r["count"]) for r in sched_hist)
     ctx.last_n_sched = n_sched
     if n_sched == 0:
@@ -388,7 +437,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # per-round file count directly becomes next round's read fan-in
     ncoal = max(1, min(32, n_sched // 100_000 + 1))
 
-    commit_pool = ThreadPoolExecutor(4)
+    commit_pool = ThreadPoolExecutor(5)
     try:
         return _run_round_commits(ctx, rnd, commit_pool, sched, base,
                                   seq_parts, n_sched, sched_hist, ncoal)
@@ -658,8 +707,39 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
     f_ext = commit_pool.submit(_commit_extracted)
     f_fb = commit_pool.submit(_commit_frontier_bloom)
     f_lin = commit_pool.submit(_commit_lineage, (f_fb, f_sched))
-    for f in (f_sched, f_ext, f_fb, f_lin):
-        f.result()
+
+    def _prefetch_next():
+        # round pipelining: as soon as THIS round's frontier commit
+        # lands, next round's pending view is readable — build its
+        # gate/schedule/seq plan and run the histogram pass while the
+        # extracted/lineage commits and the checkpoint drain. Planning
+        # from the committed read() (not derived in-memory frames)
+        # keeps the plan byte-identical to the inline path and the
+        # lineage anchored to files, so nothing accumulates across
+        # rounds. An exception here is re-raised at the barrier: the
+        # same failure would hit round rnd+1's inline planning anyway.
+        f_fb.result()
+        nbase, nsched, nparts = _plan_round(ctx, ctx.frontier.read())
+        with _stage("prefetch_next_gate"):
+            hist = _sched_hist(nsched)
+        return rnd + 1, nbase, nsched, nparts, hist
+
+    f_pre = (commit_pool.submit(_prefetch_next)
+             if ctx.pipeline_rounds else None)
+    try:
+        for f in (f_sched, f_ext, f_fb, f_lin):
+            f.result()
+    except BaseException:
+        # best-effort release of the prefetch's caches while the commit
+        # failure propagates (the round will be replayed from the
+        # checkpoint; the staged frames are only reachable via f_pre)
+        if f_pre is not None:
+            try:
+                ctx._planned_next = f_pre.result()
+                _drop_planned(ctx)
+            except Exception:
+                pass
+        raise
 
     # the commit point: everything above is replayable until this lands
     ctx.checkpoint.commit({
@@ -670,6 +750,10 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
         "lineage_v": ctx.lineage.current_version(),
         "bloom_v": ctx.bloom.current_version(),
     })
+    if f_pre is not None:
+        # stage the prefetched next-round plan (reads only committed
+        # files, so the cache releases below can't invalidate it)
+        ctx._planned_next = f_pre.result()
     enriched.unpersist()
     sched.unpersist()
     for c in round_caches:
@@ -689,7 +773,8 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
               gc_keep: int | None = None,
               lineage_gauges: bool = True,
               budget_scale: int = 1,
-              membership_join: str = "auto") -> dict:
+              membership_join: str = "auto",
+              pipeline_rounds: bool = True) -> dict:
     """Drive rounds to quiescence (or max_rounds). Resumable: picks up
     from the last committed checkpoint when ``resume`` and one exists."""
     ctx = open_crawl(spark, web_dir, state_dir, n_salts=n_salts,
@@ -697,6 +782,7 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
                      lineage_gauges=lineage_gauges,
                      budget_scale=budget_scale,
                      membership_join=membership_join)
+    ctx.pipeline_rounds = pipeline_rounds
     cp = ctx.checkpoint.load() if resume else None
     if cp is None:
         bootstrap(ctx)
@@ -717,6 +803,10 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
         if n == 0:
             break
         total += n
+    # a max_rounds exit can leave the last round's prefetch staged —
+    # release its caches (quiescence exits never prefetch: a 0-sched
+    # round returns before the commit stage)
+    _drop_planned(ctx)
     return {
         "rounds_run": ctx.checkpoint.load()["round"],
         "scheduled_total": total,

@@ -95,3 +95,23 @@ def test_seq_partitioning_estimate_invariance(spark, web1k, tmp_path):
         orders.append([(r.round, r.seq, r.url)
                        for r in visit_order_df(ctx).collect()])
     assert orders[0] == orders[1]
+
+
+def test_pipeline_rounds_invariance(spark, web1k, tmp_path):
+    """Round pipelining (the run_crawl default) is a pure latency
+    overlap: pipelined and inline crawls produce byte-identical visit
+    order, and the pipelined run releases its staged prefetch at loop
+    exit (no cached RDDs left behind)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    res_p = run_crawl(spark, web1k, tmp_path / "p", max_rounds=4,
+                      pipeline_rounds=True)
+    after = jsc.getPersistentRDDs().size()
+    res_i = run_crawl(spark, web1k, tmp_path / "i", max_rounds=4,
+                      pipeline_rounds=False)
+    vo_p = [(r.round, r.seq, r.url)
+            for r in visit_order_df(res_p["ctx"]).collect()]
+    vo_i = [(r.round, r.seq, r.url)
+            for r in visit_order_df(res_i["ctx"]).collect()]
+    assert vo_p == vo_i
+    assert after == before, "staged prefetch must be released at exit"
