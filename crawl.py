@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="benchmark-only multiplier on per-host budgets")
     p.add_argument("--gc-keep", type=int, default=None,
                    help="prune state tables to the last N snapshot versions per round")
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="disable round pipelining (next round's gate/"
+                        "schedule pass overlapping this round's commit "
+                        "barrier); results are identical either way")
     p.add_argument("--master", default=None,
                    help="override master when run standalone (e.g. local[8])")
     args = p.parse_args(argv)
@@ -73,7 +77,8 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     res = run_crawl(spark, web, state, max_rounds=args.rounds,
                     resume=not args.fresh, n_salts=args.salts,
-                    gc_keep=args.gc_keep, budget_scale=args.budget_scale)
+                    gc_keep=args.gc_keep, budget_scale=args.budget_scale,
+                    pipeline_rounds=not args.no_pipeline)
     wall = time.time() - t0
     out = {
         "web": str(web),
