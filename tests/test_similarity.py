@@ -74,3 +74,27 @@ def test_ivf_deterministic(emb):
     a = sorted((r.query_id, r.neighbor_id, r.rank) for r in ivf_topk(emb, q, k=3).collect())
     b = sorted((r.query_id, r.neighbor_id, r.rank) for r in ivf_topk(emb, q, k=3).collect())
     assert a == b
+
+
+def test_hoisted_cosine_bit_identical(spark, emb):
+    """The per-row norm hoist must be the SAME double arithmetic as the
+    per-pair cosine_col formula — pin bit identity (not approx) so a
+    future 'optimization' that reorders the float ops (e.g. normalizing
+    vectors instead of dividing the dot) can't silently shift hashed
+    driver outputs."""
+    from data_crawler_spark.operators.similarity import cosine_col
+
+    pairs = (
+        emb.limit(40).select(F.col("vec_id").alias("id_a"),
+                             F.col("embedding").alias("va"))
+        .crossJoin(emb.limit(40).select(F.col("vec_id").alias("id_b"),
+                                        F.col("embedding").alias("vb")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    ref = {(r.id_a, r.id_b): r.c for r in pairs.select(
+        "id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("c")).collect()}
+    got = {(r.id_a, r.id_b): r.cosine for r in embedding_near_dups(
+        emb.limit(40), threshold=-2.0).collect()}
+    assert set(got) == set(ref)
+    for k, v in got.items():
+        assert v == round(ref[k], 6), k
