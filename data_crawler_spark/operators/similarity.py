@@ -246,15 +246,20 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
                        F.col(vec_col).alias("qv"),
                        norm_col(F.col(vec_col)).alias("qn"),
                        F.explode(sig(F.col(vec_col))).alias("bucket"))
-    cands = (
+    # score per COLLISION, then dedup the (ids, cosine) rows: a pair
+    # colliding in several tables is scored each time (deterministic,
+    # idempotent — one 64-mult dot per collision), but the dedup
+    # shuffle then moves 24B/row instead of the two full vectors
+    # (~1KB/row) it would carry deduping candidates before scoring —
+    # the same score-then-dedup shape as minhash_near_dups' dedup=False
+    # candidate stream.
+    scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
+        .select("query_id", "neighbor_id",
+                F.round(_paired_cosine(), 6).alias("cosine"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.select(
-        "query_id", "neighbor_id",
-        F.round(_paired_cosine(), 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
