@@ -192,3 +192,57 @@ def test_remove_duplicate_spans_kills_all_original_dups(spark, corpus):
     surviving = (duplicate_ngram_spans(cleaned, n=8, min_docs=1, by="hash")
                  .join(orig_dups, "ngram_hash", "left_semi"))
     assert surviving.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# inc01: incremental cross-snapshot dedup
+# ---------------------------------------------------------------------------
+
+
+def test_inc01_pairs_exact_vs_duckdb(spark, corpus, tmp_path):
+    """Value bound-check for the incremental index's banding + estimate
+    stages, GIVEN the signatures (signature correctness is byte-pinned
+    against the executable spec in test_dedup.py — same layering as the
+    dd04 check): the second `add`'s emitted pair set must EQUAL the
+    DuckDB set of pairs that (a) touch the delta, (b) collide in >=1
+    band (band-hash equality == band-slice equality, xxhash64 is
+    injective on these fixtures), and (c) carry round-4 signature-
+    estimated jaccard >= threshold — with exact est values."""
+    from data_crawler_spark.operators.dedup import IncrementalMinHashIndex
+
+    thr = 0.5
+    d1 = corpus[corpus.doc_id < 10_000_000]
+    d2 = corpus[corpus.doc_id >= 10_000_000]
+    idx = IncrementalMinHashIndex(spark, str(tmp_path), n_hashes=64,
+                                  n_bands=16)
+    idx.add(spark.createDataFrame(d1), threshold=thr).count()
+    got = {(r.id_a, r.id_b): r.est_jaccard
+           for r in idx.add(spark.createDataFrame(d2),
+                            threshold=thr).collect()}
+    assert got, "planted near-dups must pair with their originals"
+
+    sigs = idx.signatures().toPandas()
+    sigs["sig"] = sigs["sig"].map(list)
+    con = duckdb.connect()
+    con.register("sigs", sigs)
+    rows = con.execute("""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_filter(range(64),
+              i -> a.sig[CAST(i AS INT)+1] = b.sig[CAST(i AS INT)+1])) AS eq,
+          len(list_filter(range(16), bb ->
+              list_slice(a.sig, CAST(bb AS INT)*4+1, CAST(bb AS INT)*4+4)
+            = list_slice(b.sig, CAST(bb AS INT)*4+1, CAST(bb AS INT)*4+4)
+          )) > 0 AS collide
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    """).fetchall()
+    delta2 = set(d2.doc_id)
+    oracle = {}
+    for id_a, id_b, eq, collide in rows:
+        if not collide or (id_a not in delta2 and id_b not in delta2):
+            continue
+        est = float(Decimal(eq) / 64)  # k/64 is dyadic: round-4 is exact
+        est = float(Decimal(str(est)).quantize(Decimal("0.0001"),
+                                               ROUND_HALF_UP))
+        if est >= thr:
+            oracle[(id_a, id_b)] = est
+    assert got == oracle
