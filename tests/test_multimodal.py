@@ -52,3 +52,39 @@ def test_frame_sample(media):
     for idxs in per.values():
         assert idxs == sorted(idxs)
         assert all(i % 10 == 0 for i in idxs)
+
+
+def test_fake_decode_values_vs_inline_oracle(spark, media):
+    """Value check against an INDEPENDENT inline reference (the spec
+    re-stated in the test, not a call into the operator): dims from
+    byte length, feature = round-6 normalized 8-bin histogram of
+    byte >> 5, n_bytes = payload length. Pins the Arrow batch path
+    end-to-end, not just determinism."""
+    import numpy as np
+
+    got = {r.media_id: r for r in decode_and_featurize(media).collect()}
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert set(got) == set(src)
+    for mid, payload in src.items():
+        n = len(payload)
+        r = got[mid]
+        assert r.n_bytes == n
+        assert (r.width, r.height, r.channels) == (
+            16 + n % 64, 16 + (n // 64) % 64, 3)
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(arr >> 5, minlength=8) / n if n else np.zeros(8)
+        assert np.allclose(r.feature, np.round(hist, 6), atol=1e-12), mid
+
+
+def test_frame_sample_counts_vs_inline_oracle(media):
+    """Every video's sampled frame list equals range(0, len//1024+1, 10)
+    exactly; non-videos emit nothing."""
+    rows = frame_sample_plan(media, every_n=10).collect()
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    vids = {r.media_id: len(r.payload)
+            for r in media.filter(F.col("media_type") == "video").collect()}
+    assert set(per) == set(vids)
+    for mid, n in vids.items():
+        assert sorted(per[mid]) == list(range(0, n // 1024 + 1, 10)), mid
