@@ -505,6 +505,48 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                     .alias("n_removed")))
 
 
+def contaminated_doc_ids(docs: DataFrame, eval_df: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 13,
+                         eval_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination detector: ids of corpus documents that
+    share at least one exact token ``n``-gram with the eval set (the
+    GPT-3/PaLM-style 13-gram collision rule). Returns a one-column
+    (id_col) DataFrame.
+
+    Plan shape for 100 TB: the eval set is benchmark-sized (thousands of
+    documents), so its distinct n-gram hash set is built once and
+    BROADCAST; the corpus side streams (id, xxhash64(ngram)) rows out of
+    whole-stage codegen straight into a broadcast left-semi join — the
+    corpus is never shuffled, and only the tiny matched-id set crosses a
+    (Catalyst-planned, equally tiny) distinct. Matching on int64 hashes
+    trades a 2^-64-per-pair false-positive rate for 8-byte keys; a
+    decontamination false positive drops one clean doc, the safe
+    direction."""
+    ev = eval_df.select(F.lit(0).alias("_eid"),
+                        F.col(eval_text_col).alias("text"))
+    eval_keys = (ngram_pos_rows(ev, "_eid", "text", n)
+                 .select(F.xxhash64("ngram").alias("ngram_hash"))
+                 .distinct())
+    doc_keys = (ngram_pos_rows(docs, id_col, text_col, n)
+                .select(F.col(id_col), F.xxhash64("ngram").alias("ngram_hash")))
+    return (doc_keys.join(F.broadcast(eval_keys), "ngram_hash", "left_semi")
+            .select(id_col).distinct())
+
+
+def decontaminate(docs: DataFrame, eval_df: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 13, eval_text_col: str = "text") -> DataFrame:
+    """Drop corpus documents that collide with the eval set on any exact
+    token ``n``-gram (see contaminated_doc_ids). The contaminated-id set
+    is eval-bounded (tiny), so the final anti-join broadcasts it —
+    end-to-end the corpus is scanned twice (detector + filter) and
+    shuffled zero times."""
+    bad = contaminated_doc_ids(docs, eval_df, id_col, text_col, n,
+                               eval_text_col)
+    return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Incremental (cross-snapshot) dedup
 # ---------------------------------------------------------------------------

@@ -140,6 +140,94 @@ def text_profile(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+# Gopher-rule stopword presence list (Rae et al. 2021 §A.1.1: require
+# >=2 of these 8 to appear — a cheap "is this running English prose"
+# gate that kills tag soup and keyword lists).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# Symbols whose density flags boilerplate/scraped junk: hash marks and
+# ellipses (both the three-dot and the single-codepoint form).
+_SYMBOL_RE = r"#|\.\.\.|…"
+_BULLET_PREFIXES = ["•", "- ", "* "]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A.1.1) —
+    the standard rule-based webtext filter a training-data pipeline runs
+    before dedup: word-count bounds, mean-word-length bounds, symbol
+    density, bullet/ellipsis line fractions, alphabetic-word fraction,
+    and stopword presence. Emits one row per input row with the measured
+    metrics, one boolean per rule, and the conjunction ``gopher_keep``.
+
+    Every metric is a native expression (split / filter / regexp_count /
+    size) inside whole-stage codegen — no shuffle, no Python — so at
+    100 TB this is a pure map over the corpus scan and Catalyst prunes
+    the read down to ``text_col`` plus whatever the caller selects.
+    Thresholds are the published ones; word = whitespace-delimited run
+    (the paper's definition), unlike tokens_col's WORD_RE stream."""
+    t = F.col(text_col)
+    words = F.when(F.length(F.trim(t)) > 0,
+                   F.split(F.trim(t), r"\s+")
+                   ).otherwise(F.expr("array()").cast("array<string>"))
+    n_words = F.size(words)
+    total_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    mean_wl = F.when(n_words > 0,
+                     total_len.cast("double") / n_words).otherwise(F.lit(0.0))
+    sym_ratio = F.when(n_words > 0,
+                       F.regexp_count(t, F.lit(_SYMBOL_RE)).cast("double")
+                       / n_words).otherwise(F.lit(0.0))
+    lines = F.filter(F.transform(F.split(t, "\n"), F.trim),
+                     lambda l: F.length(l) > 0)
+    n_lines = F.size(lines)
+    def _is_bullet(l):
+        pred = F.lit(False)
+        for p in _BULLET_PREFIXES:
+            pred = pred | l.startswith(p)
+        return pred
+
+    bullet = F.size(F.filter(lines, _is_bullet))
+    ellipsis = F.size(F.filter(
+        lines, lambda l: l.endswith("...") | l.endswith("…")))
+    bullet_frac = F.when(n_lines > 0,
+                         bullet.cast("double") / n_lines).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(n_lines > 0, ellipsis.cast("double") / n_lines
+                           ).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0,
+                        alpha.cast("double") / n_words).otherwise(F.lit(0.0))
+    low = F.lower(t)
+    stop_hits = sum(
+        (F.when(low.rlike(r"(^|\s)" + s + r"(\s|$)"), 1).otherwise(0)
+         for s in GOPHER_STOPWORDS),
+        F.lit(0),
+    )
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "rule_symbol_ratio": sym_ratio <= 0.1,
+        "rule_bullet_lines": bullet_frac <= 0.9,
+        "rule_ellipsis_lines": ellipsis_frac <= 0.3,
+        "rule_alpha_words": alpha_frac >= 0.8,
+        "rule_stopwords": stop_hits >= 2,
+    }
+    keep = F.lit(True)
+    for expr in rules.values():
+        keep = keep & expr
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("gopher_keep"),
+    )
+
+
 def remove_repeated_tokens(df: DataFrame, text: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
     """Intra-document repetition removal: keep each token's FIRST

@@ -262,3 +262,51 @@ def test_connected_components_long_chain(spark):
     out = dedup.connected_components(vertices, edges)
     assert out.filter(F.col("cluster_id") != 0).count() == 0
     assert out.count() == n
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    from data_crawler_spark.operators.dedup import (contaminated_doc_ids,
+                                                    decontaminate)
+
+    bench_q = ("what is the capital of france and which river runs "
+               "through the city of paris on its way to the sea")
+    eval_df = spark.createDataFrame(
+        [(bench_q,), ("name the largest planet orbiting our sun today",)],
+        "text string")
+    filler = "totally original training text with no benchmark overlap "
+    docs = spark.createDataFrame(
+        [
+            # planted: carries a verbatim 13+-token span of bench_q,
+            # case-mangled (detector normalizes via lowered WORD_RE)
+            (1, filler + "WHAT IS THE CAPITAL OF FRANCE AND WHICH RIVER "
+                "RUNS THROUGH THE CITY tail words"),
+            (2, filler * 5),                       # clean, long
+            (3, "capital of france"),              # < 13 tokens: never flagged
+            (4, filler + "what is the capital of spain and which river "
+                "runs through the city"),          # 1-token miss: clean
+        ],
+        "doc_id long, text string")
+    bad = sorted(r.doc_id for r in
+                 contaminated_doc_ids(docs, eval_df, n=13).collect())
+    assert bad == [1]
+    kept = sorted(r.doc_id for r in
+                  decontaminate(docs, eval_df, n=13).collect())
+    assert kept == [2, 3, 4]
+    # schema passes through untouched
+    assert decontaminate(docs, eval_df, n=13).columns == docs.columns
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    """The corpus is never shuffled: both joins broadcast the small
+    side (eval n-gram hashes, then the contaminated-id set)."""
+    from data_crawler_spark.operators.dedup import decontaminate
+
+    eval_df = spark.createDataFrame([("a b c d e f g h i j k l m",)],
+                                    "text string")
+    docs = spark.createDataFrame([(1, "some text here")],
+                                 "doc_id long, text string")
+    plan = (decontaminate(docs, eval_df, n=13)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoop" not in plan

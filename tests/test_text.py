@@ -99,3 +99,94 @@ def test_pii_redact_matches_python_reference(spark):
     assert got == want
     # placeholders carry no digits/@ -> redaction is idempotent
     assert {i: ref(v) for i, v in want.items()} == want
+
+
+def _gopher_ref(text, min_words=50, max_words=100_000):
+    """Pure-Python reference for gopher_rules (same definitions)."""
+    import re
+    words = text.strip().split() if text.strip() else []
+    n = len(words)
+    mean_wl = sum(len(w) for w in words) / n if n else 0.0
+    sym = len(re.findall(r"#|\.\.\.|…", text))
+    sym_ratio = sym / n if n else 0.0
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    nl = len(lines)
+    bullet = sum(1 for l in lines
+                 if l.startswith(("•", "- ", "* ")))
+    ellipsis = sum(1 for l in lines if l.endswith(("...", "…")))
+    bullet_frac = bullet / nl if nl else 0.0
+    ellipsis_frac = ellipsis / nl if nl else 0.0
+    alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
+    alpha_frac = alpha / n if n else 0.0
+    low = text.lower()
+    stop_hits = sum(1 for s in ["the", "be", "to", "of", "and", "that",
+                                "have", "with"]
+                    if re.search(r"(^|\s)" + s + r"(\s|$)", low))
+    rules = {
+        "rule_word_count": min_words <= n <= max_words,
+        "rule_mean_word_len": 3.0 <= mean_wl <= 10.0,
+        "rule_symbol_ratio": sym_ratio <= 0.1,
+        "rule_bullet_lines": bullet_frac <= 0.9,
+        "rule_ellipsis_lines": ellipsis_frac <= 0.3,
+        "rule_alpha_words": alpha_frac >= 0.8,
+        "rule_stopwords": stop_hits >= 2,
+    }
+    return {
+        "n_words": n,
+        "mean_word_len": round(mean_wl, 4),
+        "symbol_ratio": round(sym_ratio, 4),
+        "bullet_line_frac": round(bullet_frac, 4),
+        "ellipsis_line_frac": round(ellipsis_frac, 4),
+        "alpha_word_frac": round(alpha_frac, 4),
+        "n_stop_hits": stop_hits,
+        **rules,
+        "gopher_keep": all(rules.values()),
+    }
+
+
+def test_gopher_rules_vs_reference(spark):
+    from data_crawler_spark.operators.text import gopher_rules
+
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "runs back to be with all of that pack near have with "
+             "more plain words here making this document long enough "
+             "to clear the fifty word floor easily ") * 2
+    samples = [
+        prose,                                       # keeps
+        "short doc of the and",                      # word-count fail
+        "\n".join(["• item one of the list"] * 10),  # bullety
+        "### " * 60 + "the of",                      # symbol soup
+        " ".join(["12345"] * 60) + " the of",        # numeric words
+        "\n".join(["trailing off the and..."] * 10), # ellipsis lines
+        "",                                          # empty
+        "word\n\n  \nthe of " + "x " * 60,           # blank lines ignored
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_rules(df).collect()}
+    for i, s in enumerate(samples):
+        want = _gopher_ref(s)
+        have = got[i]
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert have[k] == pytest.approx(v, abs=1e-4), (i, k)
+            else:
+                assert have[k] == v, (i, k)
+    # spot-check the scenarios landed on the intended rule
+    assert got[0]["gopher_keep"]
+    assert not got[1]["rule_word_count"]
+    assert not got[2]["rule_bullet_lines"]
+    assert not got[3]["rule_symbol_ratio"]
+    assert not got[4]["rule_alpha_words"]
+    assert not got[5]["rule_ellipsis_lines"]
+    assert not got[6]["gopher_keep"] and got[6]["n_words"] == 0
+
+
+def test_gopher_rules_native_plan(spark):
+    """The filter is a pure map: no exchange, no Python eval."""
+    from data_crawler_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame([(1, "a doc")], "doc_id long, text string")
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
