@@ -228,6 +228,73 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     )
 
 
+def shard_by_token_budget(df: DataFrame, budget: int,
+                          tokens_col: str = "n_tokens",
+                          id_col: str = "doc_id",
+                          num_partitions: int = 1) -> DataFrame:
+    """Pack documents into ~``budget``-token training shards: the write
+    layout step of a training-data pipeline (fixed-size shards feed the
+    data loader; a shard is a contiguous run of the deterministic doc
+    order). Adds ``shard_id``: with E(d) = sum of tokens of all docs
+    before d in (id_col) order, shard_id = floor(E / budget) — the
+    offset-binning rule, a pure function of the exclusive prefix sum, so
+    the assignment is identical for every partitioning. Each shard's
+    token sum lands in budget ± one document.
+
+    num_partitions == 1: one window cumsum over the total order — fine
+    while the corpus fits one task's sort.
+
+    num_partitions > 1 (the 100×-scale path, same two-phase shape as
+    scheduler.with_crawl_seq): range-partition + sort on id, collect the
+    P per-partition token subtotals (P rows, not data), turn them into
+    partition prefix offsets, then a streaming mapInPandas emits
+    offset + local exclusive cumsum. No task ever holds more than ~1/P
+    of the corpus; the only driver traffic is P longs. Callers should
+    persist ``df`` — the range shuffle's lineage runs twice (subtotal
+    job + assignment pass)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if num_partitions <= 1:
+        from pyspark.sql import Window
+        w = (Window.orderBy(F.asc(id_col))
+             .rowsBetween(Window.unboundedPreceding, -1))
+        excl = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+        return df.withColumn(
+            "shard_id", F.floor(excl / F.lit(budget)).cast("long"))
+
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    part = (df.repartitionByRange(num_partitions, F.asc(id_col))
+            .sortWithinPartitions(F.asc(id_col))
+            .withColumn("_pid", F.spark_partition_id()))
+    subtotals = {int(r["_pid"]): int(r["tok"]) for r in
+                 part.groupBy("_pid")
+                 .agg(F.sum(tokens_col).alias("tok")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(subtotals):
+        offsets[pid] = acc
+        acc += subtotals[pid]
+
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField("shard_id", LongType(), False)])
+    out_cols = [f.name for f in out_schema.fields]
+
+    def assign(batches):
+        done = 0
+        off = None
+        for pdf in batches:
+            if off is None:
+                off = offsets.get(int(pdf["_pid"].iloc[0]), 0) if len(pdf) else 0
+            toks = pdf[tokens_col].to_numpy(dtype="int64")
+            excl = off + done + np.concatenate(([0], np.cumsum(toks)[:-1]))
+            pdf = pdf.assign(shard_id=excl // budget)
+            done += int(toks.sum())
+            yield pdf[out_cols]
+
+    return part.mapInPandas(assign, out_schema)
+
+
 def remove_repeated_tokens(df: DataFrame, text: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
     """Intra-document repetition removal: keep each token's FIRST

@@ -190,3 +190,48 @@ def test_gopher_rules_native_plan(spark):
     plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_shard_by_token_budget_partitioning_invariant(spark):
+    """shard_id is a pure function of the exclusive prefix sum: the
+    window path and every two-phase width agree exactly, and match a
+    sequential Python reference."""
+    import random
+
+    from data_crawler_spark.operators.text import shard_by_token_budget
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 900)) for i in range(500)]
+    budget = 4096
+    # sequential reference: offset binning over the id-ordered stream
+    want, acc = {}, 0
+    for i, tok in rows:
+        want[i] = acc // budget
+        acc += tok
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    df = df.repartition(8).persist()
+    try:
+        outs = {}
+        for p in (1, 4, 8):
+            got = {r.doc_id: r.shard_id for r in
+                   shard_by_token_budget(df, budget,
+                                         num_partitions=p).collect()}
+            assert got == want, f"num_partitions={p}"
+            outs[p] = got
+        # shard sums land in budget +/- one doc (all but the last shard)
+        sums = {}
+        for i, tok in rows:
+            sums[want[i]] = sums.get(want[i], 0) + tok
+        last = max(sums)
+        assert all(budget - 900 < s <= budget + 900
+                   for sh, s in sums.items() if sh != last)
+    finally:
+        df.unpersist()
+
+
+def test_shard_by_token_budget_rejects_bad_budget(spark):
+    from data_crawler_spark.operators.text import shard_by_token_budget
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        shard_by_token_budget(df, 0)
