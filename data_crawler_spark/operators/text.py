@@ -177,7 +177,11 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     sym_ratio = F.when(n_words > 0,
                        F.regexp_count(t, F.lit(_SYMBOL_RE)).cast("double")
                        / n_words).otherwise(F.lit(0.0))
-    lines = F.filter(F.transform(F.split(t, "\n"), F.trim),
+    # NB: pass trim as an explicit 1-arg lambda — F.trim itself has a
+    # second (trim-charset) parameter, so handing it to F.transform
+    # directly makes pyspark feed the ELEMENT INDEX in as the charset
+    # and the lines are never trimmed.
+    lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
                      lambda l: F.length(l) > 0)
     n_lines = F.size(lines)
     def _is_bullet(l):
@@ -225,6 +229,53 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         stop_hits.alias("n_stop_hits"),
         *[expr.alias(name) for name, expr in rules.items()],
         keep.alias("gopher_keep"),
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A.1.1, the MassiveText
+    duplicate-line filters): fraction of non-empty lines that are
+    duplicates of another line, and fraction of line characters living
+    in duplicated lines. Emits dup_line_frac / dup_line_char_frac, the
+    two rule booleans (≤0.30 and ≤0.20 — the published thresholds), and
+    ``repetition_keep``.
+
+    Native expressions only: the per-line occurrence count is an
+    array-level filter inside whole-stage codegen — O(lines²) per doc
+    on a doc-bounded array, zero exchange, no Python; the corpus is one
+    map pass, same shape as gopher_rules."""
+    t = F.col(text_col)
+    # NB: pass trim as an explicit 1-arg lambda — F.trim itself has a
+    # second (trim-charset) parameter, so handing it to F.transform
+    # directly makes pyspark feed the ELEMENT INDEX in as the charset
+    # and the lines are never trimmed.
+    lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+                     lambda l: F.length(l) > 0)
+    n_lines = F.size(lines)
+    counted = F.transform(
+        lines,
+        lambda l: F.struct(
+            F.length(l).alias("len"),
+            F.size(F.filter(lines, lambda x: x == l)).alias("cnt")))
+    dup_lines = F.size(F.filter(counted, lambda s: s["cnt"] > 1))
+    total_chars = F.aggregate(counted, F.lit(0), lambda a, s: a + s["len"])
+    dup_chars = F.aggregate(
+        counted, F.lit(0),
+        lambda a, s: a + F.when(s["cnt"] > 1, s["len"]).otherwise(0))
+    dup_line_frac = F.when(n_lines > 0, dup_lines.cast("double") / n_lines
+                           ).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(total_chars > 0,
+                           dup_chars.cast("double") / total_chars
+                           ).otherwise(F.lit(0.0))
+    rule_lines = dup_line_frac <= 0.30
+    rule_chars = dup_char_frac <= 0.20
+    return df.select(
+        "*",
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        F.round(dup_char_frac, 4).alias("dup_line_char_frac"),
+        rule_lines.alias("rule_dup_lines"),
+        rule_chars.alias("rule_dup_line_chars"),
+        (rule_lines & rule_chars).alias("repetition_keep"),
     )
 
 

@@ -1,0 +1,82 @@
+"""End-to-end corpus cleaning: the composition a training-data pipeline
+actually runs over 100 TB of webtext, built entirely from this repo's
+already-plan-audited operators —
+
+    quality gates -> exact dedup -> MinHash near-dup cluster removal
+    -> benchmark decontamination -> token counting -> shard packing
+
+Each stage is optional and keeps the corpus DataFrame's original
+columns, so stages compose in any subset. Scale shape per stage:
+
+- quality/repetition gates: pure map over the scan (zero exchange).
+- exact dedup: ONE shuffle on the content hash; the survivor-id set is
+  corpus-sized, so it comes back as a semi-join on the id (not a
+  broadcast).
+- near-dup removal: MinHash+LSH candidates (shuffle-free signatures,
+  banded join), exact verification on candidates only, connected
+  components over the verified pair graph (O(log diameter) rounds),
+  keep the min-id representative per cluster. Non-representative ids
+  are a small fraction, so they broadcast into an anti-join.
+- decontamination: eval-side n-gram hashes broadcast; corpus never
+  shuffled.
+- shard packing: two-phase distributed prefix sum (P-row driver
+  traffic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (connected_components, decontaminate,
+                               exact_dedup, minhash_near_dups)
+from ..operators.text import (gopher_rules, repetition_signals,
+                              shard_by_token_budget, token_count_col)
+
+
+def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 quality: bool = True, repetition: bool = True,
+                 exact: bool = True, near_dup_threshold: float | None = 0.7,
+                 decontam_n: int = 13, shard_budget: int | None = None,
+                 shard_partitions: int = 1, n_hashes: int = 64,
+                 n_bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Run the cleaning stages over ``docs`` and return the surviving
+    documents with their original columns plus ``n_tokens`` (and
+    ``shard_id`` when ``shard_budget`` is set). ``eval_df=None`` skips
+    decontamination; ``near_dup_threshold=None`` skips near-dup
+    removal; the boolean flags skip their stages."""
+    cols = docs.columns
+    out = docs
+
+    if quality:
+        out = gopher_rules(out, text_col).filter("gopher_keep").select(cols)
+    if repetition:
+        out = (repetition_signals(out, text_col)
+               .filter("repetition_keep").select(cols))
+
+    if exact:
+        keep = (exact_dedup(out, id_col, text_col)
+                .select(F.col("keep_id").alias(id_col)))
+        out = out.join(keep, id_col, "left_semi")
+
+    if near_dup_threshold is not None:
+        # the near-dup graph is built on the exact-deduped survivors so
+        # identical copies don't re-verify as jaccard-1.0 pairs
+        pairs = minhash_near_dups(out, id_col, text_col, n_hashes,
+                                  n_bands, near_dup_threshold, shingle_n)
+        comps = connected_components(out.select(id_col), pairs,
+                                     id_col=id_col)
+        drop = (comps.filter(F.col(id_col) != F.col("cluster_id"))
+                .select(id_col))
+        out = out.join(F.broadcast(drop), id_col, "left_anti")
+
+    if eval_df is not None:
+        out = decontaminate(out, eval_df, id_col, text_col, decontam_n)
+
+    out = out.withColumn("n_tokens",
+                         token_count_col(F.col(text_col)).cast("long"))
+    if shard_budget is not None:
+        out = shard_by_token_budget(out, shard_budget, "n_tokens",
+                                    id_col, shard_partitions)
+    return out

@@ -160,6 +160,8 @@ def test_gopher_rules_vs_reference(spark):
         "\n".join(["trailing off the and..."] * 10), # ellipsis lines
         "",                                          # empty
         "word\n\n  \nthe of " + "x " * 60,           # blank lines ignored
+        "\n".join(["  • indented bullet of the"] * 9
+                  + ["plain line"]),                 # bullets counted post-trim
     ]
     df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
                                "doc_id long, text string")
@@ -235,3 +237,50 @@ def test_shard_by_token_budget_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError):
         shard_by_token_budget(df, 0)
+
+
+def _repetition_ref(text):
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    n = len(lines)
+    from collections import Counter
+    cnt = Counter(lines)
+    dup_lines = sum(1 for l in lines if cnt[l] > 1)
+    total_chars = sum(len(l) for l in lines)
+    dup_chars = sum(len(l) for l in lines if cnt[l] > 1)
+    dlf = dup_lines / n if n else 0.0
+    dcf = dup_chars / total_chars if total_chars else 0.0
+    return {
+        "dup_line_frac": round(dlf, 4),
+        "dup_line_char_frac": round(dcf, 4),
+        "rule_dup_lines": dlf <= 0.30,
+        "rule_dup_line_chars": dcf <= 0.20,
+        "repetition_keep": dlf <= 0.30 and dcf <= 0.20,
+    }
+
+
+def test_repetition_signals_vs_reference(spark):
+    from data_crawler_spark.operators.text import repetition_signals
+
+    samples = [
+        "unique one\nunique two\nunique three\nunique four",   # clean
+        "same line\nsame line\nsame line\nother",              # dup-heavy
+        "a\nb\nc\n" + "the repeated boilerplate footer\n" * 2, # mixed
+        "only one line",
+        "",
+        "x\n\n  \nx",                                          # blanks skip
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in repetition_signals(df).collect()}
+    for i, s in enumerate(samples):
+        for k, v in _repetition_ref(s).items():
+            if isinstance(v, float):
+                assert got[i][k] == pytest.approx(v, abs=1e-4), (i, k)
+            else:
+                assert got[i][k] == v, (i, k)
+    assert got[0]["repetition_keep"]
+    assert not got[1]["repetition_keep"]
+    # pure map: no exchange, no Python eval
+    plan = (repetition_signals(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "PythonUDF" not in plan
