@@ -277,10 +277,14 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
         # candidate stream. localCheckpoint materializes it so the
         # candidate cache can be released before returning — repeated
         # invocations previously accumulated cached candidate blocks.
-        out = (verified.select("id_a", "id_b", "jaccard")
-               .dropDuplicates(["id_a", "id_b"]).localCheckpoint())
-        sh.unpersist()
-        return out
+        try:
+            return (verified.select("id_a", "id_b", "jaccard")
+                    .dropDuplicates(["id_a", "id_b"]).localCheckpoint())
+        finally:
+            # in a finally: a verify/localCheckpoint failure must not
+            # leave the shingle cache (the largest cached object here)
+            # pinned for the rest of the session
+            sh.unpersist()
     finally:
         cands.unpersist()
 
@@ -603,13 +607,12 @@ class IncrementalMinHashIndex:
         (id_a < id_b, est_jaccard >= threshold) touching the delta."""
         sigs_delta = minhash_signatures(
             delta, self.id_col, text_col,
-            n_hashes=self.n_hashes, shingle_n=self.shingle_n).persist()
+            n_hashes=self.n_hashes, shingle_n=self.shingle_n)
         v = self.table.write(sigs_delta, mode="append")
-        # band the delta from the COMMITTED segment, not the cached
+        # band the delta from the COMMITTED segment, not the signature
         # frame: the returned pair DataFrame then has no dependency on
-        # the cache, so unpersisting it here can't silently re-run the
-        # whole signature pipeline when the caller evaluates the pairs
-        sigs_delta.unpersist()
+        # the in-session plan, and the one write pass above is the only
+        # execution of the signature pipeline (no cache needed)
 
         all_sigs = self.table.read()
         d_band = banded(self.table.segment_df(v), self.id_col,

@@ -76,7 +76,8 @@ def crawl_order(scheduled: DataFrame) -> DataFrame:
     )
 
 
-def with_crawl_seq(scheduled: DataFrame, num_partitions: int = 1) -> DataFrame:
+def with_crawl_seq(scheduled: DataFrame, num_partitions: int = 1,
+                   release_into: list | None = None) -> DataFrame:
     """Attach the within-round visit sequence number (1-based) without
     collecting rows to the driver.
 
@@ -84,49 +85,27 @@ def with_crawl_seq(scheduled: DataFrame, num_partitions: int = 1) -> DataFrame:
     Exchange to one task, the cheapest plan when the scheduled set is
     small (it is bounded by Σ host budgets).
 
-    num_partitions > 1 (the 100×-scale path): two-phase sequencing —
-    range-partition + sort on the order key, count rows per partition
-    (a tiny P-row collect), then assign seq per-partition as
-    partition_offset + local position inside a streaming mapInPandas.
-    No single task ever sees more than ~1/P of the rows. Output seq is
-    identical for every P because the order is total (url unique) —
-    property-tested in tests/test_scheduler.py.
+    num_partitions > 1 (the 100×-scale path): two-phase sequencing via
+    operators/prefix.exclusive_prefix_sum (range-partition + sort,
+    P-long subtotal collect, streaming per-partition assignment over a
+    boundary-pinning cache — see that module for why the pin is
+    load-bearing). seq = exclusive row count + 1. No single task ever
+    sees more than ~1/P of the rows. Output seq is identical for every
+    P because the order is total (url unique) — property-tested in
+    tests/test_scheduler.py.
+
+    NOTE: callers should persist `scheduled` — the range exchange scans
+    it twice (boundary sketch + shuffle write) before the pinned frame
+    serves the downstream jobs. Pass ``release_into`` to reclaim the
+    pinned blocks once the output is materialized.
     """
     order = [F.desc("priority"), F.asc("depth"), F.asc("host"), F.asc("url")]
     if num_partitions <= 1:
         w = Window.orderBy(*order)
         return scheduled.withColumn("seq", F.row_number().over(w))
 
-    import numpy as np
-    from pyspark.sql.types import LongType, StructField, StructType
+    from .prefix import exclusive_prefix_sum
 
-    # NOTE: callers should persist `scheduled` — the range shuffle runs
-    # twice (once for the counts job, once for the seq pass), both
-    # reading the upstream cache. O(rows) each, never O(rows) in one task.
-    part = (scheduled.repartitionByRange(num_partitions, *order)
-            .sortWithinPartitions(*order)
-            .withColumn("_pid", F.spark_partition_id()))
-    counts = {int(r["_pid"]): int(r["cnt"])
-              for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    out_schema = StructType(list(scheduled.schema.fields)
-                            + [StructField("seq", LongType(), False)])
-    out_cols = [f.name for f in out_schema.fields]
-
-    def assign(batches):
-        done = 0
-        off = None
-        for pdf in batches:
-            if off is None:
-                off = offsets.get(int(pdf["_pid"].iloc[0]), 0) if len(pdf) else 0
-            n = len(pdf)
-            pdf = pdf.assign(seq=np.arange(off + done + 1, off + done + n + 1,
-                                           dtype="int64"))
-            done += n
-            yield pdf[out_cols]
-
-    return part.mapInPandas(assign, out_schema)
+    out = exclusive_prefix_sum(scheduled, order, F.lit(1), "seq",
+                               num_partitions, release_into=release_into)
+    return out.withColumn("seq", F.col("seq") + 1)

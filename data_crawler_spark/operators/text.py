@@ -295,14 +295,14 @@ def shard_by_token_budget(df: DataFrame, budget: int,
     num_partitions == 1: one window cumsum over the total order — fine
     while the corpus fits one task's sort.
 
-    num_partitions > 1 (the 100×-scale path, same two-phase shape as
-    scheduler.with_crawl_seq): range-partition + sort on id, collect the
-    P per-partition token subtotals (P rows, not data), turn them into
-    partition prefix offsets, then a streaming mapInPandas emits
-    offset + local exclusive cumsum. No task ever holds more than ~1/P
-    of the corpus; the only driver traffic is P longs. Callers should
-    persist ``df`` — the range shuffle's lineage runs twice (subtotal
-    job + assignment pass)."""
+    num_partitions > 1 (the 100×-scale path): the shared two-phase
+    distributed prefix sum (operators/prefix.exclusive_prefix_sum —
+    P-long subtotal collect, streaming per-partition assignment over a
+    boundary-pinning cache), then shard_id = excl // budget.
+    No task ever holds more than ~1/P of the corpus. Callers should
+    persist ``df`` — the range exchange scans it twice (boundary
+    sketch + shuffle write) before the checkpoint serves the
+    downstream jobs."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if num_partitions <= 1:
@@ -313,37 +313,14 @@ def shard_by_token_budget(df: DataFrame, budget: int,
         return df.withColumn(
             "shard_id", F.floor(excl / F.lit(budget)).cast("long"))
 
-    import numpy as np
-    from pyspark.sql.types import LongType, StructField, StructType
+    from .prefix import exclusive_prefix_sum
 
-    part = (df.repartitionByRange(num_partitions, F.asc(id_col))
-            .sortWithinPartitions(F.asc(id_col))
-            .withColumn("_pid", F.spark_partition_id()))
-    subtotals = {int(r["_pid"]): int(r["tok"]) for r in
-                 part.groupBy("_pid")
-                 .agg(F.sum(tokens_col).alias("tok")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(subtotals):
-        offsets[pid] = acc
-        acc += subtotals[pid]
-
-    out_schema = StructType(list(df.schema.fields)
-                            + [StructField("shard_id", LongType(), False)])
-    out_cols = [f.name for f in out_schema.fields]
-
-    def assign(batches):
-        done = 0
-        off = None
-        for pdf in batches:
-            if off is None:
-                off = offsets.get(int(pdf["_pid"].iloc[0]), 0) if len(pdf) else 0
-            toks = pdf[tokens_col].to_numpy(dtype="int64")
-            excl = off + done + np.concatenate(([0], np.cumsum(toks)[:-1]))
-            pdf = pdf.assign(shard_id=excl // budget)
-            done += int(toks.sum())
-            yield pdf[out_cols]
-
-    return part.mapInPandas(assign, out_schema)
+    out = exclusive_prefix_sum(df, [F.asc(id_col)], F.col(tokens_col),
+                               "shard_id", num_partitions)
+    # integral div, not floor(double /): prefix sums at corpus scale
+    # sit near double's 2^53 integer limit
+    return out.withColumn(
+        "shard_id", F.expr(f"shard_id div CAST({int(budget)} AS BIGINT)"))
 
 
 def remove_repeated_tokens(df: DataFrame, text: str = "text",

@@ -15,8 +15,10 @@ columns, so stages compose in any subset. Scale shape per stage:
 - near-dup removal: MinHash+LSH candidates (shuffle-free signatures,
   banded join), exact verification on candidates only, connected
   components over the verified pair graph (O(log diameter) rounds),
-  keep the min-id representative per cluster. Non-representative ids
-  are a small fraction, so they broadcast into an anti-join.
+  keep the min-id representative per cluster. The non-representative
+  id set can be corpus-scale on real webtext (near-dup fractions of
+  20-50% are routine), so the anti-join carries no broadcast hint —
+  AQE picks the strategy from measured sizes.
 - decontamination: eval-side n-gram hashes broadcast; corpus never
   shuffled.
 - shard packing: two-phase distributed prefix sum (P-row driver
@@ -67,9 +69,13 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                                   n_bands, near_dup_threshold, shingle_n)
         comps = connected_components(out.select(id_col), pairs,
                                      id_col=id_col)
+        # no broadcast hint: real webtext near-dup fractions run 20-50%
+        # (RefinedWeb/CCNet-observed), so the drop set can be
+        # corpus-scale — let Catalyst/AQE pick broadcast vs shuffle
+        # anti-join from its size stats
         drop = (comps.filter(F.col(id_col) != F.col("cluster_id"))
                 .select(id_col))
-        out = out.join(F.broadcast(drop), id_col, "left_anti")
+        out = out.join(drop, id_col, "left_anti")
 
     if eval_df is not None:
         out = decontaminate(out, eval_df, id_col, text_col, decontam_n)

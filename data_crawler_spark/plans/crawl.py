@@ -354,8 +354,12 @@ def _dedup_frontier(df: DataFrame) -> DataFrame:
 
 def _plan_round(ctx: CrawlContext, frontier: DataFrame):
     """Build one round's gate+schedule+seq frames from a pending view:
-    returns (base, sched, seq_parts) with the caches REGISTERED but not
-    yet filled (the caller's histogram pass fills them)."""
+    returns (base, sched, seq_parts, seq_rel) with the caches
+    REGISTERED but not yet filled (the caller's histogram pass fills
+    them). ``seq_rel`` holds the two-phase sequencer's boundary-pinning
+    cached frames — the caller must unpersist them right after the
+    histogram pass fills sched's cache (their only consumer), or they
+    linger until GC."""
     # gate + schedule (ops 09/14/22/15/26)
     cand = frontier.withColumn("path", path_col(F.col("url")))
     allowed = robots_gate(cand, ctx.rules).drop("path")
@@ -372,9 +376,11 @@ def _plan_round(ctx: CrawlContext, frontier: DataFrame):
     seq_parts = max(1, min(200, est // ctx.seq_rows_per_task))
     if seq_parts > 1:
         base = _persist(base)
-    sched = _persist(with_crawl_seq(base, num_partitions=seq_parts),
+    seq_rel: list = []
+    sched = _persist(with_crawl_seq(base, num_partitions=seq_parts,
+                                    release_into=seq_rel),
                      "MEMORY_AND_DISK")
-    return base, sched, seq_parts
+    return base, sched, seq_parts, seq_rel
 
 
 def _drop_planned(ctx: CrawlContext) -> None:
@@ -422,9 +428,12 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         ctx._planned_next = None
     else:
         _drop_planned(ctx)  # stale prefetch for another round, if any
-        base, sched, seq_parts = _plan_round(ctx, ctx.frontier.read())
+        base, sched, seq_parts, seq_rel = _plan_round(ctx,
+                                                      ctx.frontier.read())
         with _stage("gate_schedule_seq"):
             sched_hist = _sched_hist(sched)
+        for c in seq_rel:  # sched's cache is filled; ckpt releasable
+            c.unpersist()
     n_sched = sum(int(r["count"]) for r in sched_hist)
     ctx.last_n_sched = n_sched
     if n_sched == 0:
@@ -719,9 +728,11 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
         # rounds. An exception here is re-raised at the barrier: the
         # same failure would hit round rnd+1's inline planning anyway.
         f_fb.result()
-        nbase, nsched, nparts = _plan_round(ctx, ctx.frontier.read())
+        nbase, nsched, nparts, nrel = _plan_round(ctx, ctx.frontier.read())
         with _stage("prefetch_next_gate"):
             hist = _sched_hist(nsched)
+        for c in nrel:  # nsched's cache is filled; ckpt releasable
+            c.unpersist()
         return rnd + 1, nbase, nsched, nparts, hist
 
     f_pre = (commit_pool.submit(_prefetch_next)
@@ -752,8 +763,15 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
     })
     if f_pre is not None:
         # stage the prefetched next-round plan (reads only committed
-        # files, so the cache releases below can't invalidate it)
-        ctx._planned_next = f_pre.result()
+        # files, so the cache releases below can't invalidate it). A
+        # prefetch failure must NOT fail a round that already committed
+        # — discard the plan (next round plans inline, surfacing any
+        # persistent error there) and fall through to the cache
+        # releases below, which otherwise leak for the session.
+        try:
+            ctx._planned_next = f_pre.result()
+        except Exception:
+            ctx._planned_next = None
     enriched.unpersist()
     sched.unpersist()
     for c in round_caches:

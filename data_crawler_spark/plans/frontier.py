@@ -292,7 +292,14 @@ class FrontierStore:
         rows = (touched.select(
             F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
             .alias("b")).distinct().collect())
-        return sorted(int(r["b"]) for r in rows)
+        buckets = {r["b"] for r in rows}
+        if None in buckets:
+            # a log segment written before url_hash joined the schema
+            # reads back null — the touched bucket is unknowable, so
+            # mark every bucket dirty (compact() then takes the full
+            # rewrite, which folds on url and needs no hash)
+            return list(range(self.n_buckets))
+        return sorted(int(b) for b in buckets)
 
     def compact(self) -> None:
         """Fold delta + tombstones into the base — at BUCKET granularity:

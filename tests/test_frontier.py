@@ -267,3 +267,20 @@ def test_mid_incremental_compaction_crash_rolls_back(spark, tmp_path):
     # and a re-run compaction completes cleanly after rollback
     s.compact()
     assert _urls(s) == before
+
+
+def test_compaction_survives_legacy_null_hash_tombstones(spark, tmp_path):
+    """A removed-log segment written before url_hash joined
+    REMOVED_SCHEMA reads back null — bucket location is unknowable, so
+    compaction must fall back to the full rewrite (which folds on url)
+    instead of crashing on int(None)."""
+    s = FrontierStore(spark, tmp_path, schemas.FRONTIER, compact_every=1)
+    s.bootstrap(_rows(spark, [f"https://h0.x/p{i}" for i in range(4)], 0))
+    # legacy tombstone: url only, url_hash null
+    legacy = spark.createDataFrame([("https://h0.x/p0", None)],
+                                   "url string, url_hash long")
+    s.removed.write(legacy, mode="append")
+    assert s._dirty_buckets() == list(range(s.n_buckets))
+    s.compact()  # must not raise
+    assert _urls(s) == sorted([f"https://h0.x/p{i}" for i in range(1, 4)])
+    assert s.removed.n_segments() == 0
