@@ -141,6 +141,15 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     each round; merged bitmaps commit as the next sidecar snapshot."""
 
     def orit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # same guard as update_bloom: same m_bits with different k
+        # would merge silently and probe k positions over bitmaps
+        # built with fewer — false negatives (exactness violated)
+        if pdf["m_bits"].nunique() > 1 or pdf["k"].nunique() > 1:
+            raise ValueError(
+                "merge_blooms layout mismatch in bucket "
+                f"{int(pdf['bucket'].iloc[0])}: "
+                f"m_bits={sorted(pdf['m_bits'].unique().tolist())}, "
+                f"k={sorted(pdf['k'].unique().tolist())}")
         acc = None
         for buf in pdf["bitmap"]:
             v = np.asarray(buf, dtype=np.int64)

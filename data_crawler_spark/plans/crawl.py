@@ -315,7 +315,21 @@ def _frontier_cols(df: DataFrame) -> DataFrame:
 
 
 def bootstrap(ctx: CrawlContext) -> None:
-    """Round-0 frontier from the seed list (SURVEY.md §2 op 03)."""
+    """Round-0 frontier from the seed list (SURVEY.md §2 op 03).
+
+    Safe on a previously-used state dir (run_crawl(resume=False), or a
+    lost checkpoint): every table is version-reset to 0 first —
+    otherwise the old crawl's un-compacted frontier delta/tombstone
+    segments would union into round 0's pending view, and the round-0
+    scheduled/extracted appends would land ON TOP of the old tables,
+    silently mixing two crawls."""
+    for t in (ctx.scheduled, ctx.extracted, ctx.lineage, ctx.bloom):
+        if t.current_version() > 0:
+            t.rollback(0)
+    fv = ctx.frontier.versions()
+    if fv["delta"] > 0 or fv["removed"] > 0:
+        ctx.frontier.rollback({"base": fv["base"], "delta": 0,
+                               "removed": 0})
     seeds = (
         ctx.spark.read.text(str(ctx.web_dir / "seeds.txt"))
         .select(canonicalize_col(F.trim("value")).alias("url"))
@@ -371,8 +385,11 @@ def _plan_round(ctx: CrawlContext, frontier: DataFrame):
     # is estimate-driven (correctness is partition-count-invariant,
     # property-tested); two-phase mode reads `base` twice, so only then
     # is it persisted.
-    est = max(ctx.sched_budget_bound * max(ctx.budget_scale, 1),
-              ctx.last_n_sched)
+    # sched_budget_bound is summed from the ALREADY budget_scale-scaled
+    # hosts frame in open_crawl — scaling again here overshot est by
+    # budget_scale× and saturated seq_parts on bench runs (wasted
+    # two-phase machinery on small rounds; correctness unaffected)
+    est = max(ctx.sched_budget_bound, ctx.last_n_sched)
     seq_parts = max(1, min(200, est // ctx.seq_rows_per_task))
     if seq_parts > 1:
         base = _persist(base)
@@ -430,9 +447,20 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         _drop_planned(ctx)  # stale prefetch for another round, if any
         base, sched, seq_parts, seq_rel = _plan_round(ctx,
                                                       ctx.frontier.read())
-        with _stage("gate_schedule_seq"):
-            sched_hist = _sched_hist(sched)
-        for c in seq_rel:  # sched's cache is filled; ckpt releasable
+        try:
+            with _stage("gate_schedule_seq"):
+                sched_hist = _sched_hist(sched)
+        except BaseException:
+            # a failed histogram pass must not pin the planning caches
+            # (sched/base persists + the seq boundary pin, which
+            # _plan_round's subtotal collect already filled)
+            sched.unpersist()
+            if seq_parts > 1:
+                base.unpersist()
+            for c in seq_rel:
+                c.unpersist()
+            raise
+        for c in seq_rel:  # sched's cache is filled; pin releasable
             c.unpersist()
     n_sched = sum(int(r["count"]) for r in sched_hist)
     ctx.last_n_sched = n_sched
@@ -670,7 +698,17 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
         # O(delta-log) pass. Between folds the membership probe unions
         # the delta hashes (see above), so exactness never lags.
         if ctx.frontier.needs_compaction():
-            if ctx.use_bloom:
+            # fold whenever a sidecar EXISTS (v>0), independent of this
+            # run's use_bloom: a use_bloom=False stretch that compacted
+            # (truncating the delta log) without folding would leave a
+            # PERSISTED bloom missing those URLs — a later use_bloom
+            # resume then gets false negatives and re-discovers seen
+            # URLs (silent visit-order divergence). Existence-only (not
+            # `or ctx.use_bloom`): a sidecar may only be BORN at
+            # bootstrap, where it covers the whole frontier — folding a
+            # v==0 state here would create a delta-only bloom that the
+            # v>0-gated probe would then trust
+            if ctx.bloom.current_version() > 0:
                 with _stage("write_bloom"):
                     ctx.bloom.write(bloom_ops.update_bloom(
                         ctx.bloom.read(),
@@ -729,9 +767,17 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
         # same failure would hit round rnd+1's inline planning anyway.
         f_fb.result()
         nbase, nsched, nparts, nrel = _plan_round(ctx, ctx.frontier.read())
-        with _stage("prefetch_next_gate"):
-            hist = _sched_hist(nsched)
-        for c in nrel:  # nsched's cache is filled; ckpt releasable
+        try:
+            with _stage("prefetch_next_gate"):
+                hist = _sched_hist(nsched)
+        except BaseException:
+            nsched.unpersist()
+            if nparts > 1:
+                nbase.unpersist()
+            for c in nrel:
+                c.unpersist()
+            raise
+        for c in nrel:  # nsched's cache is filled; pin releasable
             c.unpersist()
         return rnd + 1, nbase, nsched, nparts, hist
 

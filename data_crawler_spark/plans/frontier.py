@@ -228,35 +228,21 @@ class FrontierStore:
     def needs_compaction(self) -> bool:
         return self.delta.n_segments() >= self.compact_every
 
-    def base_bytes(self) -> int:
-        """On-disk size of the current base version (driver-side stat
-        walk — no Spark job); used to decide when bucket-pruned
-        membership pays for its bookkeeping. Partial (bucket-restricted)
-        entries count only their referenced partition subtrees."""
+    def _stat_bytes(self, want: set[str] | None) -> int:
+        """Driver-side stat walk over the current base version's data
+        dirs (no Spark job). ``want=None`` counts everything; a set of
+        partition subdir names (``bucket=N``) restricts the walk —
+        partial (bucket-restricted) manifest entries count only their
+        referenced subtrees either way."""
         m = self.base._manifest()
         total = 0
         for e in m["versions"].get(str(m["current"]), []):
             if isinstance(e, dict):
-                roots = [self.base.dir / e["dir"] / p for p in e["parts"]]
-            else:
-                roots = [self.base.dir / e]
-            for root in roots:
-                if root.exists():
-                    total += sum(f.stat().st_size
-                                 for f in root.rglob("*.parquet"))
-        return total
-
-    def bucket_bytes(self, buckets: list[int]) -> int:
-        """On-disk bytes of ONLY the given bucket partitions in the
-        current base version (driver-side stat walk) — what a
-        bucket-pruned membership scan actually reads from the base."""
-        want = {f"bucket={int(b)}" for b in buckets}
-        m = self.base._manifest()
-        total = 0
-        for e in m["versions"].get(str(m["current"]), []):
-            if isinstance(e, dict):
-                parts = [p for p in e["parts"] if p in want]
+                parts = (e["parts"] if want is None
+                         else [p for p in e["parts"] if p in want])
                 roots = [self.base.dir / e["dir"] / p for p in parts]
+            elif want is None:
+                roots = [self.base.dir / e]
             else:
                 roots = [self.base.dir / e / p for p in want]
             for root in roots:
@@ -264,6 +250,17 @@ class FrontierStore:
                     total += sum(f.stat().st_size
                                  for f in root.rglob("*.parquet"))
         return total
+
+    def base_bytes(self) -> int:
+        """On-disk size of the current base version; used to decide
+        when bucket-pruned membership pays for its bookkeeping."""
+        return self._stat_bytes(None)
+
+    def bucket_bytes(self, buckets: list[int]) -> int:
+        """On-disk bytes of ONLY the given bucket partitions in the
+        current base version — what a bucket-pruned membership scan
+        actually reads from the base."""
+        return self._stat_bytes({f"bucket={int(b)}" for b in buckets})
 
     def _fold_removed(self, rows: DataFrame) -> DataFrame:
         """Flip pending -> false for rows whose url is tombstoned (they

@@ -75,6 +75,14 @@ class SnapshotTable:
     def read(self, version: int | None = None) -> DataFrame:
         m = self._manifest()
         v = m["current"] if version is None else version
+        # explicit time travel to a pruned/never-committed version is
+        # an error (matching rollback), not a silent empty frame;
+        # version 0 is the legitimate empty initial state
+        if version is not None and version != 0 \
+                and str(version) not in m["versions"]:
+            raise ValueError(
+                f"{self.name}: no version {version} to read "
+                "(pruned or never committed)")
         entries = self._dirs_for(m, v)
         if not entries:
             return self.spark.createDataFrame([], self.schema)

@@ -269,3 +269,15 @@ def test_crawl_invariant_auto_shuffle_switch(spark, web1k, tmp_path):
     f_b = sorted(r.url for r in bc.frontier.read().collect())
     f_s = sorted(r.url for r in sh.frontier.read().collect())
     assert f_b == f_s
+
+
+def test_merge_blooms_rejects_layout_mismatch(spark):
+    """Same m_bits / different k would OR silently and probe false-
+    negative; merge_blooms must refuse like update_bloom does."""
+    from data_crawler_spark.operators.bloom import build_bloom, merge_blooms
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "url_hash long")
+    a = build_bloom(df, n_buckets=4, m_bits=1 << 14, k=7)
+    b = build_bloom(df, n_buckets=4, m_bits=1 << 14, k=5)
+    with pytest.raises(Exception, match="layout mismatch"):
+        merge_blooms(a, b).collect()

@@ -115,3 +115,48 @@ def test_pipeline_rounds_invariance(spark, web1k, tmp_path):
             for r in visit_order_df(res_i["ctx"]).collect()]
     assert vo_p == vo_i
     assert after == before, "staged prefetch must be released at exit"
+
+
+def test_bootstrap_resets_previous_state(spark, web1k, tmp_path):
+    """run_crawl(resume=False) on a previously-used state dir must not
+    inherit the old crawl's un-compacted frontier logs or append onto
+    its scheduled/extracted tables — the restart must equal a crawl
+    into a fresh dir."""
+    run_crawl(spark, web1k, tmp_path / "s", max_rounds=3)
+    res2 = run_crawl(spark, web1k, tmp_path / "s", max_rounds=3,
+                     resume=False)
+    fresh = run_crawl(spark, web1k, tmp_path / "f", max_rounds=3)
+    vo2 = [(r.round, r.seq, r.url)
+           for r in visit_order_df(res2["ctx"]).collect()]
+    vof = [(r.round, r.seq, r.url)
+           for r in visit_order_df(fresh["ctx"]).collect()]
+    assert vo2 == vof
+    assert (res2["ctx"].scheduled.read().count()
+            == fresh["ctx"].scheduled.read().count())
+
+
+def test_bloom_stays_fresh_across_use_bloom_toggle(spark, web1k, tmp_path):
+    """A use_bloom=False stretch that compacts (truncating the delta
+    log) must still fold the delta into an EXISTING bloom sidecar —
+    otherwise a later use_bloom resume probes a stale bloom, gets false
+    negatives, and silently re-discovers seen URLs."""
+    from data_crawler_spark.plans.crawl import bootstrap, open_crawl, run_round
+
+    def drive(state, toggle):
+        ctx = open_crawl(spark, web1k, state)
+        ctx.frontier.compact_every = 1  # compact (and fold) every round
+        bootstrap(ctx)
+        for rnd in range(5):
+            ctx.use_bloom = (not toggle) or rnd not in (1, 2)
+            if run_round(ctx, rnd) == 0:
+                break
+        return ctx
+
+    ctx_t = drive(tmp_path / "t", toggle=True)
+    ctx_a = drive(tmp_path / "a", toggle=False)
+    seen_t = sorted(r.url for r in ctx_t.seen.read().collect())
+    seen_a = sorted(r.url for r in ctx_a.seen.read().collect())
+    assert seen_t == seen_a
+    # frontier invariant: no url discovered twice
+    disc = ctx_t.frontier.discovered().groupBy("url").count()
+    assert disc.filter("count > 1").count() == 0

@@ -3,6 +3,7 @@ append, time travel, rollback, prune, atomic manifest."""
 
 import json
 
+import pytest
 from pyspark.sql import Row
 
 from data_crawler_spark.plans.snapshots import Checkpoint, SnapshotTable
@@ -75,3 +76,21 @@ def test_checkpoint_roundtrip(tmp_state):
     assert cp.load() is None
     cp.commit({"round": 3, "frontier_v": 4})
     assert cp.load() == {"round": 3, "frontier_v": 4}
+
+
+def test_read_missing_version_raises(spark, tmp_path):
+    """Explicit time travel to a pruned or never-committed version is
+    an error (like rollback), not a silent empty frame; version 0 stays
+    the legitimate empty initial state."""
+    from data_crawler_spark.plans.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, tmp_path, "t", "a long")
+    df = spark.createDataFrame([(1,)], "a long")
+    t.write(df); t.write(df, mode="append"); t.write(df, mode="append")
+    assert t.read(0).count() == 0
+    assert t.read(2).count() == 2
+    with pytest.raises(ValueError, match="no version 99"):
+        t.read(99)
+    t.prune(keep_last=1)
+    with pytest.raises(ValueError, match="no version 1"):
+        t.read(1)
