@@ -89,14 +89,30 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _bind(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE and hand it to ``body`` as a bound lambda
+    variable. Higher-order functions are CodegenFallback: any subtree
+    embedded in a lambda body re-evaluates per element (measured 45×
+    on the shingle sweep — each window position re-tokenized the whole
+    document). Binding via a one-element outer transform makes the
+    inner lambda read a NamedLambdaVariable instead."""
+    return F.transform(F.array(value), body)[0]
+
+
 def shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles, as native expressions: slide an
-    index sequence over the token array and concat_ws each window."""
+    index sequence over the token array and concat_ws each window.
+    The token array is _bind-ed so the per-window slice reads a lambda
+    variable — NOT a re-tokenization of the document per window."""
     toks = F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)
-    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
-           .otherwise(F.expr("array()").cast("array<int>"))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.array_distinct(sh)
+
+    def sh(t: Column) -> Column:
+        idx = F.when(F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)) \
+               .otherwise(F.expr("array()").cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))))
+
+    return _bind(toks, sh)
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -219,7 +235,8 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 64,
                       n_bands: int = 16, threshold: float = 0.7,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      broadcast_max_pairs: int = 2_000_000) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded
     candidates -> exact shingle-Jaccard verification of candidates
     (the verify join is on the candidate pairs only).
@@ -242,28 +259,33 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
         # stage forks it (cand_ids broadcast + verify left side): two
         # branches racing an unfilled cache serialize on block locks and
         # re-run the whole signature pipeline
-        cands.count()
+        n_cands = cands.count()
         cand_ids = (cands.select(F.col("id_a").alias(id_col))
                     .unionByName(cands.select(F.col("id_b").alias(id_col)))
                     .distinct())
-        # broadcast the candidate id set: the semi-join must NOT shuffle the
-        # corpus text (a plain SMJ here moves every document's full text for
-        # a filter that keeps a tiny fraction); LSH guarantees candidates
-        # are a small slice, so the id set broadcasts. Then only candidate
-        # docs are shingled, and those shingle rows broadcast onto the pairs.
-        # persist: BOTH broadcast builds below (sh_a / sh_b) drain this
-        # one cache instead of each re-running the semi-join + shingle
-        # pass over the corpus scan
-        sh = (df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        # broadcast the candidate id set and shingle rows only while the
+        # candidate set is verifiably small (the LSH regime this plan is
+        # built for: the semi-join then never shuffles the corpus text).
+        # "candidates are a tiny fraction" is data-dependent, not
+        # guaranteed — a boilerplate-heavy corpus can make the candidate
+        # set corpus-scale, where a forced broadcast dies at the 8 GB
+        # table cap; past the cutoff the hints drop and Catalyst/AQE
+        # pick shuffle joins from measured sizes.
+        small = n_cands <= broadcast_max_pairs
+        maybe_b = F.broadcast if small else (lambda d: d)
+        # persist: BOTH builds below (sh_a / sh_b) drain this one cache
+        # instead of each re-running the semi-join + shingle pass over
+        # the corpus scan
+        sh = (df.join(maybe_b(cand_ids), id_col, "left_semi")
               .select(F.col(id_col),
                       shingles_col(F.col(text_col), shingle_n).alias("sh"))
               .persist())
         verified = (
             cands
-            .join(F.broadcast(sh.select(F.col(id_col).alias("id_a"),
-                                        F.col("sh").alias("sh_a"))), "id_a")
-            .join(F.broadcast(sh.select(F.col(id_col).alias("id_b"),
-                                        F.col("sh").alias("sh_b"))), "id_b")
+            .join(maybe_b(sh.select(F.col(id_col).alias("id_a"),
+                                    F.col("sh").alias("sh_a"))), "id_a")
+            .join(maybe_b(sh.select(F.col(id_col).alias("id_b"),
+                                    F.col("sh").alias("sh_b"))), "id_b")
             .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
             .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
             .withColumn("jaccard",
@@ -430,11 +452,13 @@ def ngram_pos_rows(df: DataFrame, id_col: str = "doc_id",
     on what a token is). All native expressions: tokenize once, slide
     an index sequence, posexplode."""
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
-    ng = F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    ).otherwise(F.expr("array()").cast("array<string>"))
+    # _bind: the window slide must read the token array as a lambda
+    # variable, not re-tokenize the document per position
+    ng = _bind(toks, lambda t: F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))),
+    ).otherwise(F.expr("array()").cast("array<string>")))
     return df.select(F.col(id_col), F.posexplode(ng).alias("pos", "ngram"))
 
 
@@ -604,7 +628,24 @@ class IncrementalMinHashIndex:
     def add(self, delta: DataFrame, text_col: str = "text",
             threshold: float = 0.7) -> DataFrame:
         """Signature the delta only, commit, and return near-dup pairs
-        (id_a < id_b, est_jaccard >= threshold) touching the delta."""
+        (id_a < id_b, est_jaccard >= threshold) touching the delta.
+
+        Delta ids must be NEW to the index: the table is append-only,
+        so re-adding an id would leave two signature rows (one stale)
+        that fan out the verify joins with conflicting estimates. The
+        guard is one anti-join of delta ids against the index — an
+        id-only scan the banded join below pays anyway. (A re-crawled
+        page is an upsert, which this append-only index does not model;
+        callers diff their snapshots first — the crawl's frontier
+        guarantees url-uniqueness by construction.)"""
+        dup = (delta.select(self.id_col)
+               .join(self.table.read().select(self.id_col), self.id_col,
+                     "left_semi").limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"IncrementalMinHashIndex.add: id {dup[0][0]} is already "
+                "in the index (append-only; re-adds would leave stale "
+                "duplicate signatures)")
         sigs_delta = minhash_signatures(
             delta, self.id_col, text_col,
             n_hashes=self.n_hashes, shingle_n=self.shingle_n)

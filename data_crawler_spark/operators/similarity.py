@@ -40,9 +40,14 @@ def cosine_col(a: Column, b: Column) -> Column:
 
 def normalize_col(a: Column) -> Column:
     """Unit-normalize an embedding column (zero vectors pass through
-    unchanged) — pure JVM array expressions, no Python."""
-    n = norm_col(a)
-    return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
+    unchanged) — pure JVM array expressions, no Python. The norm is
+    BOUND as a lambda variable: HOFs are CodegenFallback, so embedding
+    the norm fold in the per-element lambda would re-run the O(d)
+    reduction for every component (O(d²) per row)."""
+    return F.transform(
+        F.array(norm_col(a)),
+        lambda n: F.when(n > 0, F.transform(a, lambda x: x / n))
+                   .otherwise(a))[0]
 
 
 def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
@@ -161,11 +166,27 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     the list id — same shuffle story as LSH, but data-adaptive.
 
     The quantizer trains on a driver-side sample (deterministic
-    counter-hash seeding, no RNG state); at 100 TB the sample is a
-    `TABLESAMPLE`-style hash filter, still a single small collect.
+    counter-hash seeding, no RNG state). The sample itself must be
+    partition-layout-independent too — a bare limit() pulls whichever
+    rows arrive first, so a re-layout of the same corpus would train
+    different centroids and emit different neighbors. Rows are instead
+    taken by id order over a hash-filtered slice (both deterministic
+    functions of the DATA): the 100 TB shape, where the hash filter
+    prunes the collect down to ~sample_n rows scanned, not the corpus.
     """
+    n_rows = corpus.count()
+    if n_rows == 0:
+        # empty corpus: empty result with the output schema (the join
+        # path would crash np.stack on a zero-row sample)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int")
+    mod = max(1, n_rows // sample_n)
+    sample_rows = (corpus
+                   .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+                   .orderBy(id_col).limit(sample_n)
+                   .select(vec_col).collect())
     sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
-                       for r in corpus.select(vec_col).limit(sample_n).collect()])
+                       for r in sample_rows])
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     cent = _ivf_centroids(sample / norms, n_lists)

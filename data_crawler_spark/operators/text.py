@@ -249,14 +249,20 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     # second (trim-charset) parameter, so handing it to F.transform
     # directly makes pyspark feed the ELEMENT INDEX in as the charset
     # and the lines are never trimmed.
-    lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
-                     lambda l: F.length(l) > 0)
-    n_lines = F.size(lines)
+    raw_lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+                         lambda l: F.length(l) > 0)
+    # bind the line array once: HOFs are CodegenFallback, so the inner
+    # occurrence-count filter referencing the unbound subtree would
+    # re-split+trim the document per line (O(L) recomputes on top of
+    # the inherent O(L²) comparisons)
     counted = F.transform(
-        lines,
-        lambda l: F.struct(
-            F.length(l).alias("len"),
-            F.size(F.filter(lines, lambda x: x == l)).alias("cnt")))
+        F.array(raw_lines),
+        lambda lines: F.transform(
+            lines,
+            lambda l: F.struct(
+                F.length(l).alias("len"),
+                F.size(F.filter(lines, lambda x: x == l)).alias("cnt"))))[0]
+    n_lines = F.size(raw_lines)
     dup_lines = F.size(F.filter(counted, lambda s: s["cnt"] > 1))
     total_chars = F.aggregate(counted, F.lit(0), lambda a, s: a + s["len"])
     dup_chars = F.aggregate(

@@ -36,13 +36,23 @@ def write_bucketed_pages(spark: SparkSession, pages_parquet: str | os.PathLike,
     bucket(url_hash). Idempotent via a marker file."""
     out = Path(out_dir)
     marker = out / "_BUCKETS"
-    if marker.exists() and marker.read_text() == str(n_buckets):
+    # the marker carries a SOURCE fingerprint (mtime+size), not just
+    # n_buckets: a regenerated pages.parquet (fixture version bump,
+    # force re-gen) must invalidate the bucketed copy, or every fetch
+    # silently reads stale pages
+    src = Path(pages_parquet)
+    stat_src = (src if src.is_file()
+                else max(src.rglob("*.parquet"), default=src,
+                         key=lambda f: f.stat().st_mtime))
+    st = stat_src.stat()
+    want = f"{n_buckets}\n{int(st.st_mtime)}:{st.st_size}"
+    if marker.exists() and marker.read_text() == want:
         return out
     pages = spark.read.schema(schemas.PAGES).parquet(str(pages_parquet))
     (pages.withColumn("bucket", bucket_col(F.col("url"), n_buckets))
      .repartition("bucket")
      .write.mode("overwrite").partitionBy("bucket").parquet(str(out)))
-    marker.write_text(str(n_buckets))
+    marker.write_text(want)
     return out
 
 
@@ -50,7 +60,9 @@ def open_bucketed_pages(spark: SparkSession, store_dir: str | os.PathLike) -> tu
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     store = Path(store_dir)
-    n_buckets = int((store / "_BUCKETS").read_text())
+    # first marker line = n_buckets (line 2 is the source fingerprint;
+    # pre-fingerprint markers were single-line, so this reads both)
+    n_buckets = int((store / "_BUCKETS").read_text().splitlines()[0])
     # fresh StructType: StructType.add MUTATES the receiver, which would
     # poison the shared schemas.PAGES on repeated opens
     schema = StructType(list(schemas.PAGES.fields)
@@ -79,7 +91,14 @@ def fetch_bucket_pruned(scheduled: DataFrame, pages_bucketed: DataFrame,
     path is the targeted-fetch regime: recrawl of a few hosts, point
     lookups, small politeness rounds against a 10^10-page store.
     """
+    from pyspark import StorageLevel
+
     sched = scheduled.withColumn("bucket", bucket_col(F.col("url"), n_buckets))
+    if scheduled.storageLevel == StorageLevel.NONE:
+        # the plan executes twice (bucket collect + fetch join); pin it
+        # unless the caller already cached it (the crawl does). The
+        # scheduled set is politeness-bounded, so the pin is tiny.
+        sched = sched.localCheckpoint()
     buckets = [r.bucket for r in sched.select("bucket").distinct().collect()]
     if len(buckets) <= prune_threshold * n_buckets:
         pruned = pages_bucketed.filter(F.col("bucket").isin(buckets))
