@@ -310,3 +310,31 @@ def test_decontaminate_plan_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_minhash_shuffle_path_matches_broadcast(spark, docs):
+    """broadcast_max_pairs=0 drops every broadcast hint (the corpus-scale
+    candidate regime, where AQE must pick shuffle joins) — the verified
+    pair set and exact jaccard values must be identical to the
+    broadcast-hinted small-candidate plan."""
+    want = {(r.id_a, r.id_b): r.jaccard
+            for r in minhash_near_dups(docs, threshold=0.5).collect()}
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_near_dups(docs, threshold=0.5,
+                                      broadcast_max_pairs=0).collect()}
+    assert got == want and want  # non-vacuous: the fixture has near-dups
+
+
+def test_incremental_index_rejects_readd(spark, tmp_path):
+    """The index is append-only: re-adding an id would leave two
+    signature rows (one stale), so add() must refuse it up front."""
+    from data_crawler_spark.operators.dedup import IncrementalMinHashIndex
+
+    b1 = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    idx = IncrementalMinHashIndex(spark, tmp_path, n_hashes=64, n_bands=16)
+    idx.add(b1, threshold=0.5)
+    readd = spark.createDataFrame([DOCS[2], DOCS[5]], "doc_id long, text string")
+    with pytest.raises(ValueError, match="already"):
+        idx.add(readd, threshold=0.5)
+    # the failed add committed nothing: version still = batch-1 only
+    assert idx.table.read().count() == b1.count()

@@ -80,3 +80,39 @@ def test_crawl_identical_with_bucketed_store(spark, bucketed_web, web1k, tmp_pat
     ext_b = {r.url: r.text for r in b["ctx"].extracted.read().select("url", "text").collect()}
     ext_f = {r.url: r.text for r in f["ctx"].extracted.read().select("url", "text").collect()}
     assert ext_b == ext_f
+
+
+def test_marker_invalidates_on_source_change(spark, web1k, tmp_path):
+    """The _BUCKETS marker fingerprints the SOURCE parquet: regenerating
+    pages.parquet must invalidate the bucketed copy (a bare n_buckets
+    marker served stale pages forever)."""
+    import os
+
+    web = tmp_path / "web"
+    web.mkdir()
+    src = web1k / "pages.parquet"  # single file in the web1k fixture
+    shutil.copy(src, web / "pages.parquet")
+    store = tmp_path / "store"
+    write_bucketed_pages(spark, web / "pages.parquet", store, n_buckets=8)
+    full = open_bucketed_pages(spark, store)[0].count()
+
+    # "regenerate" the source: rewrite with half the rows, bump mtime
+    half = (spark.read.parquet(str(web / "pages.parquet"))
+            .filter(F.xxhash64("url") % 2 == 0))
+    half_n = half.count()
+    assert 0 < half_n < full
+    half.write.mode("overwrite").parquet(str(tmp_path / "half"))
+    (web / "pages.parquet").unlink()
+    shutil.copytree(tmp_path / "half", web / "pages.parquet")
+    newest = max((web / "pages.parquet").rglob("*.parquet"),
+                 key=lambda f: f.stat().st_mtime)
+    os.utime(newest, (newest.stat().st_mtime + 5,) * 2)
+
+    write_bucketed_pages(spark, web / "pages.parquet", store, n_buckets=8)
+    assert open_bucketed_pages(spark, store)[0].count() == half_n
+
+    # unchanged source: the marker short-circuits (store files untouched)
+    before = sorted(p.stat().st_mtime_ns for p in store.rglob("*.parquet"))
+    write_bucketed_pages(spark, web / "pages.parquet", store, n_buckets=8)
+    after = sorted(p.stat().st_mtime_ns for p in store.rglob("*.parquet"))
+    assert before == after

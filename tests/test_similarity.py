@@ -98,3 +98,27 @@ def test_hoisted_cosine_bit_identical(spark, emb):
     assert set(got) == set(ref)
     for k, v in got.items():
         assert v == round(ref[k], 6), k
+
+
+def test_ivf_layout_invariant(emb):
+    """The quantizer sample is a deterministic function of the DATA
+    (hash-filtered, id-ordered) — re-laying-out the same corpus must
+    train the same centroids and emit the same neighbors. A bare
+    limit() sample would break this."""
+    from data_crawler_spark.operators.similarity import ivf_topk
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted((r.query_id, r.neighbor_id, r.rank)
+               for r in ivf_topk(emb, q, k=3).collect())
+    relaid = emb.repartition(13, "vec_id").sortWithinPartitions(
+        F.col("vec_id").desc())
+    b = sorted((r.query_id, r.neighbor_id, r.rank)
+               for r in ivf_topk(relaid, q, k=3).collect())
+    assert a == b and a
+
+
+def test_ivf_empty_corpus(spark, emb):
+    from data_crawler_spark.operators.similarity import ivf_topk
+    empty = emb.filter(F.lit(False))
+    out = ivf_topk(empty, emb.filter(F.col("vec_id") < 3), k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
