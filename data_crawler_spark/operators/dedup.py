@@ -23,7 +23,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from data_crawler_spark.functions.hashing import xxhash64_str
-from data_crawler_spark.operators.text import WORD_RE
+from data_crawler_spark.operators.text import WORD_RE, bind_once
 
 
 def _doc_partitions(df: DataFrame, override: int | None = None) -> int:
@@ -89,14 +89,9 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _bind(value: Column, body) -> Column:
-    """Evaluate ``value`` ONCE and hand it to ``body`` as a bound lambda
-    variable. Higher-order functions are CodegenFallback: any subtree
-    embedded in a lambda body re-evaluates per element (measured 45×
-    on the shingle sweep — each window position re-tokenized the whole
-    document). Binding via a one-element outer transform makes the
-    inner lambda read a NamedLambdaVariable instead."""
-    return F.transform(F.array(value), body)[0]
+# Shared HOF-binding helper (see text.bind_once: HOFs are
+# CodegenFallback, so unbound subtrees re-evaluate per element).
+_bind = bind_once
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:

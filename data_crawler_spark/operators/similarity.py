@@ -141,6 +141,30 @@ def _ivf_centroids(corpus_sample: np.ndarray, n_lists: int,
     return cent
 
 
+def _fit_quantizer(corpus: DataFrame, n_lists: int, sample_n: int,
+                   id_col: str, vec_col: str) -> np.ndarray | None:
+    """Train the coarse quantizer on a deterministic driver-side sample
+    (None on an empty corpus). The sample must be partition-layout-
+    independent — a bare limit() pulls whichever rows arrive first, so
+    a re-layout of the same corpus would train different centroids.
+    Rows are instead taken by id order over a hash-filtered slice (both
+    deterministic functions of the DATA): the 100 TB shape, where the
+    hash filter prunes the collect down to ~sample_n rows scanned."""
+    n_rows = corpus.count()
+    if n_rows == 0:
+        return None
+    mod = max(1, n_rows // sample_n)
+    sample_rows = (corpus
+                   .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+                   .orderBy(id_col).limit(sample_n)
+                   .select(vec_col).collect())
+    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                       for r in sample_rows])
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return _ivf_centroids(sample / norms, n_lists)
+
+
 def ivf_assign_udf(centroids: np.ndarray, n_probe: int = 1):
     """vector -> its ``n_probe`` nearest coarse lists (array<int>)."""
     cent = centroids
@@ -174,22 +198,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     functions of the DATA): the 100 TB shape, where the hash filter
     prunes the collect down to ~sample_n rows scanned, not the corpus.
     """
-    n_rows = corpus.count()
-    if n_rows == 0:
+    cent = _fit_quantizer(corpus, n_lists, sample_n, id_col, vec_col)
+    if cent is None:
         # empty corpus: empty result with the output schema (the join
         # path would crash np.stack on a zero-row sample)
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int")
-    mod = max(1, n_rows // sample_n)
-    sample_rows = (corpus
-                   .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
-                   .orderBy(id_col).limit(sample_n)
-                   .select(vec_col).collect())
-    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
-                       for r in sample_rows])
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    cent = _ivf_centroids(sample / norms, n_lists)
 
     c_assign = ivf_assign_udf(cent, n_probe=1)
     q_assign = ivf_assign_udf(cent, n_probe=n_probe)
@@ -284,3 +298,105 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+def ivf_assign_sim_udf(centroids: np.ndarray):
+    """vector -> struct(list_id, centroid_sim): the single nearest
+    coarse list plus the cosine to its centroid (the quantity
+    SemDeDup's keep-rule ranks on)."""
+    cent = centroids
+
+    @pandas_udf("struct<list_id:int, centroid_sim:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cent.T
+        best = sims.argmax(axis=1)
+        return pd.DataFrame({
+            "list_id": best.astype(np.int32),
+            "centroid_sim": sims[np.arange(len(m)), best],
+        })
+
+    return assign
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_lists: int = 16, sample_n: int = 2000,
+                   max_iter: int = 25) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): deduplicate a corpus in EMBEDDING
+    space — cluster with a coarse k-means quantizer, call within-cluster
+    pairs above ``threshold`` cosine semantic duplicates, and keep ONE
+    representative per duplicate group: the member with the LOWEST
+    cosine to its cluster centroid (the paper's keep-farthest-from-
+    centroid rule; ties break to the smallest id). Emits one row per
+    input doc: (id, list_id, centroid_sim, dup_group, semdedup_keep) —
+    survivors are ``filter(semdedup_keep)``.
+
+    Duplicate groups are CONNECTED COMPONENTS of the within-list
+    near-dup graph (dedup.connected_components — min-label propagation
+    with pointer jumping), so chains of pairwise-similar docs collapse
+    to one survivor, like the text-side MinHash clusters.
+
+    100 TB shape: quantizer trains on a deterministic bounded
+    driver-side sample (_fit_quantizer); assignment is one vectorized
+    pandas UDF pass; candidate pairs come from an equi-join on list_id
+    — never a global crossJoin. The within-list pairing is O(list²)
+    per list, which is the SemDeDup design point: size ``n_lists``
+    proportional to the corpus (the paper uses 10^5 clusters for
+    LAION-scale) so lists stay bounded; every shuffle is keyed
+    (list_id, then the O(V) component rows). Exactness within a list is
+    total — the quantizer only bounds RECALL across lists, the same
+    trade ivf_topk makes."""
+    cent = _fit_quantizer(df, n_lists, sample_n, id_col, vec_col)
+    spark = df.sparkSession
+    if cent is None:
+        return spark.createDataFrame(
+            [], f"{id_col} long, list_id int, centroid_sim double, "
+                f"dup_group long, semdedup_keep boolean")
+    assign = ivf_assign_sim_udf(cent)
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col),
+        assign(F.col(vec_col)).alias("a")
+    ).select(id_col, vec_col, "a.list_id",
+             F.round(F.col("a.centroid_sim"), 6).alias("centroid_sim"))
+    assigned = assigned.persist()
+    try:
+        a = assigned.select(F.col("list_id"),
+                            F.col(id_col).alias("id_a"),
+                            F.col(vec_col).alias("qv"),
+                            norm_col(F.col(vec_col)).alias("qn"))
+        b = assigned.select(F.col("list_id"),
+                            F.col(id_col).alias("id_b"),
+                            F.col(vec_col).alias("cv"),
+                            norm_col(F.col(vec_col)).alias("cn"))
+        edges = (a.join(b, "list_id")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b",
+                         F.round(_paired_cosine(), 6).alias("cosine"))
+                 .filter(F.col("cosine") >= threshold)
+                 .select("id_a", "id_b"))
+        from data_crawler_spark.operators.dedup import connected_components
+        comp = connected_components(assigned.select(id_col), edges,
+                                    id_col=id_col, max_iter=max_iter)
+        # paper keep-rule: per group, the member least similar to its
+        # centroid survives (min centroid_sim, then min id)
+        ranked = (assigned.join(comp, id_col)
+                  .withColumnsRenamed({"cluster_id": "dup_group"}))
+        rep = (ranked.groupBy("dup_group")
+               .agg(F.min(F.struct("centroid_sim", id_col)).alias("m"))
+               .select("dup_group", F.col(f"m.{id_col}").alias("rep_id")))
+        out = (ranked.join(rep, "dup_group")
+               .select(id_col, "list_id", "centroid_sim", "dup_group",
+                       (F.col(id_col) == F.col("rep_id"))
+                       .alias("semdedup_keep")))
+        # materialize before releasing the assignment cache: the CC
+        # labels are already checkpointed, this pins the final join
+        return out.localCheckpoint()
+    finally:
+        assigned.unpersist()

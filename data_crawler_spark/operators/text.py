@@ -16,6 +16,16 @@ from pyspark.sql import functions as F
 
 # Shared with the DuckDB oracle SQL: RE2/Java-regex-compatible subset.
 WORD_RE = r"[A-Za-z0-9]+"
+
+
+def bind_once(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE and hand it to ``body`` as a bound lambda
+    variable. Higher-order functions are CodegenFallback: any subtree
+    embedded in a lambda body re-evaluates per element (measured 45×
+    on the shingle sweep — each window position re-tokenized the whole
+    document). Binding via a one-element outer transform makes the
+    inner lambda read a NamedLambdaVariable instead."""
+    return F.transform(F.array(value), body)[0]
 PUNCT_RE = r"[^A-Za-z0-9\s]"
 CJK_RE = r"[一-鿿]"
 
@@ -283,6 +293,159 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         rule_chars.alias("rule_dup_line_chars"),
         (rule_lines & rule_chars).alias("repetition_keep"),
     )
+
+
+# MassiveText n-gram repetition thresholds (Rae et al. 2021 Table A1):
+# a document is filtered when the fraction of characters in the most
+# frequent n-gram (n=2..4) or in duplicated n-grams (n=5..10) exceeds
+# the published bound.
+MASSIVETEXT_TOP_NGRAM: tuple[tuple[int, float], ...] = (
+    (2, 0.20), (3, 0.18), (4, 0.16))
+MASSIVETEXT_DUP_NGRAM: tuple[tuple[int, float], ...] = (
+    (5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10))
+
+
+def ngram_repetition_signals(
+        df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+        top_ngrams: tuple[tuple[int, float], ...] = MASSIVETEXT_TOP_NGRAM,
+        dup_ngrams: tuple[tuple[int, float], ...] = MASSIVETEXT_DUP_NGRAM,
+) -> DataFrame:
+    """MassiveText n-gram repetition rules (Rae et al. 2021 Table A1) —
+    the other half of the published repetition filter family
+    (repetition_signals covers the duplicate-LINE rules): per document,
+    the fraction of characters in the most frequent n-gram for each
+    n in ``top_ngrams``, and the fraction of characters covered by
+    duplicated n-grams for each n in ``dup_ngrams`` (overlapping
+    occurrences count each character ONCE, per the paper). Emits one
+    metric column + one rule boolean per n, plus the conjunction
+    ``ngram_repetition_keep``.
+
+    Exact spec (mirrored by the pure-Python reference in
+    tests/test_text.py):
+      * token stream = WORD_RE over lowered text — the same stream
+        shingles/MinHash/span-dedup match on;
+      * character accounting counts WORD characters only (separators
+        excluded): doc_chars = Σ len(token);
+      * top-n fraction = cnt* · chars* / doc_chars where (cnt*, chars*)
+        maximizes (occurrence count, n-gram word chars) — overlapping
+        occurrences each count, so the fraction can exceed 1.0 on
+        pathological docs ("a a a a"), exactly as the published rule
+        behaves; ties beyond (cnt, chars) don't affect the value;
+      * dup-n fraction = Σ len(token at covered position) / doc_chars,
+        a position being covered when ANY n-gram occurring ≥2 times in
+        the doc spans it — a distinct position set, so chars are never
+        double-counted;
+      * docs with < n tokens (or no tokens) get fraction 0.0.
+
+    100 TB shape: ONE pass over the corpus builds every n's window
+    entries doc-locally (token array bound once; each entry is the
+    compact struct (n, pos, xxhash64(n-gram), word_chars) — 8-byte key,
+    never the n-gram text) and a single explode feeds a map-side
+    partially-aggregated groupBy on (id, n, hash). Coverage explodes
+    duplicate starts into position rows and joins token lengths on
+    (id, pos). Every shuffle row is O(16-32 bytes); no stage holds more
+    than one document's tokens in one value. n-grams are compared by
+    xxhash64 — a 2^-64-per-pair collision can merge two distinct
+    n-grams, the same trade duplicate_ngram_spans(by="hash") makes.
+    """
+    all_n = sorted({n for n, _ in top_ngrams} | {n for n, _ in dup_ngrams})
+    if not all_n:
+        raise ValueError("at least one (n, threshold) rule is required")
+    if min(all_n) < 2:
+        raise ValueError(f"n-gram sizes must be >= 2, got {min(all_n)}")
+    top_ns = [n for n, _ in top_ngrams]
+    dup_ns = [n for n, _ in dup_ngrams]
+
+    t = F.col(text_col)
+    toks = F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0)
+
+    def entries_for(tv: Column, n: int) -> Column:
+        idx = F.when(F.size(tv) >= n, F.sequence(F.lit(0), F.size(tv) - n)) \
+               .otherwise(F.expr("array()").cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                i.alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(tv, i + 1, n)))
+                .alias("h"),
+                F.aggregate(F.slice(tv, i + 1, n), F.lit(0),
+                            lambda a, w: a + F.length(w)).alias("chars"),
+            ))
+
+    entries = bind_once(
+        toks, lambda tv: F.concat(*[entries_for(tv, n) for n in all_n]))
+    rows = (df.select(F.col(id_col), F.explode(entries).alias("e"))
+            .select(id_col, "e.n", "e.pos", "e.h", "e.chars"))
+
+    # (id, pos) -> token length; doubles as the doc_chars denominator.
+    tok_lens = (df.select(F.col(id_col),
+                          F.posexplode(toks).alias("pos", "tok"))
+                .select(id_col, "pos", F.length("tok").alias("tlen")))
+    doc_chars = tok_lens.groupBy(id_col).agg(
+        F.sum("tlen").alias("doc_chars"))
+
+    # Per-doc, per-n, per-n-gram occurrence counts (map-side partials
+    # collapse each partition's repeats before the exchange).
+    g = rows.groupBy(id_col, "n", "h").agg(
+        F.count("*").alias("cnt"), F.max("chars").alias("chars"))
+
+    out = df
+    if top_ns:
+        top = (g.filter(F.col("n").isin(top_ns))
+               .groupBy(id_col, "n")
+               .agg(F.max(F.struct("cnt", "chars")).alias("m"))
+               .select(id_col, "n",
+                       (F.col("m.cnt") * F.col("m.chars")).alias("top_chars"))
+               .join(doc_chars, id_col)
+               .select(id_col, "n",
+                       (F.col("top_chars").cast("double")
+                        / F.col("doc_chars")).alias("frac"))
+               .groupBy(id_col).pivot("n", top_ns).agg(F.first("frac")))
+        out = out.join(
+            top.select(F.col(id_col),
+                       *[F.col(str(n)).alias(f"_top_{n}") for n in top_ns]),
+            id_col, "left")
+    if dup_ns:
+        dup_keys = (g.filter(F.col("n").isin(dup_ns) & (F.col("cnt") >= 2))
+                    .select(id_col, "n", "h"))
+        starts = (rows.filter(F.col("n").isin(dup_ns))
+                  .join(dup_keys, [id_col, "n", "h"], "left_semi"))
+        covered = (starts
+                   .select(F.col(id_col), F.col("n"),
+                           F.explode(F.sequence(
+                               F.col("pos"),
+                               F.col("pos") + F.col("n") - 1)).alias("pos"))
+                   .distinct())
+        cov = (covered.join(tok_lens, [id_col, "pos"])
+               .groupBy(id_col, "n").agg(F.sum("tlen").alias("cov_chars"))
+               .join(doc_chars, id_col)
+               .select(id_col, "n",
+                       (F.col("cov_chars").cast("double")
+                        / F.col("doc_chars")).alias("frac"))
+               .groupBy(id_col).pivot("n", dup_ns).agg(F.first("frac")))
+        out = out.join(
+            cov.select(F.col(id_col),
+                       *[F.col(str(n)).alias(f"_dup_{n}") for n in dup_ns]),
+            id_col, "left")
+
+    keep = F.lit(True)
+    metric_cols, rule_cols = [], []
+    for n, thr in top_ngrams:
+        frac = F.coalesce(F.col(f"_top_{n}"), F.lit(0.0))
+        rule = frac <= F.lit(thr)
+        metric_cols.append(F.round(frac, 4).alias(f"top_{n}gram_char_frac"))
+        rule_cols.append(rule.alias(f"rule_top_{n}gram"))
+        keep = keep & rule
+    for n, thr in dup_ngrams:
+        frac = F.coalesce(F.col(f"_dup_{n}"), F.lit(0.0))
+        rule = frac <= F.lit(thr)
+        metric_cols.append(F.round(frac, 4).alias(f"dup_{n}gram_char_frac"))
+        rule_cols.append(rule.alias(f"rule_dup_{n}gram"))
+        keep = keep & rule
+    return out.select(
+        *[F.col(c) for c in df.columns], *metric_cols, *rule_cols,
+        keep.alias("ngram_repetition_keep"))
 
 
 def shard_by_token_budget(df: DataFrame, budget: int,

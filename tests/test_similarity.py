@@ -122,3 +122,92 @@ def test_ivf_empty_corpus(spark, emb):
     out = ivf_topk(empty, emb.filter(F.col("vec_id") < 3), k=3)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+
+
+def _semdedup_corpus(spark, dim=16):
+    """Planted duplicate groups: identical vectors within a group (so
+    quantization can never split them), near-orthogonal across groups
+    (so no false cross-group edges)."""
+    rng = np.random.default_rng(20260818)
+    base = rng.normal(size=(6, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    groups = {}
+    for g, n_members in enumerate([3, 2, 1, 1, 4, 1]):
+        for _ in range(n_members):
+            rows.append((vid, [float(x) for x in base[g]]))
+            groups[vid] = g
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+              .repartition(5)
+    return df, groups, base
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    from data_crawler_spark.operators.similarity import semantic_dedup
+
+    df, groups, base = _semdedup_corpus(spark)
+    # verify the planted geometry: cross-group cosines all < 0.8
+    S = base @ base.T
+    np.fill_diagonal(S, 0)
+    assert float(np.abs(S).max()) < 0.8
+
+    out = semantic_dedup(df, threshold=0.9, n_lists=4, sample_n=100)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert set(rows) == set(groups)
+    # members of a planted group share one dup_group; distinct planted
+    # groups never merge (cross-group cosine < threshold)
+    by_planted = {}
+    for vid, g in groups.items():
+        by_planted.setdefault(g, set()).add(rows[vid].dup_group)
+    assert all(len(s) == 1 for s in by_planted.values())
+    assert len({next(iter(s)) for s in by_planted.values()}) == len(by_planted)
+    # exactly one survivor per group; identical vectors tie on
+    # centroid_sim so the representative is the min id
+    for g, members in [(g, [v for v, pg in groups.items() if pg == g])
+                       for g in by_planted]:
+        keep = [v for v in members if rows[v].semdedup_keep]
+        assert keep == [min(members)], (g, keep)
+
+
+def test_semantic_dedup_keep_rule_and_determinism(spark):
+    from data_crawler_spark.operators.similarity import semantic_dedup
+
+    # one tight near-dup pair with DIFFERENT centroid sims + a singleton
+    dim = 8
+    v = np.zeros(dim); v[0] = 1.0
+    v2 = np.array(v); v2[1] = 0.12
+    v2 /= np.linalg.norm(v2)
+    w = np.zeros(dim); w[3] = 1.0
+    rows = [(0, [float(x) for x in v]),
+            (1, [float(x) for x in v2]),
+            (2, [float(x) for x in w])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out1 = {r.vec_id: r for r in
+            semantic_dedup(df, threshold=0.95, n_lists=2, sample_n=10)
+            .collect()}
+    # 0 and 1 are duplicates (cos ~ 0.993), 2 is alone
+    assert out1[0].dup_group == out1[1].dup_group != out1[2].dup_group
+    assert out1[2].semdedup_keep
+    # the paper's rule: the member LEAST similar to the centroid stays
+    pair = [out1[0], out1[1]]
+    expected_keep = min(pair, key=lambda r: (r.centroid_sim, r.vec_id))
+    for r in pair:
+        assert r.semdedup_keep == (r.vec_id == expected_keep.vec_id)
+    # partition-layout determinism: same verdicts on a re-layout
+    out2 = {r.vec_id: r for r in
+            semantic_dedup(df.repartition(7), threshold=0.95, n_lists=2,
+                           sample_n=10).collect()}
+    for vid in out1:
+        assert out1[vid].semdedup_keep == out2[vid].semdedup_keep
+        assert out1[vid].centroid_sim == out2[vid].centroid_sim
+
+
+def test_semantic_dedup_empty(spark):
+    from data_crawler_spark.operators.similarity import semantic_dedup
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(df)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "list_id", "centroid_sim",
+                                "dup_group", "semdedup_keep"}

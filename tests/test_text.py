@@ -284,3 +284,121 @@ def test_repetition_signals_vs_reference(spark):
     plan = (repetition_signals(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
+def _ngram_rep_ref(text, top_ngrams, dup_ngrams):
+    """Pure-Python mirror of ngram_repetition_signals' documented spec."""
+    import re as _re
+    from collections import Counter
+
+    toks = _re.findall(r"[A-Za-z0-9]+", text.lower())
+    doc_chars = sum(len(w) for w in toks)
+    out = {}
+    for n, thr in top_ngrams:
+        grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams or doc_chars == 0:
+            frac = 0.0
+        else:
+            cnt = Counter(grams)
+            c, ch = max((c, sum(len(w) for w in g))
+                        for g, c in cnt.items())
+            frac = c * ch / doc_chars
+        out[f"top_{n}gram_char_frac"] = frac
+        out[f"rule_top_{n}gram"] = frac <= thr
+    for n, thr in dup_ngrams:
+        grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        cnt = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if cnt[g] >= 2:
+                covered.update(range(i, i + n))
+        frac = (sum(len(toks[p]) for p in covered) / doc_chars
+                if doc_chars else 0.0)
+        out[f"dup_{n}gram_char_frac"] = frac
+        out[f"rule_dup_{n}gram"] = frac <= thr
+    out["ngram_repetition_keep"] = all(
+        v for k, v in out.items() if k.startswith("rule_"))
+    return out
+
+
+def test_ngram_repetition_vs_reference(spark):
+    from data_crawler_spark.operators.text import ngram_repetition_signals
+
+    top = ((2, 0.20), (3, 0.18))
+    dup = ((2, 0.15), (5, 0.15))   # n=2 exercises the shared-n path
+    samples = [
+        # pathological overlap: top-2gram frac 4*2/5 = 1.6 (>1, the
+        # published rule's known quirk) and every position dup-covered
+        "a a a a a",
+        # repeated 5-word phrase split by unique words
+        "alpha beta gamma delta epsilon one two "
+        "alpha beta gamma delta epsilon three four",
+        # overlapping duplicated 2-grams sharing positions (count once)
+        "x y x y x y z",
+        "single",
+        "",
+        "clean prose with no repeated windows at all here",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "doc_id long, text string").repartition(4)
+    got = {r.doc_id: r.asDict()
+           for r in ngram_repetition_signals(
+               df, top_ngrams=top, dup_ngrams=dup).collect()}
+    assert len(got) == len(samples)
+    for i, s in enumerate(samples):
+        ref = _ngram_rep_ref(s, top, dup)
+        for k, v in ref.items():
+            if isinstance(v, float):
+                assert got[i][k] == pytest.approx(v, abs=1e-4), (i, k)
+            else:
+                assert got[i][k] == v, (i, k)
+    assert not got[0]["ngram_repetition_keep"]
+    # (keep == reference is asserted for every doc above; note a short
+    # clean doc can still fail the top-n rule at cnt=1 — the published
+    # rule is meant for word-count-gated docs, doc 5 shows it)
+    # input columns survive, text untouched
+    assert got[1]["text"] == samples[1]
+
+
+def test_ngram_repetition_published_defaults_fuzz(spark):
+    """Seeded word-salad fuzz at the published Table A1 rule set:
+    every metric must equal the pure-Python reference, on every doc,
+    regardless of partitioning."""
+    import random
+
+    from data_crawler_spark.operators.text import (
+        MASSIVETEXT_DUP_NGRAM, MASSIVETEXT_TOP_NGRAM,
+        ngram_repetition_signals)
+
+    rng = random.Random(20260818)
+    vocab = ["lorem", "ipsum", "dolor", "sit", "amet", "web", "crawl"]
+    docs = []
+    for i in range(24):
+        n_words = rng.randint(0, 60)
+        words = [rng.choice(vocab) for _ in range(n_words)]
+        # half the docs get a planted repeated phrase
+        if i % 2 == 0 and n_words >= 12:
+            phrase = words[:6]
+            k = rng.randint(0, n_words - 6)
+            words[k:k + 6] = phrase
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string") \
+              .repartition(8)
+    got = {r.doc_id: r.asDict()
+           for r in ngram_repetition_signals(df).collect()}
+    for i, s in docs:
+        ref = _ngram_rep_ref(s, MASSIVETEXT_TOP_NGRAM, MASSIVETEXT_DUP_NGRAM)
+        for k, v in ref.items():
+            if isinstance(v, float):
+                assert got[i][k] == pytest.approx(v, abs=1e-4), (i, k)
+            else:
+                assert got[i][k] == v, (i, k)
+
+
+def test_ngram_repetition_rejects_bad_rules(spark):
+    from data_crawler_spark.operators.text import ngram_repetition_signals
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        ngram_repetition_signals(df, top_ngrams=(), dup_ngrams=())
+    with pytest.raises(ValueError):
+        ngram_repetition_signals(df, top_ngrams=((1, 0.2),), dup_ngrams=())
