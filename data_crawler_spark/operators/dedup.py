@@ -571,6 +571,74 @@ def decontaminate(docs: DataFrame, eval_df: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# Corpus-wide paragraph dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n",
+                    keep: str = "first") -> DataFrame:
+    """CCNet-style corpus-WIDE paragraph deduplication (Wenzek et al.
+    2020 dedup step): split every document on ``sep``, hash each
+    trimmed paragraph, and drop repeated paragraphs across the whole
+    corpus — boilerplate (nav bars, cookie banners, license footers)
+    disappears from every page that carries it. Documents come back
+    with their surviving paragraphs re-joined in original order, plus
+    ``paras_removed`` / ``paras_total`` counts (a doc reduced to
+    nothing keeps an empty string — filter on ``paras_removed <
+    paras_total`` to drop hollowed-out docs).
+
+    ``keep="first"`` keeps the single occurrence with the smallest
+    (id, position) per paragraph (one copy survives corpus-wide, the
+    CCNet rule); ``keep="none"`` drops every occurrence of any
+    paragraph seen ≥2 times. Whitespace-only paragraphs are structural,
+    not content — never counted or dropped. Paragraphs compare by
+    xxhash64 of the trimmed text (2^-64-per-pair collision merges two
+    distinct paragraphs — the trade every hash-keyed dedup here makes).
+
+    100 TB shape: the decision pipeline shuffles only ~20-byte
+    (id, pos, hash) rows — paragraph TEXT never rides a shuffle. One
+    map-side-partial groupBy(hash) finds counts + first occurrences;
+    the drop positions fold back to one small array row per affected
+    doc; the only corpus-scale exchange is the final join of docs
+    against that drop-list frame on ``id_col`` (AQE broadcasts it when
+    the duplicated-doc fraction is small). Rebuild is a doc-local
+    two-arg F.filter over the original split — no re-tokenize, no
+    per-row Python."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    paras = F.split(F.col(text_col), sep)
+    rows = (df.select(F.col(id_col),
+                      F.posexplode(paras).alias("pos", "para"))
+            .filter(F.trim(F.col("para")) != "")
+            .select(id_col, "pos",
+                    F.xxhash64(F.trim(F.col("para"))).alias("h")))
+    occ = rows.groupBy("h").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("pos").alias("p"))).alias("first_occ"))
+    dup = occ.filter(F.col("cnt") >= 2)
+    if keep == "first":
+        drops = (rows.join(dup, "h")
+                 .filter(~((F.col(id_col) == F.col("first_occ.i"))
+                           & (F.col("pos") == F.col("first_occ.p"))))
+                 .select(id_col, "pos"))
+    else:
+        drops = (rows.join(dup.select("h"), "h", "left_semi")
+                 .select(id_col, "pos"))
+    drop_lists = drops.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("_drop_pos"))
+    out = df.join(drop_lists, id_col, "left")
+    dp = F.coalesce(F.col("_drop_pos"),
+                    F.expr("array()").cast("array<int>"))
+    kept = F.filter(paras, lambda p, i: ~F.array_contains(dp, i))
+    non_ws = F.size(F.filter(paras, lambda p: F.trim(p) != ""))
+    return (out.withColumn("paras_total", non_ws)
+            .withColumn("paras_removed", F.size(dp))
+            .withColumn(text_col, F.array_join(kept, sep))
+            .drop("_drop_pos"))
+
+
+# ---------------------------------------------------------------------------
 # Incremental (cross-snapshot) dedup
 # ---------------------------------------------------------------------------
 

@@ -175,3 +175,62 @@ def url_struct_col(url: Column) -> Column:
         path_col(url).alias("path"),
         F.regexp_extract(url, r"\?([^#]*)", 1).alias("query"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain blocklist filtering (RefinedWeb-style pre-filter)
+# ---------------------------------------------------------------------------
+
+def host_suffixes_col(host: Column) -> Column:
+    """Every dot-boundary suffix of a host, longest first:
+    ``a.b.example.com -> [a.b.example.com, b.example.com, example.com,
+    com]`` — the set a domain blocklist entry can match at (exact host
+    or any parent domain). Port, if present, stays on the full-host
+    entry only (``h:8080`` suffixes are computed on the host part)."""
+    h = F.lower(F.regexp_replace(host, r":\d+$", ""))
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."))
+
+
+def host_blocklist_filter(df, blocklist, url_col: str = "url",
+                          match_subdomains: bool = True):
+    """Drop rows whose URL host is on a domain blocklist — the URL-level
+    pre-filter every published webtext pipeline runs before content
+    filters (RefinedWeb §3.1 runs a 4.6M-domain list). A blocklist
+    entry matches the exact host and, with ``match_subdomains`` (the
+    standard semantics), every subdomain of it.
+
+    ``blocklist`` is either a Python iterable of domains (list-sized
+    blocklists: compiled into a literal array, the filter is a PURE MAP
+    over the scan — zero exchange) or a one-column DataFrame (the
+    millions-of-domains regime: the corpus's (url, suffix) rows stream
+    into a BROADCAST semi-join, the matched url set comes back as an
+    anti-join — the corpus itself is never shuffled, the same shape as
+    decontaminate)."""
+    from pyspark.sql import DataFrame as _DF
+
+    u = F.lower(F.col(url_col))
+    sufs = F.when(is_http_col(u), host_suffixes_col(host_col(u))) \
+            .otherwise(F.expr("array()").cast("array<string>"))
+    if isinstance(blocklist, _DF):
+        bl_col = blocklist.columns[0]
+        bl = (blocklist.select(F.lower(F.col(bl_col)).alias("_dom"))
+              .distinct())
+        if not match_subdomains:
+            sufs = F.slice(sufs, 1, 1)
+        hits = (df.select(F.col(url_col).alias("_u"),
+                          F.explode(sufs).alias("_dom"))
+                .join(F.broadcast(bl), "_dom", "left_semi")
+                .select(F.col("_u").alias(url_col)).distinct())
+        return df.join(hits, url_col, "left_anti")
+    domains = F.array(*[F.lit(str(d).lower()) for d in blocklist])
+    if not match_subdomains:
+        # F.get, not element_at: ANSI mode (Spark 4 default) makes
+        # element_at THROW on the empty non-http array
+        hit = F.array_contains(domains, F.get(sufs, 0))
+    else:
+        hit = F.arrays_overlap(sufs, domains)
+    return df.filter(~F.coalesce(hit, F.lit(False)))

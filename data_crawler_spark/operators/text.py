@@ -242,6 +242,74 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     )
 
 
+def c4_rules(df: DataFrame, text_col: str = "text",
+             min_words_per_line: int = 5, min_sentences: int = 3,
+             banned_words: tuple[str, ...] = ()) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, §2.2) — the third
+    published webtext filter family next to gopher_rules and the
+    repetition signals, with C4's distinctive LINE-level cleaning:
+
+    line rules (drop the line, keep the doc):
+      * keep only lines ending in a terminal punctuation mark
+        (``. ! ? "``);
+      * keep only lines with ≥ ``min_words_per_line`` whitespace-
+        delimited words (the paper's 5);
+      * drop lines containing the word "javascript" (case-insensitive).
+
+    document rules (drop the whole page, tested on the ORIGINAL text
+    except the sentence count):
+      * ≥ ``min_sentences`` sentences after line cleaning — counted as
+        terminal-punctuation marks ``[.!?]`` in the cleaned text (the
+        paper used an English sentence splitter; this deterministic
+        proxy is the documented deviation);
+      * no "lorem ipsum";
+      * no curly brace ``{`` (code);
+      * no token from ``banned_words`` (the paper's dirty-word page
+        filter — the list is caller-supplied, compared on lowered
+        WORD_RE tokens).
+
+    Emits ``c4_text`` (the line-cleaned text), ``c4_n_lines_kept`` /
+    ``c4_n_sentences``, one boolean per document rule, and the
+    conjunction ``c4_keep``. Like gopher_rules this is all native
+    expressions in whole-stage codegen — a pure map over the corpus
+    scan, no shuffle, no Python."""
+    t = F.col(text_col)
+    lines = F.transform(F.split(t, "\n"), lambda l: F.trim(l))
+
+    def _line_ok(l):
+        wc = F.size(F.split(l, r"\s+"))
+        return (l.rlike('[.!?"]$') & (wc >= min_words_per_line)
+                & ~F.lower(l).contains("javascript"))
+
+    staged = df.select("*", F.filter(lines, _line_ok).alias("_c4_lines"))
+    c4_text = F.array_join(F.col("_c4_lines"), "\n")
+    n_sent = F.regexp_count(c4_text, F.lit(r"[.!?]"))
+    low = F.lower(t)
+    if banned_words:
+        toks = F.regexp_extract_all(low, F.lit(WORD_RE), 0)
+        no_banned = ~F.arrays_overlap(
+            toks, F.array(*[F.lit(w.lower()) for w in banned_words]))
+    else:
+        no_banned = F.lit(True)
+    rules = {
+        "rule_min_sentences": n_sent >= min_sentences,
+        "rule_no_lorem_ipsum": ~low.contains("lorem ipsum"),
+        "rule_no_brace": ~t.contains("{"),
+        "rule_no_banned_words": no_banned,
+    }
+    keep = F.lit(True)
+    for expr in rules.values():
+        keep = keep & expr
+    return staged.select(
+        *[F.col(c) for c in df.columns],
+        c4_text.alias("c4_text"),
+        F.size(F.col("_c4_lines")).alias("c4_n_lines_kept"),
+        n_sent.alias("c4_n_sentences"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("c4_keep"),
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher repetition rules (Rae et al. 2021 §A.1.1, the MassiveText
     duplicate-line filters): fraction of non-empty lines that are

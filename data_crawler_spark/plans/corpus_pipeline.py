@@ -2,8 +2,11 @@
 actually runs over 100 TB of webtext, built entirely from this repo's
 already-plan-audited operators —
 
-    quality gates -> exact dedup -> MinHash near-dup cluster removal
-    -> benchmark decontamination -> token counting -> shard packing
+    quality gates -> repetition gates (line + n-gram rules)
+    -> corpus-wide paragraph dedup -> exact dedup
+    -> MinHash near-dup cluster removal -> benchmark decontamination
+    -> mixture sampling -> train/val/test split
+    -> token counting -> shard packing
 
 Each stage is optional and keeps the corpus DataFrame's original
 columns, so stages compose in any subset. Scale shape per stage:
@@ -31,31 +34,83 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (connected_components, decontaminate,
-                               exact_dedup, minhash_near_dups)
-from ..operators.text import (gopher_rules, repetition_signals,
-                              shard_by_token_budget, token_count_col)
+                               exact_dedup, minhash_near_dups,
+                               paragraph_dedup)
+from ..operators.sampling import hash_split, sample_corpus_mixture
+from ..operators.text import (c4_rules, gopher_rules,
+                              ngram_repetition_signals,
+                              repetition_signals, shard_by_token_budget,
+                              token_count_col)
 
 
 def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                  id_col: str = "doc_id", text_col: str = "text",
+                 c4: bool = False, c4_banned_words: tuple[str, ...] = (),
                  quality: bool = True, repetition: bool = True,
+                 ngram_repetition: bool = False,
+                 paragraph_dedup_keep: str | None = None,
+                 min_paragraph_survival: float = 0.5,
                  exact: bool = True, near_dup_threshold: float | None = 0.7,
-                 decontam_n: int = 13, shard_budget: int | None = None,
+                 decontam_n: int = 13,
+                 mixture_group_col: str | None = None,
+                 mixture_weights: dict[str, float] | None = None,
+                 mixture_temperature: float | None = None,
+                 split_fractions: dict[str, float] | None = None,
+                 shard_budget: int | None = None,
                  shard_partitions: int = 1, n_hashes: int = 64,
-                 n_bands: int = 16, shingle_n: int = 3) -> DataFrame:
+                 n_bands: int = 16, shingle_n: int = 3,
+                 seed: int = 0) -> DataFrame:
     """Run the cleaning stages over ``docs`` and return the surviving
     documents with their original columns plus ``n_tokens`` (and
-    ``shard_id`` when ``shard_budget`` is set). ``eval_df=None`` skips
+    ``split`` / ``shard_id`` when requested). ``eval_df=None`` skips
     decontamination; ``near_dup_threshold=None`` skips near-dup
-    removal; the boolean flags skip their stages."""
+    removal; the boolean flags skip their stages.
+
+    Optional stages beyond the core chain:
+
+    - ``c4=True`` runs the C4 cleaning rules FIRST (line-level
+      terminal-punctuation / ≥5-word / javascript cleaning rewrites
+      the text, then the lorem-ipsum / brace / sentence-count /
+      ``c4_banned_words`` page filters).
+    - ``ngram_repetition=True`` adds the MassiveText Table A1 n-gram
+      rules next to the duplicate-line rules.
+    - ``paragraph_dedup_keep`` ("first" / "none") runs CCNet-style
+      corpus-wide paragraph dedup BEFORE the doc-level dedups (the
+      boilerplate it strips would otherwise mask near-dup signals);
+      docs whose surviving-paragraph fraction falls below
+      ``min_paragraph_survival`` are dropped as hollowed-out.
+    - ``mixture_group_col`` + (``mixture_weights`` |
+      ``mixture_temperature``) downsamples the cleaned corpus to a
+      target group mixture (deterministic in (id, seed)).
+    - ``split_fractions`` appends a train/val/test ``split`` column
+      (pure map, after sampling so the bins see the final corpus).
+    """
     cols = docs.columns
     out = docs
 
+    if c4:
+        # C4 runs FIRST: its line cleaning rewrites the text every later
+        # stage (quality metrics, dedup shingles) should see
+        staged = c4_rules(out, text_col, banned_words=c4_banned_words)
+        out = (staged.filter("c4_keep")
+               .withColumn(text_col, F.col("c4_text")).select(cols))
     if quality:
         out = gopher_rules(out, text_col).filter("gopher_keep").select(cols)
     if repetition:
         out = (repetition_signals(out, text_col)
                .filter("repetition_keep").select(cols))
+    if ngram_repetition:
+        out = (ngram_repetition_signals(out, id_col, text_col)
+               .filter("ngram_repetition_keep").select(cols))
+
+    if paragraph_dedup_keep is not None:
+        deduped = paragraph_dedup(out, id_col, text_col,
+                                  keep=paragraph_dedup_keep)
+        out = (deduped.filter(
+                   (F.col("paras_total") > 0)
+                   & ((F.col("paras_total") - F.col("paras_removed"))
+                      >= F.col("paras_total") * F.lit(min_paragraph_survival)))
+               .select(cols))
 
     if exact:
         keep = (exact_dedup(out, id_col, text_col)
@@ -79,6 +134,13 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
 
     if eval_df is not None:
         out = decontaminate(out, eval_df, id_col, text_col, decontam_n)
+
+    if mixture_group_col is not None:
+        out = sample_corpus_mixture(
+            out, mixture_group_col, id_col, mixture_weights,
+            mixture_temperature, seed).drop("sample_rate")
+    if split_fractions is not None:
+        out = hash_split(out, id_col, split_fractions, seed + 1)
 
     out = out.withColumn("n_tokens",
                          token_count_col(F.col(text_col)).cast("long"))

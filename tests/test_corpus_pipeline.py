@@ -76,3 +76,88 @@ def test_clean_corpus_no_eval_keeps_contaminated(spark, corpus):
     ids = {r.doc_id for r in
            clean_corpus(corpus, near_dup_threshold=0.7).collect()}
     assert 6 in ids and ids == {1, 6, 7}
+
+
+def test_clean_corpus_ngram_repetition_stage(spark):
+    """The MassiveText n-gram stage drops a looped-phrase doc that the
+    duplicate-LINE rules can't see (it is one long line)."""
+    flags = dict(quality=False, repetition=False, exact=False,
+                 near_dup_threshold=None)
+    loop = ("alpha beta gamma delta epsilon " * 12).strip()
+    df = spark.createDataFrame([(1, BASE), (2, loop)],
+                               "doc_id long, text string")
+    assert {r.doc_id for r in clean_corpus(df, **flags).collect()} == {1, 2}
+    ids = {r.doc_id for r in
+           clean_corpus(df, ngram_repetition=True, **flags).collect()}
+    assert ids == {1}
+
+
+def test_clean_corpus_paragraph_dedup_stage(spark):
+    """Corpus-wide boilerplate stripping: one copy of the shared banner
+    survives (the first), and a doc hollowed out below the survival
+    fraction is dropped entirely."""
+    flags = dict(quality=False, repetition=False, exact=False,
+                 near_dup_threshold=None)
+    rows = [
+        (1, "intro one\nShared cookie banner text\nbody one"),
+        (2, "intro two\nShared cookie banner text\nbody two"),
+        (3, "Shared cookie banner text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in clean_corpus(df, paragraph_dedup_keep="first",
+                                 **flags).collect()}
+    assert set(out) == {1, 2}
+    assert "Shared cookie banner text" in out[1]
+    assert "Shared cookie banner text" not in out[2]
+    assert out[2] == "intro two\nbody two"
+
+
+def test_clean_corpus_mixture_and_split_stages(spark):
+    """Mixture downsampling + split assignment ride the end of the
+    pipeline: the kept set equals calling the sampling op directly
+    (same seed), the binding group keeps everything, and the split
+    column bins every survivor."""
+    from data_crawler_spark.operators.sampling import sample_corpus_mixture
+
+    flags = dict(quality=False, repetition=False, exact=False,
+                 near_dup_threshold=None)
+    rows = [(i, f"{BASE} variant {i}", "en" if i % 4 else "de")
+            for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = clean_corpus(df, mixture_group_col="lang",
+                       mixture_weights={"en": 1.0, "de": 1.0},
+                       split_fractions={"train": 0.8, "val": 0.2},
+                       seed=7, **flags)
+    got = out.collect()
+    assert "sample_rate" not in out.columns and "split" in out.columns
+    want = {r.doc_id for r in
+            sample_corpus_mixture(df, "lang", "doc_id",
+                                  {"en": 1.0, "de": 1.0}, seed=7).collect()}
+    assert {r.doc_id for r in got} == want
+    # binding group (de, the smaller count) keeps rate 1.0
+    assert {r.doc_id for r in got if r.lang == "de"} == \
+        {i for i in range(1, 41) if i % 4 == 0}
+    assert {r.split for r in got} <= {"train", "val"}
+    assert {r.split for r in got} == {"train", "val"}  # both bins hit
+
+
+def test_clean_corpus_c4_stage(spark):
+    """The C4 stage both rewrites text (line cleaning feeds later
+    stages) and drops pages on the document rules."""
+    flags = dict(quality=False, repetition=False, exact=False,
+                 near_dup_threshold=None)
+    rows = [
+        (1, "A first real sentence sits on this line.\n"
+            "junk nav bar\n"
+            "And a second full sentence follows right here.\n"
+            "Finally a third sentence completes the page today."),
+        (2, "Lorem ipsum filler dominates this entire placeholder page.\n"
+            "Even though its other sentences look quite acceptable here.\n"
+            "Three of them clear the minimum sentence count easily."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(df, c4=True, **flags).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert "junk nav bar" not in out[0].text  # the rewrite reached text
+    assert out[0].text.count("\n") == 2

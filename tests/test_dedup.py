@@ -338,3 +338,72 @@ def test_incremental_index_rejects_readd(spark, tmp_path):
         idx.add(readd, threshold=0.5)
     # the failed add committed nothing: version still = batch-1 only
     assert idx.table.read().count() == b1.count()
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide paragraph dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+PARA_DOCS = [
+    (1, "unique intro one\nSubscribe to our newsletter!\nbody text alpha\n\nfooter (c) example"),
+    (2, "unique intro two\nSubscribe to our newsletter!\nbody text beta\nfooter (c) example"),
+    (3, "  Subscribe to our newsletter!  \nfooter (c) example\nfooter (c) example"),  # ws-dup + in-doc dup
+    (4, "totally original paragraph\n   \nanother original line"),  # ws-only para kept
+    (5, "Subscribe to our newsletter!"),  # hollowed out entirely under keep='first'
+]
+
+
+def _ref_paragraph_dedup(rows, sep="\n", keep="first"):
+    """Pure-Python mirror of dedup.paragraph_dedup keyed on the trimmed
+    paragraph STRING (Spark keys on xxhash64 of it — identical modulo
+    2^-64 collisions, absent in a fixture this size)."""
+    occ: dict[str, list] = {}
+    for i, t in rows:
+        for j, p in enumerate(t.split(sep)):
+            tp = p.strip()
+            if tp:
+                occ.setdefault(tp, []).append((i, j))
+    drops = set()
+    for lst in occ.values():
+        if len(lst) >= 2:
+            drops.update(lst if keep == "none" else
+                         [x for x in lst if x != min(lst)])
+    out = {}
+    for i, t in rows:
+        ps = t.split(sep)
+        kept = [p for j, p in enumerate(ps) if (i, j) not in drops]
+        removed = sum(1 for j in range(len(ps)) if (i, j) in drops)
+        total = sum(1 for p in ps if p.strip())
+        out[i] = (sep.join(kept), removed, total)
+    return out
+
+
+@pytest.mark.parametrize("keep", ["first", "none"])
+def test_paragraph_dedup_matches_reference(spark, keep):
+    from data_crawler_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(PARA_DOCS, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.paras_removed, r.paras_total)
+           for r in paragraph_dedup(df, keep=keep).collect()}
+    assert got == _ref_paragraph_dedup(PARA_DOCS, keep=keep)
+    # non-vacuous: the boilerplate line was actually removed somewhere
+    assert any(rem for (_, rem, _) in got.values())
+
+
+def test_paragraph_dedup_keep_first_survivor_and_invariance(spark):
+    """Exactly ONE copy of the shared boilerplate survives corpus-wide —
+    the (id, pos)-smallest — and the verdict is identical under a
+    different partition layout."""
+    from data_crawler_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(PARA_DOCS, "doc_id long, text string")
+    out = paragraph_dedup(df, keep="first")
+    texts = {r.doc_id: r.text for r in out.collect()}
+    carriers = [i for i, t in texts.items()
+                if "Subscribe to our newsletter!" in t]
+    assert carriers == [1]  # first occurrence: doc 1, pos 1
+    hollow = [r for r in out.collect() if r.doc_id == 5][0]
+    assert hollow.text == "" and hollow.paras_removed == hollow.paras_total == 1
+    relaid = {r.doc_id: r.text
+              for r in paragraph_dedup(df.repartition(7), keep="first").collect()}
+    assert relaid == texts

@@ -402,3 +402,79 @@ def test_ngram_repetition_rejects_bad_rules(spark):
         ngram_repetition_signals(df, top_ngrams=(), dup_ngrams=())
     with pytest.raises(ValueError):
         ngram_repetition_signals(df, top_ngrams=((1, 0.2),), dup_ngrams=())
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+def _ref_c4(text, min_wpl=5, min_sent=3, banned=()):
+    """Pure-Python mirror of text.c4_rules' documented spec."""
+    import re
+
+    kept = []
+    for line in text.split("\n"):
+        line = line.strip()
+        if not re.search(r'[.!?"]$', line):
+            continue
+        if len(re.split(r"\s+", line)) < min_wpl:
+            continue
+        if "javascript" in line.lower():
+            continue
+        kept.append(line)
+    c4_text = "\n".join(kept)
+    n_sent = len(re.findall(r"[.!?]", c4_text))
+    low = text.lower()
+    toks = set(re.findall(r"[A-Za-z0-9]+", low))
+    keep = (n_sent >= min_sent and "lorem ipsum" not in low
+            and "{" not in text
+            and not ({w.lower() for w in banned} & toks))
+    return (c4_text, len(kept), n_sent, keep)
+
+
+C4_DOCS = [
+    (1, "This page has a proper first sentence.\n"
+        "short line.\n"                              # <5 words: dropped
+        "no terminal punctuation on this line\n"     # dropped
+        "Please enable JavaScript to view comments.\n"  # dropped
+        "A second real sentence stands right here!\n"
+        'He said "it ends with a quote"\n'           # ends with ": kept
+        "And a third full sentence closes the page?"),
+    (2, "Lorem ipsum dolor sit amet consectetur adipiscing elit today.\n"
+        "Another fine sentence follows the placeholder text here.\n"
+        "And one more to clear the sentence minimum easily."),  # lorem: drop
+    (3, "function f() { return 1; } is inline code in prose.\n"
+        "Yet the page also carries real sentences like this one.\n"
+        "And a third one to pass the count cleanly."),           # {: drop
+    (4, "Only one good sentence lives on this page today."),     # <3 sent
+    (5, ""),                                                      # empty
+    (6, "The profanity badword appears in this first sentence.\n"
+        "Everything else about the page looks perfectly fine here.\n"
+        "Three sentences make the minimum for the filter."),      # banned
+]
+
+
+def test_c4_rules_vs_reference(spark):
+    from data_crawler_spark.operators.text import c4_rules
+
+    df = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    got = {r.doc_id: (r.c4_text, r.c4_n_lines_kept, r.c4_n_sentences,
+                      r.c4_keep)
+           for r in c4_rules(df, banned_words=("badword",)).collect()}
+    for i, text in C4_DOCS:
+        assert got[i] == _ref_c4(text, banned=("badword",)), f"doc {i}"
+    # the right docs survive, for the right single reasons
+    assert {i for i, v in got.items() if v[3]} == {1}
+    # line cleaning really removed the junk lines from doc 1
+    assert "JavaScript" not in got[1][0] and "short line." not in got[1][0]
+
+
+def test_c4_rules_native_plan(spark):
+    """Pure map: no Exchange, no Python eval in the plan."""
+    from data_crawler_spark.operators.text import c4_rules
+
+    df = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    plan = c4_rules(df, banned_words=("x",))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

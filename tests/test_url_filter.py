@@ -1,0 +1,58 @@
+"""URL / domain blocklist filtering (links.host_blocklist_filter)."""
+
+from pyspark.sql import functions as F
+
+from data_crawler_spark.operators.links import (host_blocklist_filter,
+                                                host_suffixes_col)
+
+ROWS = [
+    (1, "http://spam.example.com/page"),        # subdomain of blocked
+    (2, "http://example.com/index.html"),       # exact blocked domain
+    (3, "http://notexample.com/a"),             # suffix ONLY at dot boundary
+    (4, "http://good.org/b"),
+    (5, "http://sub.good.org/c"),
+    (6, "http://example.com.evil.net/d"),       # blocked dom as LABEL, not suffix
+    (7, "https://EXAMPLE.com:8080/e"),          # case + port insensitive
+    (8, "ftp://example.com/f"),                 # non-http: passes through
+]
+BLOCK = ["example.com", "tracker.net"]
+
+
+def _hosts(rows):
+    return sorted(r[0] for r in rows)
+
+
+def test_host_suffixes():
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    got = (spark.range(1)
+           .select(host_suffixes_col(F.lit("a.b.Example.COM:8080"))
+                   .alias("s")).first().s)
+    assert got == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+
+def test_blocklist_literal_and_dataframe_agree(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, url string")
+    lit_ids = {r.doc_id for r in host_blocklist_filter(df, BLOCK).collect()}
+    bl_df = spark.createDataFrame([(d,) for d in BLOCK], "domain string")
+    df_ids = {r.doc_id for r in host_blocklist_filter(df, bl_df).collect()}
+    assert lit_ids == df_ids == {3, 4, 5, 6, 8}
+
+
+def test_blocklist_exact_host_mode(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, url string")
+    ids = {r.doc_id for r in
+           host_blocklist_filter(df, BLOCK, match_subdomains=False).collect()}
+    # subdomain (1) now survives; exact-host matches (2, 7) still drop
+    assert ids == {1, 3, 4, 5, 6, 8}
+    bl_df = spark.createDataFrame([(d,) for d in BLOCK], "domain string")
+    ids2 = {r.doc_id for r in
+            host_blocklist_filter(df, bl_df, match_subdomains=False).collect()}
+    assert ids2 == ids
+
+
+def test_blocklist_literal_is_pure_map(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, url string")
+    plan = host_blocklist_filter(df, BLOCK)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
