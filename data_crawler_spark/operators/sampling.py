@@ -131,3 +131,97 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", split)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def hashed_ngram_counts(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n_buckets: int = 10_000,
+                        ngram_sizes: tuple[int, ...] = (1, 2)) -> DataFrame:
+    """DSIR's feature space: per-document hashed bag of word n-grams —
+    (id, bucket, cnt) rows with ``bucket = xxhash64(ngram) mod
+    n_buckets`` over the WORD_RE token stream (the paper hashes
+    unigrams+bigrams into 10k buckets). Built doc-locally (token array
+    bound once, windows as in ngram_repetition_signals), one explode
+    into a map-side-partial groupBy — every shuffle row is
+    (id, int, count), never text."""
+    from data_crawler_spark.operators.text import WORD_RE, bind_once
+
+    if min(ngram_sizes) < 1:
+        raise ValueError(f"n-gram sizes must be >= 1, got {ngram_sizes}")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+
+    def buckets_for(tv: Column, n: int) -> Column:
+        idx = F.when(F.size(tv) >= n, F.sequence(F.lit(0), F.size(tv) - n)) \
+               .otherwise(F.expr("array()").cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.pmod(F.xxhash64(F.concat_ws(" ", F.slice(tv, i + 1, n))),
+                             F.lit(n_buckets)).cast("int"))
+
+    buckets = bind_once(
+        toks, lambda tv: F.concat(*[buckets_for(tv, n) for n in ngram_sizes]))
+    return (df.select(F.col(id_col), F.explode(buckets).alias("bucket"))
+            .groupBy(id_col, "bucket").agg(F.count("*").alias("cnt")))
+
+
+def dsir_log_ratios(raw_feats: DataFrame, target_feats: DataFrame,
+                    n_buckets: int = 10_000,
+                    smoothing: float = 1.0) -> DataFrame:
+    """Per-bucket log importance ratio log(p_target(b) / p_raw(b)) from
+    two hashed-feature frames (add-``smoothing`` multinomials). Both
+    inputs collapse to ≤ n_buckets rows before anything else — the
+    ratio table is broadcast-sized by construction; the only driver
+    traffic is the two total counts (1 row each)."""
+    raw_b = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    tgt_b = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    r_tot = raw_b.agg(F.sum("rc")).first()[0] or 0
+    t_tot = tgt_b.agg(F.sum("tc")).first()[0] or 0
+    a, b = float(smoothing), float(n_buckets)
+    joined = raw_b.join(tgt_b, "bucket", "full_outer")
+    return joined.select(
+        "bucket",
+        (F.log((F.coalesce(F.col("tc"), F.lit(0)) + a) / F.lit(t_tot + a * b))
+         - F.log((F.coalesce(F.col("rc"), F.lit(0)) + a) / F.lit(r_tot + a * b))
+         ).alias("log_ratio"))
+
+
+def dsir_select(corpus: DataFrame, target: DataFrame, k: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = 10_000,
+                ngram_sizes: tuple[int, ...] = (1, 2),
+                smoothing: float = 1.0, seed: int = 0) -> DataFrame:
+    """DSIR end-to-end: score every corpus document with its hashed-
+    n-gram log importance weight against ``target``'s distribution and
+    draw ``k`` documents WITHOUT replacement ∝ exp(weight) via Gumbel
+    top-k (Efraimidis–Spirakis): key = logw + Gumbel(0,1) seeded from
+    the document id, so the draw is deterministic in (id, seed) and
+    independent of partitioning. Returns the selected corpus rows with
+    ``dsir_logw`` appended.
+
+    100 TB shape: features never leave compact (id, bucket, cnt) rows;
+    the ratio table is ≤ n_buckets rows and BROADCAST into the scoring
+    join; per-doc scores are one map-side-partial groupBy(id); the
+    final top-k is Spark's TakeOrdered (no global sort). Docs with no
+    features score logw = 0 (the empty product), not dropped."""
+    feats = hashed_ngram_counts(corpus, id_col, text_col, n_buckets,
+                                ngram_sizes)
+    tfeats = hashed_ngram_counts(target, id_col, text_col, n_buckets,
+                                 ngram_sizes)
+    ratios = dsir_log_ratios(feats, tfeats, n_buckets, smoothing)
+    logw = (feats.join(F.broadcast(ratios), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("dsir_logw")))
+    scored = (corpus.join(logw, id_col, "left")
+              .withColumn("dsir_logw",
+                          F.coalesce(F.col("dsir_logw"), F.lit(0.0))))
+    # clamp the uniform off both endpoints: u==0 and the fold's
+    # u==1.0 rounding case would send log(-log(u)) to ±inf/null
+    u = uniform_hash_col(F.col(id_col), seed)
+    u = F.least(F.greatest(u, F.lit(1e-18)), F.lit(1.0 - 1e-16))
+    key = F.col("dsir_logw") - F.log(-F.log(u))
+    return (scored.withColumn("_gumbel_key", key)
+            .orderBy(F.desc("_gumbel_key"), F.asc(id_col)).limit(k)
+            .drop("_gumbel_key"))

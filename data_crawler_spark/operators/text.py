@@ -6,11 +6,14 @@ document fingerprinting.
 Everything is native ``pyspark.sql.functions`` (JVM-side, whole-stage
 codegen) so each op has an exact DuckDB SQL mirror in
 plans/fixture_queries.py — the driver's correctness harness checks
-them value-for-value.
+them value-for-value. Sole exception: ``unicode_normalize``, whose
+normalization tables exist only Python-side — one Arrow-batched
+vectorized pandas UDF, the documented seam.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -45,6 +48,42 @@ PII_PATTERNS: list[tuple[str, str]] = [
     # NANP-ish phone: 555-123-4567 / 555.123.4567 / (555) 123-4567
     (r"(\(\d{3}\)[ ]?|\b\d{3}[-.])\d{3}[-.]\d{4}\b", "<PHONE>"),
 ]
+
+
+def clean_text_col(text: Column) -> Column:
+    """Deterministic pre-dedup text hygiene as NATIVE expressions:
+    strip C0/C1 control characters (newline/tab survive as separators
+    first), remove zero-width code points (ZWSP/ZWNJ/ZWJ/BOM), collapse
+    horizontal whitespace runs, trim. Pure map in whole-stage codegen —
+    the cheap layer every published pipeline runs before hashing so
+    invisible characters can't split an otherwise-exact duplicate."""
+    out = F.regexp_replace(text, "[\u200B\u200C\u200D\uFEFF]", "")
+    out = F.regexp_replace(
+        out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]", "")
+    out = F.regexp_replace(out, r"[ \t]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    return F.trim(out)
+
+
+def unicode_normalize(df: DataFrame, text_col: str = "text",
+                      form: str = "NFKC",
+                      out_col: str | None = None) -> DataFrame:
+    """Unicode normalization (NFKC by default — full-width forms,
+    ligatures, compatibility variants fold to canonical text, the
+    standard step before tokenization/dedup so ``ﬁ`` and ``fi`` hash
+    identically). Unicode normalization tables have no JVM-side Spark
+    expression, so this is the documented Python seam: ONE Arrow-batched
+    pandas UDF using pandas' vectorized ``Series.str.normalize`` — a
+    pure map over the scan, no per-row Python round trips, no shuffle."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))
 
 
 def pii_redact_col(text: Column) -> Column:

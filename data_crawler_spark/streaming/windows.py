@@ -51,3 +51,24 @@ def split_late(batch_df: DataFrame, ts_col: str, high_watermark) -> tuple[DataFr
     on_time = batch_df.filter(F.col(ts_col) >= F.lit(high_watermark))
     late = batch_df.filter(F.col(ts_col) < F.lit(high_watermark))
     return on_time, late
+
+
+def streaming_exact_dedup(pages_stream: DataFrame, ts_col: str = "warc_ts",
+                          text_col: str = "text",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming form of exact dedup (dd01 over an unbounded stream):
+    emit only the FIRST arriving occurrence of each normalized content
+    hash. ``dropDuplicatesWithinWatermark`` keys the state store on the
+    hash and expires entries past the event-time watermark — exact
+    within the horizon; a duplicate arriving more than ``watermark``
+    after the retained row may re-emit, the unavoidable price of finite
+    state on an unbounded stream (state size = O(distinct docs per
+    watermark window), not O(corpus)). The hash is the SAME
+    md5-over-normalized-text that batch exact_dedup keys on, so the
+    batch and streaming paths agree doc-for-doc on what counts as a
+    duplicate."""
+    h = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                               r"\s+", " "))
+    return (pages_stream.withColumn("content_hash", h)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"]))

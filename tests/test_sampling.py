@@ -140,3 +140,98 @@ def test_sampling_plan_is_map_only(spark):
     out = sample_corpus_mixture(df, weights={"en": 1, "de": 1})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _ref_buckets(text, n_buckets, ngram_sizes=(1, 2)):
+    import re
+
+    toks = re.findall(r"[A-Za-z0-9]+", text.lower())
+    out = {}
+    for n in ngram_sizes:
+        for i in range(len(toks) - n + 1):
+            b = to_signed64(xxhash64_bytes(
+                " ".join(toks[i:i + n]).encode())) % n_buckets
+            out[b] = out.get(b, 0) + 1
+    return out
+
+
+def _ref_dsir(corpus, target, n_buckets, smoothing=1.0, seed=0):
+    """Pure-Python mirror: per-doc logw and gumbel key."""
+    raw, tgt = {}, {}
+    doc_feats = {}
+    for i, t in corpus:
+        f = _ref_buckets(t, n_buckets)
+        doc_feats[i] = f
+        for b, c in f.items():
+            raw[b] = raw.get(b, 0) + c
+    for _, t in target:
+        for b, c in _ref_buckets(t, n_buckets).items():
+            tgt[b] = tgt.get(b, 0) + c
+    R, T = sum(raw.values()), sum(tgt.values())
+    a, B = smoothing, n_buckets
+
+    def lr(b):
+        return (math.log((tgt.get(b, 0) + a) / (T + a * B))
+                - math.log((raw.get(b, 0) + a) / (R + a * B)))
+
+    out = {}
+    for i, _ in corpus:
+        logw = sum(c * lr(b) for b, c in doc_feats[i].items())
+        u = min(max(_u(i, seed), 1e-18), 1.0 - 1e-16)
+        out[i] = (logw, logw - math.log(-math.log(u)))
+    return out
+
+
+def test_dsir_matches_python_mirror(spark):
+    from data_crawler_spark.operators.sampling import (dsir_select,
+                                                       hashed_ngram_counts)
+
+    sci = "quantum entanglement spectra measured in superconducting qubit arrays"
+    web = "click here to win amazing prizes and cheap deals online now"
+    corpus = [(i, sci if i % 3 == 0 else web) for i in range(30)]
+    # make each doc distinct so weights differ doc-to-doc
+    corpus = [(i, f"{t} filler{i} token") for i, t in corpus]
+    target = [(100 + j,
+               "qubit spectra and entanglement in quantum arrays "
+               f"paper {j}") for j in range(5)]
+    n_buckets = 1000
+
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+
+    # feature frame matches the mirror exactly
+    got_feats = {}
+    for r in hashed_ngram_counts(cdf, n_buckets=n_buckets).collect():
+        got_feats.setdefault(r.doc_id, {})[r.bucket] = r.cnt
+    assert got_feats == {i: _ref_buckets(t, n_buckets) for i, t in corpus}
+
+    ref = _ref_dsir(corpus, target, n_buckets)
+    sel = dsir_select(cdf, tdf, k=10, n_buckets=n_buckets).collect()
+    # selected ids = the mirror's top-10 gumbel keys
+    want = sorted(ref, key=lambda i: (-ref[i][1], i))[:10]
+    assert sorted(r.doc_id for r in sel) == sorted(want)
+    for r in sel:
+        assert r.dsir_logw == pytest.approx(ref[r.doc_id][0], rel=1e-9)
+    # the science-like docs dominate the selection
+    sci_ids = {i for i, t in corpus if "quantum" in t}
+    assert len(sci_ids & {r.doc_id for r in sel}) >= 8
+
+
+def test_dsir_empty_and_partition_invariance(spark):
+    from data_crawler_spark.operators.sampling import dsir_select
+
+    corpus = [(1, "alpha beta gamma"), (2, ""), (3, "alpha beta delta")]
+    target = [(9, "alpha beta gamma")]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    out = {r.doc_id: r.dsir_logw
+           for r in dsir_select(cdf, tdf, k=3, n_buckets=64).collect()}
+    assert set(out) == {1, 2, 3} and out[2] == 0.0  # featureless doc kept, logw 0
+    out2 = {r.doc_id: r.dsir_logw
+            for r in dsir_select(cdf.repartition(7), tdf, k=3,
+                                 n_buckets=64).collect()}
+    assert out2 == out

@@ -163,3 +163,56 @@ def test_quota_late_window_does_not_regress_state():
     out, win, used = _gate_batch(pdf([-10, 61, 62, 63]), 2, 60, win, used)
     assert list(out["allowed"]) == [False, True, True, False]
     assert (win, used) == (w0 + 1, 2)
+
+
+def test_streaming_exact_dedup_state_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keyed on the dd01 content hash:
+    batch 2's duplicate of a batch-1 doc must NOT re-emit (state
+    carried through the checkpoint); novel batch-2 docs must."""
+    import pandas as pd
+
+    from data_crawler_spark.streaming.windows import streaming_exact_dedup
+
+    schema = "doc_id long, warc_ts timestamp, text string"
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def row(i, mins, text):
+        return (i, (base + pd.Timedelta(minutes=mins)).to_pydatetime(), text)
+
+    batch1 = [row(1, 0, "alpha beta gamma"),
+              row(2, 1, "ALPHA   beta gamma"),   # normalized dup of 1
+              row(3, 2, "something else entirely")]
+    batch2 = [row(4, 10, "alpha beta\tgamma"),   # dup of 1, within watermark
+              row(5, 11, "a brand new document")]
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    sink, ckpt = str(tmp_path / "dsink"), str(tmp_path / "dckpt")
+    deduped = streaming_exact_dedup(
+        spark.readStream.schema(schema).parquet(str(src) + "/*"),
+        watermark="2 hours")
+
+    def run_once():
+        q = (deduped.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "b1"))
+    run_once()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "b2"))
+    run_once()
+
+    rows = spark.read.parquet(sink).collect()
+    # one survivor per content hash: {1,2,4} collapse to a single row
+    assert len(rows) == 3
+    by_id = {r.doc_id for r in rows}
+    assert 3 in by_id and 5 in by_id
+    assert len(by_id & {1, 2}) == 1 and 4 not in by_id
+    # batch and streaming agree on the hash definition
+    from data_crawler_spark.operators.dedup import exact_dedup
+    batch_hashes = {r.content_hash for r in exact_dedup(
+        spark.createDataFrame(batch1 + batch2, schema)).collect()}
+    assert {r.content_hash for r in rows} == batch_hashes

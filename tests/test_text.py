@@ -478,3 +478,61 @@ def test_c4_rules_native_plan(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Text hygiene: clean_text_col + unicode_normalize
+# ---------------------------------------------------------------------------
+
+def test_clean_text_col_vs_reference(spark):
+    from data_crawler_spark.operators.text import clean_text_col
+
+    import re
+
+    def ref(t):
+        t = re.sub("[​‌‍﻿]", "", t)
+        t = re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]", "", t)
+        t = re.sub(r"[ \t]+", " ", t)
+        t = re.sub(r" ?\n ?", "\n", t)
+        return t.strip()
+
+    docs = [
+        "plain text stays put",
+        "tabs\tand   runs\t\t of spaces",
+        "zero​width‌ chars﻿ vanish",
+        "ctrl\x00chars\x1f\x7f\x9fgone",
+        "  lines \n  survive \t\n as separators  ",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "i long, text string")
+    got = {r.i: r.c for r in
+           df.select("i", clean_text_col(F.col("text")).alias("c")).collect()}
+    assert got == {i: ref(t) for i, t in enumerate(docs)}
+
+
+def test_unicode_normalize_vs_unicodedata(spark):
+    from data_crawler_spark.operators.text import unicode_normalize
+
+    import unicodedata
+
+    docs = [
+        "ﬁligree ℌ ﬀ",                     # ligatures + letterlike
+        "ＦＵＬＬｗｉｄｔｈ　ｔｅｘｔ１２３",     # full-width + ideographic space
+        "café naïve",                 # combining accent
+        "①②③ ¼ ㎒",                        # enclosed digits, fractions, units
+        "plain ascii unchanged",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "i long, text string")
+    for form in ("NFKC", "NFC"):
+        got = {r.i: r.text
+               for r in unicode_normalize(df, form=form).collect()}
+        want = {i: unicodedata.normalize(form, t)
+                for i, t in enumerate(docs)}
+        assert got == want, form
+    out = unicode_normalize(df, out_col="norm")
+    assert out.columns == ["i", "text", "norm"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="form"):
+        unicode_normalize(df, form="NFX")
