@@ -5,8 +5,8 @@ already-plan-audited operators —
     quality gates -> repetition gates (line + n-gram rules)
     -> corpus-wide paragraph dedup -> exact dedup
     -> MinHash near-dup cluster removal -> benchmark decontamination
-    -> mixture sampling -> train/val/test split
-    -> token counting -> shard packing
+    -> LM perplexity bucketing (CCNet) -> mixture sampling
+    -> train/val/test split -> token counting -> shard packing
 
 Each stage is optional and keeps the corpus DataFrame's original
 columns, so stages compose in any subset. Scale shape per stage:
@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (connected_components, decontaminate,
                                exact_dedup, minhash_near_dups,
                                paragraph_dedup)
+from ..operators.lm import lm_score, perplexity_buckets, train_ngram_lm
 from ..operators.sampling import hash_split, sample_corpus_mixture
 from ..operators.text import (c4_rules, gopher_rules,
                               ngram_repetition_signals,
@@ -52,6 +53,11 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                  min_paragraph_survival: float = 0.5,
                  exact: bool = True, near_dup_threshold: float | None = 0.7,
                  decontam_n: int = 13,
+                 lm_ref: DataFrame | None = None, lm_n: int = 3,
+                 lm_min_count: int = 1,
+                 lm_keep_buckets: tuple[str, ...] = ("head", "middle"),
+                 lm_head_frac: float = 0.1, lm_middle_frac: float = 0.4,
+                 lm_by: str | None = None,
                  mixture_group_col: str | None = None,
                  mixture_weights: dict[str, float] | None = None,
                  mixture_temperature: float | None = None,
@@ -79,6 +85,10 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
       boilerplate it strips would otherwise mask near-dup signals);
       docs whose surviving-paragraph fraction falls below
       ``min_paragraph_survival`` are dropped as hollowed-out.
+    - ``lm_ref`` (a clean reference corpus, CCNet uses Wikipedia)
+      trains an order-``lm_n`` Stupid Backoff LM, scores the deduped
+      survivors, and keeps ``lm_keep_buckets`` of the head/middle/tail
+      perplexity split (thresholds per ``lm_by`` group when set).
     - ``mixture_group_col`` + (``mixture_weights`` |
       ``mixture_temperature``) downsamples the cleaned corpus to a
       target group mixture (deterministic in (id, seed)).
@@ -134,6 +144,23 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
 
     if eval_df is not None:
         out = decontaminate(out, eval_df, id_col, text_col, decontam_n)
+
+    if lm_ref is not None:
+        # CCNet's LM stage: train on the clean reference, score the
+        # (deduped, decontaminated) survivors, keep the requested
+        # perplexity buckets. localCheckpoint materializes the model
+        # ONCE (both scoring joins and the threshold aggregate read
+        # it) with lineage cut; the blocks free on GC like
+        # minhash_near_dups' pair set.
+        model, total = train_ngram_lm(lm_ref, text_col, lm_n, lm_min_count)
+        model = model.localCheckpoint()
+        scored = lm_score(out, model, total, lm_n, id_col, text_col)
+        bucketed = perplexity_buckets(scored, "lm_ppl", lm_head_frac,
+                                      lm_middle_frac, by=lm_by)
+        # null bucket = empty doc: nothing to train on, drop it
+        out = (bucketed
+               .filter(F.col("ppl_bucket").isin(list(lm_keep_buckets)))
+               .select(cols))
 
     if mixture_group_col is not None:
         out = sample_corpus_mixture(

@@ -161,3 +161,36 @@ def test_clean_corpus_c4_stage(spark):
     assert [r.doc_id for r in out] == [1]
     assert "junk nav bar" not in out[0].text  # the rewrite reached text
     assert out[0].text.count("\n") == 2
+
+
+def test_clean_corpus_lm_stage(spark):
+    """The LM stage keeps the requested perplexity buckets: with
+    head_frac + middle_frac covering half the corpus, the in-domain
+    (lowest-perplexity) half must be exactly the survivor set."""
+    from data_crawler_spark.operators.lm import (lm_score,
+                                                 perplexity_buckets,
+                                                 train_ngram_lm)
+
+    flags = dict(quality=False, repetition=False, exact=False,
+                 near_dup_threshold=None)
+    ref_rows = [(100 + i, f"{BASE} reference copy {i}") for i in range(3)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    rows = ([(i, f"{BASE} in domain variant {i}") for i in range(1, 6)]
+            + [(10 + i, f"zxq{i} vvw qqq plk unseen garble tokens "
+                        f"gibberish blob number {i} keeps going")
+               for i in range(1, 6)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(df, lm_ref=ref, lm_head_frac=0.25,
+                       lm_middle_frac=0.25, lm_keep_buckets=("head",
+                                                             "middle"),
+                       **flags)
+    got = {r.doc_id for r in out.collect()}
+    # direct-op contrast: same model, same buckets
+    model, total = train_ngram_lm(ref, n=3)
+    scored = perplexity_buckets(
+        lm_score(df, model, total), head_frac=0.25, middle_frac=0.25)
+    want = {r.doc_id for r in scored.collect()
+            if r.ppl_bucket in ("head", "middle")}
+    assert got == want
+    assert got == {1, 2, 3, 4, 5}      # the in-domain half survives
+    assert set(out.columns) == {"doc_id", "text", "n_tokens"}
