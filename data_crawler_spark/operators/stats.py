@@ -1,0 +1,78 @@
+"""Corpus statistics — the dataset-card numbers every published
+pipeline reports next to its filters (doc/token counts, length
+distribution, quality-gate pass rates, duplication rate, per-group
+breakdowns): one aggregation pass over the corpus, grouped or global.
+
+Everything is native expressions + one map-side-partially-aggregated
+groupBy; distribution columns use ``percentile_approx`` (the
+bounded-memory sketch — the only sane quantile at 10^10 docs) and the
+duplicate rate uses ``approx_count_distinct`` on the dd01 content hash
+(exact distinct would be a second corpus-wide shuffle; the HLL rides
+the same single pass). The output is O(groups) rows — a report, never
+a corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_crawler_spark.operators.text import (fingerprint_col,
+                                               token_count_col)
+
+_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text",
+                 group_cols: tuple[str, ...] = (),
+                 exact_distinct: bool = False) -> DataFrame:
+    """One-pass corpus report, optionally per group (e.g. ``("lang",)``
+    — the dataset-card breakdown): doc count, token totals and
+    mean/median/p90/p99 tokens-per-doc, char totals, empty-doc count,
+    and the exact-duplicate rate (1 − distinct content hashes / docs,
+    the dd01 definition). ``exact_distinct=True`` swaps the HLL
+    estimate for an exact count-distinct (adds a shuffle of the hash
+    column; keep it for fixture-scale oracle checks)."""
+    t = F.col(text_col)
+    n_tok = token_count_col(t)
+    staged = df.select(*group_cols,
+                       n_tok.alias("_nt"),
+                       F.length(t).alias("_nc"),
+                       fingerprint_col(t).alias("_fp"))
+    distinct = (F.count_distinct(F.col("_fp")) if exact_distinct
+                else F.approx_count_distinct(F.col("_fp")))
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.sum("_nc").alias("total_chars"),
+        F.round(F.avg("_nt"), 4).alias("mean_tokens"),
+        *[F.expr(f"percentile_approx(_nt, {q!r})").alias(
+            f"p{int(q * 100)}_tokens") for q in _QUANTILES],
+        F.sum(F.when(F.col("_nt") == 0, 1).otherwise(0))
+        .alias("n_empty_docs"),
+        distinct.alias("distinct_contents"),
+    ]
+    out = (staged.groupBy(*group_cols).agg(*aggs) if group_cols
+           else staged.agg(*aggs))
+    return out.withColumn(
+        "dup_rate",
+        F.round(F.lit(1.0) - F.col("distinct_contents")
+                / F.col("n_docs"), 4))
+
+
+def gate_pass_rates(flagged: DataFrame,
+                    rule_cols: tuple[str, ...],
+                    group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Pass rate per quality rule over a frame that already carries
+    boolean rule columns (gopher_rules / c4_rules / repetition
+    outputs): one agg pass, O(groups) output — the 'how much does each
+    filter remove' table of a dataset card."""
+    missing = [c for c in rule_cols if c not in flagged.columns]
+    if missing:
+        raise ValueError(f"rule columns not in frame: {missing}")
+    aggs = [F.count("*").alias("n_docs")]
+    for c in rule_cols:
+        aggs.append(F.round(
+            F.avg(F.col(c).cast("double")), 4).alias(f"{c}_pass_rate"))
+    return (flagged.groupBy(*group_cols).agg(*aggs) if group_cols
+            else flagged.agg(*aggs))

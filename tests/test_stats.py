@@ -1,0 +1,78 @@
+"""Corpus statistics report: exact values vs a pure-Python mirror."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_crawler_spark.operators.stats import corpus_stats, gate_pass_rates
+from data_crawler_spark.operators.text import gopher_rules
+
+ROWS = [
+    (1, "en", "the quick brown fox jumps over the lazy dog"),
+    (2, "en", "the quick brown fox jumps over the lazy dog"),  # exact dup
+    (3, "en", "The  Quick  Brown  Fox  jumps over the lazy dog"),  # norm dup
+    (4, "de", "der schnelle braune fuchs"),
+    (5, "de", ""),
+    (6, "en", "a count of items and the list of things to have today"),
+]
+
+
+def _ntok(t):
+    return len(re.findall(r"[A-Za-z0-9]+", t.lower()))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, lang string, text string")
+
+
+def test_global_stats_exact(spark, corpus):
+    r = corpus_stats(corpus, exact_distinct=True).collect()[0]
+    toks = [_ntok(t) for _, _, t in ROWS]
+    assert r.n_docs == 6
+    assert r.total_tokens == sum(toks)
+    assert r.total_chars == sum(len(t) for _, _, t in ROWS)
+    assert r.mean_tokens == pytest.approx(sum(toks) / 6, abs=1e-4)
+    assert r.n_empty_docs == 1
+    # docs 1,2,3 share one normalized fingerprint -> 4 distinct contents
+    assert r.distinct_contents == 4
+    assert r.dup_rate == pytest.approx(1 - 4 / 6, abs=1e-4)
+    assert r.p50_tokens in toks  # approx-percentile returns a sample value
+
+
+def test_grouped_stats(spark, corpus):
+    out = {r.lang: r for r in
+           corpus_stats(corpus, group_cols=("lang",),
+                        exact_distinct=True).collect()}
+    assert out["en"].n_docs == 4 and out["de"].n_docs == 2
+    assert out["en"].distinct_contents == 2   # dup triple + doc 6
+    assert out["en"].dup_rate == pytest.approx(0.5, abs=1e-4)
+    assert out["de"].n_empty_docs == 1 and out["de"].dup_rate == 0.0
+
+
+def test_hll_close_to_exact(spark, corpus):
+    est = corpus_stats(corpus).collect()[0].distinct_contents
+    assert abs(est - 4) <= 1      # HLL at n=6 is near-exact
+
+
+def test_gate_pass_rates(spark, corpus):
+    flagged = gopher_rules(corpus, min_words=5)
+    out = gate_pass_rates(flagged, ("rule_word_count", "rule_stopwords"),
+                          group_cols=("lang",))
+    got = {r.lang: r for r in out.collect()}
+    # en: all four docs clear 5 words; only doc 6 hits >=2 DISTINCT
+    # Gopher stopwords (docs 1-3 contain just "the")
+    assert got["en"].rule_word_count_pass_rate == 1.0
+    assert got["en"].rule_stopwords_pass_rate == pytest.approx(0.25)
+    # de: 4-word doc + empty doc both fail word count
+    assert got["de"].rule_word_count_pass_rate == 0.0
+    with pytest.raises(ValueError):
+        gate_pass_rates(flagged, ("no_such_rule",))
+
+
+def test_stats_plan_is_single_pass(spark, corpus):
+    plan = (corpus_stats(corpus)._jdf.queryExecution()
+            .executedPlan().toString())
+    # one partial+final aggregate pair, no Python, no join
+    assert "Python" not in plan and "Join" not in plan
