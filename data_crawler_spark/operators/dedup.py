@@ -23,7 +23,8 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from data_crawler_spark.functions.hashing import xxhash64_str
-from data_crawler_spark.operators.text import WORD_RE, bind_once
+from data_crawler_spark.operators.text import (WORD_RE, bind_once,
+                                               fingerprint_col)
 
 
 def _doc_partitions(df: DataFrame, override: int | None = None) -> int:
@@ -53,8 +54,9 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact dedup: normalize -> md5 -> keep the min-id representative.
     One shuffle on the content hash; md5 (not xxhash64) so the DuckDB
-    oracle can verify value-for-value."""
-    h = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    oracle can verify value-for-value. The hash IS text.fingerprint_col
+    — the one definition batch and streaming dedup both key on."""
+    h = fingerprint_col(F.col(text_col))
     return (
         df.select(F.col(id_col), h.alias("content_hash"))
         .groupBy("content_hash")

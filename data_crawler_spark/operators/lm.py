@@ -50,7 +50,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_crawler_spark.operators.text import WORD_RE, bind_once
+from data_crawler_spark.operators.text import bind_once, tokens_col
+
 
 def _empty_ints() -> Column:
     # F.expr needs an active context, so build lazily per call site
@@ -58,7 +59,9 @@ def _empty_ints() -> Column:
 
 
 def _tokens(text_col: str) -> Column:
-    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    # THE shared token stream (text.tokens_col) — the LM must segment
+    # on exactly what shingles/spans/repetition rules segment on
+    return tokens_col(F.col(text_col))
 
 
 def _gram_hash(tv: Column, start1: Column, k) -> Column:
@@ -216,6 +219,12 @@ def perplexity_buckets(scored: DataFrame, ppl_col: str = "lm_ppl",
         out = scored.withColumn(
             "_thr", F.array(F.lit(float(t[0])), F.lit(float(t[1]))))
     else:
-        thrs = nonnull.groupBy(by).agg(thr.alias("_thr"))
-        out = scored.join(F.broadcast(thrs), by, "left")
+        # null-safe key match: a null group (e.g. lang never detected)
+        # is a real group with its own thresholds, and a plain equi-join
+        # would silently bucket every null-group doc as tail
+        thrs = (nonnull.groupBy(by).agg(thr.alias("_thr"))
+                .withColumnRenamed(by, "_thr_key"))
+        out = (scored.join(F.broadcast(thrs),
+                           F.col(by).eqNullSafe(F.col("_thr_key")), "left")
+               .drop("_thr_key"))
     return out.withColumn("ppl_bucket", bucket).drop("_thr")

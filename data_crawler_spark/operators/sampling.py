@@ -147,11 +147,11 @@ def hashed_ngram_counts(df: DataFrame, id_col: str = "doc_id",
     bound once, windows as in ngram_repetition_signals), one explode
     into a map-side-partial groupBy — every shuffle row is
     (id, int, count), never text."""
-    from data_crawler_spark.operators.text import WORD_RE, bind_once
+    from data_crawler_spark.operators.text import bind_once, tokens_col
 
     if min(ngram_sizes) < 1:
         raise ValueError(f"n-gram sizes must be >= 1, got {ngram_sizes}")
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    toks = tokens_col(F.col(text_col))
 
     def buckets_for(tv: Column, n: int) -> Column:
         idx = F.when(F.size(tv) >= n, F.sequence(F.lit(0), F.size(tv) - n)) \
@@ -173,10 +173,14 @@ def dsir_log_ratios(raw_feats: DataFrame, target_feats: DataFrame,
     """Per-bucket log importance ratio log(p_target(b) / p_raw(b)) from
     two hashed-feature frames (add-``smoothing`` multinomials). Both
     inputs collapse to ≤ n_buckets rows before anything else — the
-    ratio table is broadcast-sized by construction; the only driver
-    traffic is the two total counts (1 row each)."""
-    raw_b = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
-    tgt_b = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    ratio table is broadcast-sized by construction. The collapsed
+    frames are localCheckpointed (≤ n_buckets tiny rows) so the total
+    counts, the join, and every downstream read share ONE computation
+    of each feature sweep instead of re-running it per action."""
+    raw_b = (raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+             .localCheckpoint())
+    tgt_b = (target_feats.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+             .localCheckpoint())
     r_tot = raw_b.agg(F.sum("rc")).first()[0] or 0
     t_tot = tgt_b.agg(F.sum("tc")).first()[0] or 0
     a, b = float(smoothing), float(n_buckets)
@@ -205,23 +209,37 @@ def dsir_select(corpus: DataFrame, target: DataFrame, k: int,
     the ratio table is ≤ n_buckets rows and BROADCAST into the scoring
     join; per-doc scores are one map-side-partial groupBy(id); the
     final top-k is Spark's TakeOrdered (no global sort). Docs with no
-    features score logw = 0 (the empty product), not dropped."""
+    features score logw = 0 (the empty product), not dropped.
+
+    The corpus feature sweep is read twice (ratio denominator + the
+    scoring join), so it is persisted for the duration of the call and
+    released after the eager top-k materialization — without it the
+    most expensive pass would run once per action."""
+    from pyspark import StorageLevel
+
     feats = hashed_ngram_counts(corpus, id_col, text_col, n_buckets,
-                                ngram_sizes)
-    tfeats = hashed_ngram_counts(target, id_col, text_col, n_buckets,
-                                 ngram_sizes)
-    ratios = dsir_log_ratios(feats, tfeats, n_buckets, smoothing)
-    logw = (feats.join(F.broadcast(ratios), "bucket")
-            .groupBy(id_col)
-            .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("dsir_logw")))
-    scored = (corpus.join(logw, id_col, "left")
-              .withColumn("dsir_logw",
-                          F.coalesce(F.col("dsir_logw"), F.lit(0.0))))
-    # clamp the uniform off both endpoints: u==0 and the fold's
-    # u==1.0 rounding case would send log(-log(u)) to ±inf/null
-    u = uniform_hash_col(F.col(id_col), seed)
-    u = F.least(F.greatest(u, F.lit(1e-18)), F.lit(1.0 - 1e-16))
-    key = F.col("dsir_logw") - F.log(-F.log(u))
-    return (scored.withColumn("_gumbel_key", key)
-            .orderBy(F.desc("_gumbel_key"), F.asc(id_col)).limit(k)
-            .drop("_gumbel_key"))
+                                ngram_sizes).persist(
+                                    StorageLevel.MEMORY_AND_DISK)
+    try:
+        tfeats = hashed_ngram_counts(target, id_col, text_col, n_buckets,
+                                     ngram_sizes)
+        # the eager checkpoints inside dsir_log_ratios fill feats' cache
+        ratios = dsir_log_ratios(feats, tfeats, n_buckets, smoothing)
+        logw = (feats.join(F.broadcast(ratios), "bucket")
+                .groupBy(id_col)
+                .agg(F.sum(F.col("cnt") * F.col("log_ratio"))
+                     .alias("dsir_logw")))
+        scored = (corpus.join(logw, id_col, "left")
+                  .withColumn("dsir_logw",
+                              F.coalesce(F.col("dsir_logw"), F.lit(0.0))))
+        # clamp the uniform off both endpoints: u==0 and the fold's
+        # u==1.0 rounding case would send log(-log(u)) to ±inf/null
+        u = uniform_hash_col(F.col(id_col), seed)
+        u = F.least(F.greatest(u, F.lit(1e-18)), F.lit(1.0 - 1e-16))
+        key = F.col("dsir_logw") - F.log(-F.log(u))
+        # eager k-row materialization so feats can release NOW
+        return (scored.withColumn("_gumbel_key", key)
+                .orderBy(F.desc("_gumbel_key"), F.asc(id_col)).limit(k)
+                .drop("_gumbel_key").localCheckpoint())
+    finally:
+        feats.unpersist()

@@ -32,8 +32,11 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
     and the exact-duplicate rate (1 − distinct content hashes / docs,
     the dd01 definition). ``exact_distinct=True`` swaps the HLL
     estimate for an exact count-distinct (adds a shuffle of the hash
-    column; keep it for fixture-scale oracle checks)."""
-    t = F.col(text_col)
+    column; keep it for fixture-scale oracle checks). A null text is
+    counted as an empty document (0 tokens/chars, the empty-string
+    fingerprint) — otherwise it would inflate n_docs while escaping
+    every other column."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
     n_tok = token_count_col(t)
     staged = df.select(*group_cols,
                        n_tok.alias("_nt"),

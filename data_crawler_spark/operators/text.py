@@ -4,11 +4,14 @@ text): token counting, quality scoring, language-ID heuristic,
 document fingerprinting.
 
 Everything is native ``pyspark.sql.functions`` (JVM-side, whole-stage
-codegen) so each op has an exact DuckDB SQL mirror in
-plans/fixture_queries.py — the driver's correctness harness checks
-them value-for-value. Sole exception: ``unicode_normalize``, whose
-normalization tables exist only Python-side — one Arrow-batched
-vectorized pandas UDF, the documented seam.
+codegen). The core txt01-txt05 ops carry exact DuckDB SQL mirrors in
+plans/fixture_queries.py (the driver's correctness harness checks them
+value-for-value); the published-filter family (gopher/c4/repetition/
+hygiene/shard ops) is pytest-tier against pure-Python references, the
+registry sitting at the driver's 50-entry cap. Sole non-native op:
+``unicode_normalize``, whose normalization tables exist only
+Python-side — one Arrow-batched vectorized pandas UDF, the documented
+seam.
 """
 
 from __future__ import annotations
@@ -56,7 +59,10 @@ def clean_text_col(text: Column) -> Column:
     first), remove zero-width code points (ZWSP/ZWNJ/ZWJ/BOM), collapse
     horizontal whitespace runs, trim. Pure map in whole-stage codegen —
     the cheap layer every published pipeline runs before hashing so
-    invisible characters can't split an otherwise-exact duplicate."""
+    invisible characters (or a CRLF-vs-LF source) can't split an
+    otherwise-exact duplicate. CRLF / lone CR normalize to LF before
+    the control strip so Windows line endings survive as newlines."""
+    text = F.regexp_replace(text, "\r\n?", "\n")
     out = F.regexp_replace(text, "[\u200B\u200C\u200D\uFEFF]", "")
     out = F.regexp_replace(
         out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]", "")

@@ -33,18 +33,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_crawler_spark.operators.text import WORD_RE
+from data_crawler_spark.operators.text import WORD_RE, tokens_col
 
 END = "</w>"
 
 
 def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) over the corpus — the one corpus-scale pass of BPE
-    training. Explode + groupBy with map-side partial aggregation; the
-    heaviest key is the corpus's most frequent word, which is exactly
-    the key partial agg collapses best."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
-                                F.lit(WORD_RE), 0)
+    training, on THE shared token stream (text.tokens_col). Explode +
+    groupBy with map-side partial aggregation; the heaviest key is the
+    corpus's most frequent word, which is exactly the key partial agg
+    collapses best."""
+    toks = tokens_col(F.col(text_col))
     return (df.select(F.explode(toks).alias("word"))
             .groupBy("word").agg(F.count("*").alias("cnt")))
 

@@ -38,14 +38,15 @@ from ..operators.dedup import (connected_components, decontaminate,
                                paragraph_dedup)
 from ..operators.lm import lm_score, perplexity_buckets, train_ngram_lm
 from ..operators.sampling import hash_split, sample_corpus_mixture
-from ..operators.text import (c4_rules, gopher_rules,
+from ..operators.text import (c4_rules, clean_text_col, gopher_rules,
                               ngram_repetition_signals,
                               repetition_signals, shard_by_token_budget,
-                              token_count_col)
+                              token_count_col, unicode_normalize)
 
 
 def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                  id_col: str = "doc_id", text_col: str = "text",
+                 hygiene: bool = False, unicode_form: str | None = None,
                  c4: bool = False, c4_banned_words: tuple[str, ...] = (),
                  quality: bool = True, repetition: bool = True,
                  ngram_repetition: bool = False,
@@ -74,6 +75,10 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
 
     Optional stages beyond the core chain:
 
+    - ``hygiene=True`` rewrites the text through ``clean_text_col``
+      (control/zero-width strip, CRLF + whitespace normalization)
+      before any other stage; ``unicode_form`` ("NFKC" etc.) adds
+      Unicode normalization right after it.
     - ``c4=True`` runs the C4 cleaning rules FIRST (line-level
       terminal-punctuation / ≥5-word / javascript cleaning rewrites
       the text, then the lorem-ipsum / brace / sentence-count /
@@ -97,6 +102,14 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
     """
     cols = docs.columns
     out = docs
+
+    if hygiene:
+        # text hygiene runs before EVERYTHING: control/zero-width strip
+        # + CRLF/whitespace normalization, so invisible characters can't
+        # split duplicates or skew line-level rules downstream
+        out = out.withColumn(text_col, clean_text_col(F.col(text_col)))
+    if unicode_form is not None:
+        out = unicode_normalize(out, text_col, unicode_form)
 
     if c4:
         # C4 runs FIRST: its line cleaning rewrites the text every later
@@ -154,7 +167,11 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
         # minhash_near_dups' pair set.
         model, total = train_ngram_lm(lm_ref, text_col, lm_n, lm_min_count)
         model = model.localCheckpoint()
-        scored = lm_score(out, model, total, lm_n, id_col, text_col)
+        # the scored survivors are read twice (threshold pass + final
+        # filter); without the checkpoint every upstream cleaning stage
+        # would re-execute for each read
+        scored = lm_score(out, model, total, lm_n, id_col,
+                          text_col).localCheckpoint()
         bucketed = perplexity_buckets(scored, "lm_ppl", lm_head_frac,
                                       lm_middle_frac, by=lm_by)
         # null bucket = empty doc: nothing to train on, drop it

@@ -67,8 +67,11 @@ def streaming_exact_dedup(pages_stream: DataFrame, ts_col: str = "warc_ts",
     md5-over-normalized-text that batch exact_dedup keys on, so the
     batch and streaming paths agree doc-for-doc on what counts as a
     duplicate."""
-    h = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
-                               r"\s+", " "))
+    from ..operators.text import fingerprint_col
+
+    # the ONE definition of the content hash — a drift between batch
+    # and streaming dedup keys would silently re-emit documents
+    h = fingerprint_col(F.col(text_col))
     return (pages_stream.withColumn("content_hash", h)
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["content_hash"]))

@@ -194,3 +194,20 @@ def test_clean_corpus_lm_stage(spark):
     assert got == want
     assert got == {1, 2, 3, 4, 5}      # the in-domain half survives
     assert set(out.columns) == {"doc_id", "text", "n_tokens"}
+
+
+def test_clean_corpus_hygiene_stage(spark):
+    """hygiene=True normalizes invisible characters BEFORE exact dedup,
+    so a zero-width-polluted CRLF copy dedups against the clean
+    original; without it both rows survive."""
+    flags = dict(quality=False, repetition=False, near_dup_threshold=None)
+    rows = [
+        (1, "first line of prose\nsecond line of prose"),
+        (2, "first line of​ prose\r\nsecond line of prose"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in clean_corpus(df, hygiene=True,
+                                           **flags).collect()}
+    assert kept == {1}
+    kept_raw = {r.doc_id for r in clean_corpus(df, **flags).collect()}
+    assert kept_raw == {1, 2}

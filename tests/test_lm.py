@@ -210,6 +210,21 @@ def test_buckets_per_group(spark):
         assert labels == (["head"] * 5 + ["middle"] * 5 + ["tail"] * 10)
 
 
+def test_buckets_null_group_gets_own_thresholds(spark):
+    # docs whose group value is NULL are a real group: they must bucket
+    # against their own thresholds, not silently land in 'tail'
+    rows = ([(i, "en", float(i)) for i in range(1, 5)]
+            + [(100 + i, None, float(i)) for i in range(1, 5)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, lm_ppl double")
+    out = {r.doc_id: r.ppl_bucket
+           for r in perplexity_buckets(df, head_frac=0.25,
+                                       middle_frac=0.25, by="lang",
+                                       exact=True).collect()}
+    assert out[101] == "head"
+    assert [out[100 + i] for i in range(1, 5)] == \
+        [out[i] for i in range(1, 5)]   # identical ppl -> identical buckets
+
+
 def test_bucket_validation_and_empty(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, lm_ppl double")
     out = perplexity_buckets(df, exact=True).collect()

@@ -56,6 +56,17 @@ def test_hll_close_to_exact(spark, corpus):
     assert abs(est - 4) <= 1      # HLL at n=6 is near-exact
 
 
+def test_null_text_counts_as_empty(spark):
+    df = spark.createDataFrame([(1, None), (2, None), (3, "")],
+                               "doc_id long, text string")
+    r = corpus_stats(df, exact_distinct=True).collect()[0]
+    assert r.n_docs == 3 and r.n_empty_docs == 3
+    assert r.total_tokens == 0 and r.total_chars == 0
+    # null and "" share the empty-string fingerprint
+    assert r.distinct_contents == 1
+    assert r.dup_rate == pytest.approx(1 - 1 / 3, abs=1e-4)
+
+
 def test_gate_pass_rates(spark, corpus):
     flagged = gopher_rules(corpus, min_words=5)
     out = gate_pass_rates(flagged, ("rule_word_count", "rule_stopwords"),

@@ -490,6 +490,7 @@ def test_clean_text_col_vs_reference(spark):
     import re
 
     def ref(t):
+        t = re.sub("\r\n?", "\n", t)
         t = re.sub("[​‌‍﻿]", "", t)
         t = re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]", "", t)
         t = re.sub(r"[ \t]+", " ", t)
@@ -502,6 +503,7 @@ def test_clean_text_col_vs_reference(spark):
         "zero​width‌ chars﻿ vanish",
         "ctrl\x00chars\x1f\x7f\x9fgone",
         "  lines \n  survive \t\n as separators  ",
+        "crlf\r\nlines and lone\rcarriage returns",
         "",
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
@@ -509,6 +511,9 @@ def test_clean_text_col_vs_reference(spark):
     got = {r.i: r.c for r in
            df.select("i", clean_text_col(F.col("text")).alias("c")).collect()}
     assert got == {i: ref(t) for i, t in enumerate(docs)}
+    # the point of the op: a CRLF copy cleans to the same bytes as the
+    # LF original, so content hashes agree
+    assert got[5] == "crlf\nlines and lone\ncarriage returns"
 
 
 def test_unicode_normalize_vs_unicodedata(spark):
