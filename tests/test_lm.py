@@ -235,3 +235,32 @@ def test_bucket_validation_and_empty(spark):
         train_ngram_lm(df, n=0)
     with pytest.raises(ValueError):
         lm_score(df, df, total_tokens=0)
+
+
+def test_scoring_fuzz_random_corpus(spark):
+    """Seeded fuzz: random small-vocab docs (forces heavy n-gram
+    overlap, deep backoff chains, pruning) must match the mirror."""
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(12)]
+    ref_rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(0, 30))))
+                for i in range(25)]
+    doc_rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(0, 25))))
+                for i in range(25)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    for n, min_count in ((2, 1), (3, 2)):
+        model, total = train_ngram_lm(ref, n=n, min_count=min_count)
+        counts, rt = _ref_model([t for _, t in ref_rows], n, min_count)
+        assert total == rt
+        got = {r.doc_id: r for r in
+               lm_score(docs, model, total, n=n).collect()}
+        for i, t in doc_rows:
+            want_toks, want_lp = _ref_score(t, counts, rt, n)
+            assert got[i].lm_tokens == want_toks
+            if want_toks:
+                assert got[i].lm_logprob == pytest.approx(want_lp,
+                                                          rel=1e-9)

@@ -235,3 +235,30 @@ def test_dsir_empty_and_partition_invariance(spark):
             for r in dsir_select(cdf.repartition(7), tdf, k=3,
                                  n_buckets=64).collect()}
     assert out2 == out
+
+
+def test_dsir_fuzz_random_corpus(spark):
+    """Seeded fuzz for the DSIR mirror: random docs over two vocab
+    pools, random bucket width — logw and the selected set exact."""
+    import random
+
+    from data_crawler_spark.operators.sampling import dsir_select
+
+    rng = random.Random(17)
+    sci = [f"s{i}" for i in range(9)]
+    web = [f"v{i}" for i in range(9)]
+    corpus = [(i, " ".join(rng.choice(sci if i % 2 else web)
+                           for _ in range(rng.randint(0, 20))))
+              for i in range(40)]
+    target = [(100 + j, " ".join(rng.choice(sci) for _ in range(15)))
+              for j in range(6)]
+    for n_buckets in (37, 500):
+        ref = _ref_dsir(corpus, target, n_buckets)
+        want = sorted(ref, key=lambda i: (-ref[i][1], i))[:12]
+        cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+        tdf = spark.createDataFrame(target, "doc_id long, text string")
+        sel = dsir_select(cdf, tdf, k=12, n_buckets=n_buckets).collect()
+        assert sorted(r.doc_id for r in sel) == sorted(want)
+        got_w = {r.doc_id: r.dsir_logw for r in sel}
+        for i in want:
+            assert got_w[i] == pytest.approx(ref[i][0], rel=1e-9, abs=1e-12)
