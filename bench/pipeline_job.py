@@ -27,6 +27,10 @@ def main() -> int:
     ap.add_argument("--web-tier", default="web100k")
     ap.add_argument("--inner-repeats", type=int, default=2)
     ap.add_argument("--shard-budget", type=int, default=100_000)
+    ap.add_argument("--lm", action="store_true",
+                    help="enable the hygiene + CCNet LM perplexity "
+                         "stages (reference = a deterministic 1/500 "
+                         "corpus slice)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -70,21 +74,54 @@ def main() -> int:
     eval_rows = (docs.filter(F.xxhash64("doc_id") % 1000 == 0)
                  .select("text").collect())
     eval_df = spark.createDataFrame(eval_rows, "text string")
+    lm_kwargs = {}
+    if args.lm:
+        lm_kwargs = dict(
+            hygiene=True,
+            lm_ref=docs.filter(F.xxhash64("doc_id") % 500 == 1)
+            .localCheckpoint(),
+        )
 
     best = float("inf")
     for _ in range(args.inner_repeats):
         t0 = time.monotonic()
         out = clean_corpus(docs, eval_df, id_col="doc_id",
                            shard_budget=args.shard_budget,
-                           shard_partitions=args.cpus * 2)
+                           shard_partitions=args.cpus * 2,
+                           **lm_kwargs)
         out.write.format("noop").mode("overwrite").save()
         best = min(best, time.monotonic() - t0)
+
+    # machine CPU ceiling in the SAME process/window (the scaling_job
+    # burner): pure-numpy pandas UDF, no engine code
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def burn(x: pd.Series) -> pd.Series:
+        v = x.to_numpy(dtype=np.float64)
+        acc = np.zeros_like(v)
+        for _ in range(400):
+            acc = np.sqrt(acc + v * 1.0000001)
+        return pd.Series(acc)
+
+    bdf = spark.range(0, 2_000_000, 1, 128).select(
+        F.col("id").cast("double").alias("x"))
+    bdf.select(burn("x").alias("y")).selectExpr("sum(y)").collect()
+    burn_best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        bdf.select(burn("x").alias("y")).selectExpr("sum(y)").collect()
+        burn_best = min(burn_best, time.monotonic() - t0)
 
     print(json.dumps({
         "cpus": args.cpus, "web_tier": args.web_tier, "docs_in": n_docs,
         "pipeline_s": round(best, 2),
         "docs_per_s": round(n_docs / best, 1),
         "inner_repeats": args.inner_repeats,
+        "lm": bool(args.lm),
+        "burn_s": round(burn_best, 2),
     }))
     spark.stop()
     return 0
