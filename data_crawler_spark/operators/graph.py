@@ -1,0 +1,105 @@
+"""Link-graph analytics: PageRank over the crawl's (src, dst) edge
+list — the classic frontier-prioritization signal (Page et al. 1998;
+Cho/Garcia-Molina's crawl-ordering studies showed PageRank-ordered
+crawling reaches important pages first). The output feeds straight
+into the scheduler: ``rank`` is exactly the ``priority`` column
+``schedule_per_host`` / ``with_crawl_seq`` order by.
+
+Spec (mirrored by the pure-Python reference in tests/test_graph.py):
+node set = distinct(src ∪ dst) over the DEDUPED edge set (parallel
+links count once — a page linking twice is one endorsement); per
+iteration
+
+    rank'(v) = (1-d)/N + d · (Σ_{u→v} rank(u)/outdeg(u) + D/N)
+
+where D = Σ rank(dangling u) (no out-edges) — the standard dangling
+redistribution that keeps Σ rank = 1 exactly. A FIXED ``max_iter``
+iterations (deterministic output; convergence-threshold stopping would
+make results depend on float noise across partitionings).
+
+100 TB shape: the deduped edge list is hash-partitioned by ``src``
+ONCE and persisted — every iteration's contribution join reuses that
+layout and shuffles only the O(nodes) rank rows (16 bytes each), never
+the edges. Each iteration is one join + one map-side-partial groupBy;
+the rank frame localCheckpoints per iteration (O(nodes) rows) so
+lineage stays flat over 20+ iterations, and the dangling mass is the
+iteration's single 1-row driver action. The loop is driver-side by
+nature (iterative fixpoint — the documented non-SQL seam, same as
+connected_components' pointer jumping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 20,
+             src_col: str = "src", dst_col: str = "dst",
+             num_partitions: int | None = None) -> DataFrame:
+    """Ranks for every node of the edge list: ``(node, rank)`` with
+    Σ rank = 1. ``num_partitions`` pins the edge/rank partitioning
+    width (defaults to ``spark.sql.shuffle.partitions``)."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if max_iter < 0:
+        raise ValueError(f"max_iter must be >= 0, got {max_iter}")
+    spark = edges.sparkSession
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num_partitions = spark.sparkContext.defaultParallelism
+
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct()
+         .repartition(num_partitions, "src")
+         .persist())
+    try:
+        nodes = (e.select(F.col("src").alias("node"))
+                 .union(e.select(F.col("dst").alias("node")))
+                 .distinct()
+                 .repartition(num_partitions, "node"))
+        n = nodes.count()
+        if n == 0:
+            return spark.createDataFrame([], "node string, rank double")
+
+        outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        # (node, deg) with deg null for dangling nodes; this frame is
+        # static across iterations — checkpoint it once
+        base = (nodes.join(outdeg.withColumnRenamed("src", "node"),
+                           "node", "left")
+                .localCheckpoint())
+
+        ranks = base.select("node", "deg",
+                            F.lit(1.0 / n).alias("rank"))
+        for _ in range(max_iter):
+            dangling = (ranks.filter(F.col("deg").isNull())
+                        .agg(F.sum("rank")).first()[0]) or 0.0
+            contrib = (e.join(ranks.select(F.col("node").alias("src"),
+                                           (F.col("rank") / F.col("deg"))
+                                           .alias("c")), "src")
+                       .groupBy(F.col("dst").alias("node"))
+                       .agg(F.sum("c").alias("inflow")))
+            ranks = (base.join(contrib, "node", "left")
+                     .select("node", "deg",
+                             (F.lit((1.0 - damping) / n)
+                              + F.lit(damping)
+                              * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                                 + F.lit(dangling / n))).alias("rank"))
+                     .localCheckpoint())
+        return ranks.select("node", "rank")
+    finally:
+        e.unpersist()
+
+
+def link_graph(pages: DataFrame, url_col: str = "url",
+               links_col: str = "links") -> DataFrame:
+    """(src, dst) edge list from a page frame carrying an extracted
+    outlink array column — one explode, no shuffle; compose with
+    ``pagerank`` and hand the result to the scheduler as priority."""
+    return pages.select(F.col(url_col).alias("src"),
+                        F.explode(F.col(links_col)).alias("dst"))

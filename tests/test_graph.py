@@ -1,0 +1,109 @@
+"""PageRank: exact match vs a pure-Python mirror of the spec, rank-sum
+invariant, partitioning determinism, scheduler integration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_crawler_spark.operators.graph import link_graph, pagerank
+
+
+def _ref_pagerank(edge_list, d=0.85, iters=20):
+    edges = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        inflow = {v: 0.0 for v in nodes}
+        for u, targets in out.items():
+            share = rank[u] / len(targets)
+            for v in targets:
+                inflow[v] += share
+        rank = {v: (1 - d) / n + d * (inflow[v] + dangling / n)
+                for v in nodes}
+    return rank
+
+
+GRAPHS = {
+    "chain": [("a", "b"), ("b", "c"), ("c", "d")],
+    "cycle": [("a", "b"), ("b", "c"), ("c", "a")],
+    "star_in": [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+    "dangling": [("a", "b"), ("a", "c"), ("b", "c")],  # c has no out-edges
+    "parallel_dup": [("a", "b"), ("a", "b"), ("b", "a")],  # dedup to 1 edge
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_matches_mirror(spark, name):
+    edges = GRAPHS[name]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, max_iter=20).collect()}
+    want = _ref_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), (name, v)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_importance_ordering(spark):
+    # everyone links to hub -> hub outranks its fans
+    df = spark.createDataFrame(GRAPHS["star_in"], "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df).collect()}
+    assert got["hub"] > got["a"] > got["b"] == pytest.approx(got["c"])
+
+
+def test_partitioning_invariance(spark):
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r.node: r.rank
+         for r in pagerank(df.coalesce(1), max_iter=8,
+                           num_partitions=3).collect()}
+    b = {r.node: r.rank
+         for r in pagerank(df.repartition(13), max_iter=8,
+                           num_partitions=8).collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert b[v] == pytest.approx(a[v], rel=1e-12)
+
+
+def test_zero_iters_empty_and_validation(spark):
+    df = spark.createDataFrame(GRAPHS["chain"], "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, max_iter=0).collect()}
+    assert all(r == pytest.approx(0.25) for r in got.values())
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(df, max_iter=-1)
+
+
+def test_feeds_scheduler_priority(spark):
+    """The crawl integration: rank becomes the scheduler's priority,
+    so the budgeted pick per host is the highest-PageRank candidate."""
+    from data_crawler_spark.operators.scheduler import schedule_per_host
+
+    pages = spark.createDataFrame(
+        [("h://x/a", ["h://x/b", "h://x/c"]),
+         ("h://x/b", ["h://x/c"]),
+         ("h://x/c", ["h://x/a"])],
+        "url string, links array<string>")
+    ranks = pagerank(link_graph(pages), max_iter=10)
+    want = _ref_pagerank([("h://x/a", "h://x/b"), ("h://x/a", "h://x/c"),
+                          ("h://x/b", "h://x/c"), ("h://x/c", "h://x/a")],
+                         iters=10)
+    cand = (ranks.select(F.col("node").alias("url"),
+                         F.col("rank").alias("priority"))
+            .withColumn("host", F.lit("x"))
+            .withColumn("depth", F.lit(1))
+            .withColumn("discovered_round", F.lit(0)))
+    hosts = spark.createDataFrame([("x", 1)],
+                                  "host string, budget_per_round int")
+    picked = schedule_per_host(cand, hosts).collect()
+    assert len(picked) == 1
+    assert picked[0].url == max(want, key=lambda v: (want[v], v))
