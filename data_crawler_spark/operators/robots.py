@@ -55,3 +55,69 @@ def robots_gate(candidates: DataFrame, rules: DataFrame) -> DataFrame:
         .filter(F.col("_best").isNull() | F.col("_best.allow"))
         .select(*[candidates[c] for c in candidates.columns])
     )
+
+
+def parse_robots_txt(robots: DataFrame, host_col: str = "host",
+                     text_col: str = "robots_txt",
+                     user_agent: str = "*") -> DataFrame:
+    """Parse RAW robots.txt text into the ``rules(host, rule_type,
+    path_prefix)`` frame ``robots_gate`` consumes — the seam between a
+    fetched per-host robots.txt page table and the gating join.
+
+    REP subset implemented (the part robots_gate evaluates):
+    consecutive ``User-agent:`` lines form a group; ``Allow:`` /
+    ``Disallow:`` directives bind to the CURRENT group (matched
+    case-insensitively against ``user_agent``, exact token — ``*`` by
+    default, our crawler's agent); ``#`` comments strip to end of
+    line; directives with an empty value record no rule (an empty
+    Disallow means allow-all per REP — absence of a rule IS allowed in
+    robots_gate's verdict); unknown directives (Crawl-delay, Sitemap)
+    are skipped but still terminate a user-agent run, exactly like the
+    reference parsers.
+
+    All doc-local native expressions: one ``F.aggregate`` fold over the
+    split lines carrying struct(applies, ua_run, rules) state, then one
+    explode — O(lines) per host inside codegen, no Python, and the
+    output is the O(hosts)-row frame the gate broadcasts."""
+    empty_rules = F.expr(
+        "CAST(array() AS array<struct<prefix:string,allow:boolean>>)")
+    init = F.struct(F.lit(False).alias("applies"),
+                    F.lit(False).alias("ua_run"),
+                    empty_rules.alias("rules"))
+    ua = F.lit(user_agent.lower())
+
+    def step(acc, raw):
+        line = F.trim(F.regexp_replace(raw, "#.*", ""))
+        low = F.lower(line)
+        val = F.trim(F.regexp_replace(line, r"^[A-Za-z-]+\s*:\s*", ""))
+        is_ua = low.rlike(r"^user-agent\s*:")
+        is_allow = low.rlike(r"^allow\s*:")
+        is_dis = low.rlike(r"^disallow\s*:")
+        is_blank = F.length(line) == 0
+        hit = F.lower(val) == ua
+        applies = (F.when(is_ua,
+                          F.when(acc["ua_run"], acc["applies"] | hit)
+                          .otherwise(hit))
+                   .otherwise(acc["applies"]))
+        new_rule = ((is_allow | is_dis) & acc["applies"]
+                    & (F.length(val) > 0))
+        rules = F.when(
+            new_rule,
+            F.concat(acc["rules"],
+                     F.array(F.struct(val.alias("prefix"),
+                                      is_allow.alias("allow"))))
+        ).otherwise(acc["rules"])
+        # blank lines leave the run state alone (REP: groups end at the
+        # next User-agent line, not at blank lines)
+        ua_run = F.when(is_blank, acc["ua_run"]).otherwise(is_ua)
+        return F.struct(applies.alias("applies"), ua_run.alias("ua_run"),
+                        rules.alias("rules"))
+
+    parsed = F.aggregate(F.split(F.col(text_col), "\r?\n"), init, step,
+                         lambda acc: acc["rules"])
+    return (robots.select(F.col(host_col).alias("host"),
+                          F.explode(parsed).alias("r"))
+            .select("host",
+                    F.when(F.col("r.allow"), F.lit("allow"))
+                    .otherwise(F.lit("disallow")).alias("rule_type"),
+                    F.col("r.prefix").alias("path_prefix")))

@@ -61,3 +61,77 @@ def test_spark_matches_oracle_on_web(spark, web1k):
     allowed_oracle = {u for u, h, p in zip(urls, hs, ps) if robots_allows(rules, h, p)}
     assert allowed_spark == allowed_oracle
     assert 0 < len(allowed_spark) < 1000  # some pages actually blocked
+
+
+# ---------------------------------------------------------------------------
+# parse_robots_txt: raw robots.txt text -> the rules frame the gate eats
+# ---------------------------------------------------------------------------
+
+def test_parse_robots_txt_realistic(spark):
+    from data_crawler_spark.operators.robots import (parse_robots_txt,
+                                                     robots_gate)
+    txt_a = "\n".join([
+        "# global policy",
+        "User-agent: googlebot",
+        "Disallow: /private/",
+        "",
+        "User-agent: *",
+        "Disallow: /tmp/",
+        "Allow: /tmp/public/",
+        "Crawl-delay: 5",          # unknown directive: skipped
+        "Disallow:",               # empty value: no rule (allow-all)
+        "Disallow: /cgi-bin/  # trailing comment",
+    ])
+    txt_b = "\n".join([
+        "User-agent: badbot",
+        "User-agent: *",           # consecutive UA lines share the group
+        "Disallow: /",
+        "",
+        "User-agent: niche",       # later non-* group must not leak in
+        "Allow: /",
+    ])
+    df = spark.createDataFrame([("a.com", txt_a), ("b.com", txt_b),
+                                ("c.com", "")],
+                               "host string, robots_txt string")
+    rules = parse_robots_txt(df)
+    got = {(r.host, r.rule_type, r.path_prefix) for r in rules.collect()}
+    assert got == {
+        ("a.com", "disallow", "/tmp/"),
+        ("a.com", "allow", "/tmp/public/"),
+        ("a.com", "disallow", "/cgi-bin/"),
+        ("b.com", "disallow", "/"),
+    }
+    # end-to-end through the gate: longest-prefix + allow-override hold
+    cand = spark.createDataFrame(
+        [("http://a.com/tmp/x", "a.com", "/tmp/x"),
+         ("http://a.com/tmp/public/y", "a.com", "/tmp/public/y"),
+         ("http://a.com/ok", "a.com", "/ok"),
+         ("http://b.com/anything", "b.com", "/anything"),
+         ("http://c.com/", "c.com", "/")],
+        "url string, host string, path string")
+    kept = {r.url for r in robots_gate(cand, rules).collect()}
+    assert kept == {"http://a.com/tmp/public/y", "http://a.com/ok",
+                    "http://c.com/"}
+
+
+def test_parse_robots_txt_agent_match_and_crlf(spark):
+    from data_crawler_spark.operators.robots import parse_robots_txt
+
+    txt = "User-Agent: MyBot\r\nDisallow: /x/\r\nUser-agent: *\r\nDisallow: /y/\r\n"
+    df = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    star = {(r.rule_type, r.path_prefix)
+            for r in parse_robots_txt(df).collect()}
+    assert star == {("disallow", "/y/")}
+    mine = {(r.rule_type, r.path_prefix)
+            for r in parse_robots_txt(df, user_agent="mybot").collect()}
+    assert mine == {("disallow", "/x/")}
+
+
+def test_parse_robots_txt_plan_native(spark):
+    from data_crawler_spark.operators.robots import parse_robots_txt
+
+    df = spark.createDataFrame([("h", "User-agent: *\nDisallow: /p")],
+                               "host string, robots_txt string")
+    plan = (parse_robots_txt(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Python" not in plan and "Exchange" not in plan
