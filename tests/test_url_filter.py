@@ -56,3 +56,44 @@ def test_blocklist_literal_is_pure_map(spark):
     plan = host_blocklist_filter(df, BLOCK)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sitemap.xml parsing (operators/links.py::parse_sitemap_col / sitemap_urls)
+# ---------------------------------------------------------------------------
+
+def test_sitemap_urls_end_to_end(spark):
+    from data_crawler_spark.operators.links import sitemap_urls
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://a.com/page?x=1&amp;y=2</loc><lastmod>2026-01-01</lastmod></url>
+  <url><loc>
+     http://a.com/spaced/
+  </loc></url>
+  <url><loc>ftp://a.com/skip-me</loc></url>
+  <url><loc>http://a.com/entities/&apos;q&apos;/&lt;b&gt;</loc></url>
+</urlset>"""
+    idx = """<sitemapindex>
+  <sitemap><loc>http://b.com/sitemap1.xml</loc></sitemap>
+  <sitemap><loc>http://b.com/sitemap2.xml</loc></sitemap>
+</sitemapindex>"""
+    df = spark.createDataFrame(
+        [("http://a.com/sitemap.xml", xml),
+         ("http://b.com/sitemap_index.xml", idx),
+         ("http://c.com/sitemap.xml", "not xml at all")],
+        "url string, sitemap_xml string")
+    out = sitemap_urls(df)
+    got = {(r.sitemap_url, r.url) for r in out.collect()}
+    from data_crawler_spark.functions.canonicalize import canonicalize_one as canonicalize_url
+    want_a = {canonicalize_url(u) for u in
+              ("http://a.com/page?x=1&y=2", "http://a.com/spaced/",
+               "http://a.com/entities/'q'/<b>")}
+    assert {u for s_, u in got if s_ == "http://a.com/sitemap.xml"} == want_a
+    assert {u for s_, u in got if s_.startswith("http://b.com")} == {
+        canonicalize_url("http://b.com/sitemap1.xml"),
+        canonicalize_url("http://b.com/sitemap2.xml")}
+    assert not any(s_ == "http://c.com/sitemap.xml" for s_, _ in got)
+    # pure map + explode: no shuffle, no Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
