@@ -268,3 +268,53 @@ def sitemap_urls(sitemaps: DataFrame, xml_col: str = "sitemap_xml",
             .filter(is_http_col(F.col("raw")))
             .select("sitemap_url",
                     canonicalize_col(F.col("raw")).alias("url")))
+
+
+def url_template_col(url: Column) -> Column:
+    """Structural URL template for trap mining: path + sorted query
+    KEYS with every digit run and every >=8-char hex run collapsed to
+    ``#`` — calendar pages, pagination, session ids and content hashes
+    all fold onto one template per generator. Native expressions only."""
+    path = path_col(url)
+    q = F.when(url.contains("?"),
+               F.substring_index(url, "?", -1)).otherwise(F.lit(""))
+    keys = F.array_sort(F.transform(
+        F.filter(F.split(q, "&"), lambda p: F.length(p) > 0),
+        lambda p: F.substring_index(p, "=", 1)))
+    shape = F.regexp_replace(path, r"[0-9a-fA-F]{8,}", "#")
+    shape = F.regexp_replace(shape, r"[0-9]+", "#")
+    return F.concat(shape, F.lit("?"), F.array_join(keys, "&"))
+
+
+def spider_trap_templates(candidates: DataFrame, url_col: str = "url",
+                          host_col: str = "host",
+                          max_urls_per_template: int = 1000) -> DataFrame:
+    """Mine (host, template) groups whose URL count explodes past
+    ``max_urls_per_template`` — the classic spider-trap signature (one
+    generator minting unbounded distinct URLs: calendars, faceted
+    search, session tokens). One map + map-side-partial groupBy over
+    the frontier; output is O(distinct templates) rows with ``trap``
+    flagged. Thread the flagged frame into ``trap_filter`` to cap the
+    frontier's exposure before scheduling."""
+    t = url_template_col(F.col(url_col))
+    return (candidates
+            .groupBy(F.col(host_col).alias("host"),
+                     t.alias("template"))
+            .agg(F.count("*").alias("n_urls"))
+            .withColumn("trap",
+                        F.col("n_urls") > F.lit(max_urls_per_template)))
+
+
+def trap_filter(candidates: DataFrame, traps: DataFrame,
+                url_col: str = "url",
+                host_col: str = "host") -> DataFrame:
+    """Drop candidates whose (host, template) is a flagged trap — a
+    broadcast anti-join on the tiny trap frame (traps are by
+    definition few templates, however many URLs they mint), so the
+    frontier itself never shuffles."""
+    flagged = F.broadcast(
+        traps.filter("trap").select("host", "template"))
+    keyed = candidates.withColumn("template",
+                                  url_template_col(F.col(url_col)))
+    return (keyed.join(flagged, [host_col, "template"], "left_anti")
+            .drop("template"))

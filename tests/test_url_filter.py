@@ -97,3 +97,50 @@ def test_sitemap_urls_end_to_end(spark):
     # pure map + explode: no shuffle, no Python
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# spider-trap template mining (url_template_col / spider_trap_templates /
+# trap_filter)
+# ---------------------------------------------------------------------------
+
+def test_url_template_col_folds_generators(spark):
+    from data_crawler_spark.operators.links import url_template_col
+    from pyspark.sql import functions as F
+
+    urls = [
+        "http://e.com/cal/2026/08/18",
+        "http://e.com/cal/1999/01/02",
+        "http://e.com/item?page=7&sid=deadbeefcafe1234",
+        "http://e.com/item?sid=0123456789abcdef&page=12",
+        "http://e.com/about",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.t for r in
+           df.select(url_template_col(F.col("url")).alias("t")).collect()]
+    assert got[0] == got[1] == "/cal/#/#/#?"
+    assert got[2] == got[3] == "/item?page&sid"   # keys sorted, values gone
+    assert got[4] == "/about?"
+
+
+def test_spider_trap_mining_and_filter(spark):
+    from data_crawler_spark.operators.links import (spider_trap_templates,
+                                                    trap_filter)
+
+    trap_urls = [(f"http://e.com/cal/{y}/{m:02d}", "e.com")
+                 for y in range(2000, 2020) for m in range(1, 13)]  # 240
+    good_urls = [(f"http://e.com/post/{i}", "e.com") for i in range(5)] + \
+                [("http://f.com/cal/2026/01", "f.com")]
+    df = spark.createDataFrame(trap_urls + good_urls, "url string, host string")
+    mined = spider_trap_templates(df, max_urls_per_template=100)
+    rows = {(r.host, r.template): (r.n_urls, r.trap) for r in mined.collect()}
+    assert rows[("e.com", "/cal/#/#?")] == (240, True)
+    assert rows[("e.com", "/post/#?")] == (5, False)
+    assert rows[("f.com", "/cal/#/#?")] == (1, False)  # per-host, not global
+    kept = {r.url for r in trap_filter(df, mined).collect()}
+    assert kept == {u for u, _ in good_urls} | set()
+    assert len(kept) == 6
+    # the anti-join must be broadcast (frontier never shuffles)
+    plan = (trap_filter(df, mined)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
