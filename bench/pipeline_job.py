@@ -78,7 +78,10 @@ def main() -> int:
     if args.lm:
         lm_kwargs = dict(
             hygiene=True,
-            lm_ref=docs.filter(F.xxhash64("doc_id") % 500 == 1)
+            # pmod, not %: Spark's % keeps the dividend's sign, so
+            # "% 500 == 1" would silently halve the slice
+            lm_ref=docs.filter(F.pmod(F.xxhash64("doc_id"),
+                                      F.lit(500)) == 1)
             .localCheckpoint(),
         )
 
@@ -92,28 +95,11 @@ def main() -> int:
         out.write.format("noop").mode("overwrite").save()
         best = min(best, time.monotonic() - t0)
 
-    # machine CPU ceiling in the SAME process/window (the scaling_job
-    # burner): pure-numpy pandas UDF, no engine code
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def burn(x: pd.Series) -> pd.Series:
-        v = x.to_numpy(dtype=np.float64)
-        acc = np.zeros_like(v)
-        for _ in range(400):
-            acc = np.sqrt(acc + v * 1.0000001)
-        return pd.Series(acc)
-
-    bdf = spark.range(0, 2_000_000, 1, 128).select(
-        F.col("id").cast("double").alias("x"))
-    bdf.select(burn("x").alias("y")).selectExpr("sum(y)").collect()
-    burn_best = float("inf")
-    for _ in range(2):
-        t0 = time.monotonic()
-        bdf.select(burn("x").alias("y")).selectExpr("sum(y)").collect()
-        burn_best = min(burn_best, time.monotonic() - t0)
+    # machine CPU ceiling in the SAME process/window (the shared
+    # bench burner)
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from burner import burn_seconds
+    burn_best = burn_seconds(spark)
 
     print(json.dumps({
         "cpus": args.cpus, "web_tier": args.web_tier, "docs_in": n_docs,

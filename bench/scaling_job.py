@@ -26,8 +26,6 @@ import tempfile
 import time
 from pathlib import Path
 
-import numpy as np
-import pandas as pd
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
@@ -60,7 +58,6 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
@@ -165,18 +162,9 @@ def main() -> int:
     minhash_s = timed_min(lambda: noop(minhash_signatures(docs, n_hashes=64)),
                           args.inner_repeats)
 
-    @pandas_udf("double")
-    def burn(x: pd.Series) -> pd.Series:
-        v = x.to_numpy(dtype=np.float64)
-        acc = np.zeros_like(v)
-        for _ in range(400):
-            acc = np.sqrt(acc + v * 1.0000001)
-        return pd.Series(acc)
-
-    bdf = spark.range(0, 2_000_000, 1, 128).select(F.col("id").cast("double").alias("x"))
-    bdf.select(burn("x").alias("y")).selectExpr("sum(y)").collect()  # warm
-    burn_s = timed_min(
-        lambda: bdf.select(burn("x").alias("y")).selectExpr("sum(y)").collect(), 2)
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from burner import burn_seconds
+    burn_s = burn_seconds(spark)
 
     out = {
         "cpus": args.cpus,

@@ -36,10 +36,15 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 20,
              src_col: str = "src", dst_col: str = "dst",
-             num_partitions: int | None = None) -> DataFrame:
+             num_partitions: int | None = None,
+             nodes: DataFrame | None = None) -> DataFrame:
     """Ranks for every node of the edge list: ``(node, rank)`` with
-    Σ rank = 1. ``num_partitions`` pins the edge/rank partitioning
-    width (defaults to ``spark.sql.shuffle.partitions``)."""
+    Σ rank = 1. ``nodes`` (optional, single id column) unions extra
+    vertices into the node set — pass the crawled page table's urls so
+    LINKLESS leaf pages with no inlinks still receive the (1−d)/N
+    floor instead of vanishing (they participate as dangling mass).
+    ``num_partitions`` pins the edge/rank partitioning width (defaults
+    to ``spark.sql.shuffle.partitions``)."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if max_iter < 0:
@@ -59,19 +64,24 @@ def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 20,
          .repartition(num_partitions, "src")
          .persist())
     try:
-        nodes = (e.select(F.col("src").alias("node"))
-                 .union(e.select(F.col("dst").alias("node")))
-                 .distinct()
-                 .repartition(num_partitions, "node"))
-        n = nodes.count()
+        node_set = (e.select(F.col("src").alias("node"))
+                    .union(e.select(F.col("dst").alias("node"))))
+        if nodes is not None:
+            extra = nodes.select(
+                F.col(nodes.columns[0]).alias("node"))
+            node_set = node_set.union(
+                extra.filter(F.col("node").isNotNull()))
+        node_set = (node_set.distinct()
+                    .repartition(num_partitions, "node"))
+        n = node_set.count()
         if n == 0:
             return spark.createDataFrame([], "node string, rank double")
 
         outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
         # (node, deg) with deg null for dangling nodes; this frame is
         # static across iterations — checkpoint it once
-        base = (nodes.join(outdeg.withColumnRenamed("src", "node"),
-                           "node", "left")
+        base = (node_set.join(outdeg.withColumnRenamed("src", "node"),
+                              "node", "left")
                 .localCheckpoint())
 
         ranks = base.select("node", "deg",
@@ -100,6 +110,8 @@ def link_graph(pages: DataFrame, url_col: str = "url",
                links_col: str = "links") -> DataFrame:
     """(src, dst) edge list from a page frame carrying an extracted
     outlink array column — one explode, no shuffle; compose with
-    ``pagerank`` and hand the result to the scheduler as priority."""
+    ``pagerank`` (passing ``pages.select(url_col)`` as its ``nodes``
+    so linkless pages keep a rank) and hand the result to the
+    scheduler as priority."""
     return pages.select(F.col(url_col).alias("src"),
                         F.explode(F.col(links_col)).alias("dst"))

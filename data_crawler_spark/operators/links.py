@@ -240,14 +240,16 @@ def parse_sitemap_col(xml: Column) -> Column:
     """URL array from a sitemap.xml (or sitemap-index) document: the
     ``<loc>`` elements, whitespace-trimmed, with the five predefined
     XML entities decoded (sitemaps escape URLs per the protocol at
-    sitemaps.org). One native regexp_extract_all + transform chain —
-    no XML library, no Python; the seam between a fetched sitemap page
-    table and the seed/frontier source."""
+    sitemaps.org; ``&amp;`` decodes LAST — amp-first would
+    double-unescape a URL that literally contains ``&lt;``). One
+    native regexp_extract_all + transform chain — no XML library, no
+    Python; the seam between a fetched sitemap page table and the
+    seed/frontier source."""
     locs = F.regexp_extract_all(xml, F.lit(r"<loc>\s*(.*?)\s*</loc>"), 1)
 
     def _decode(u: Column) -> Column:
-        for ent, ch in (("&amp;", "&"), ("&apos;", "'"), ("&quot;", '"'),
-                        ("&gt;", ">"), ("&lt;", "<")):
+        for ent, ch in (("&apos;", "'"), ("&quot;", '"'),
+                        ("&gt;", ">"), ("&lt;", "<"), ("&amp;", "&")):
             u = F.replace(u, F.lit(ent), F.lit(ch))
         return u
 
@@ -265,9 +267,11 @@ def sitemap_urls(sitemaps: DataFrame, xml_col: str = "sitemap_xml",
             .select(F.col(url_col).alias("sitemap_url"),
                     F.explode(parse_sitemap_col(F.col(xml_col)))
                     .alias("raw"))
-            .filter(is_http_col(F.col("raw")))
             .select("sitemap_url",
-                    canonicalize_col(F.col("raw")).alias("url")))
+                    canonicalize_col(F.col("raw")).alias("url"))
+            # filter the CANONICAL form: HTTP://A.com normalizes to a
+            # valid http url and must survive
+            .filter(is_http_col(F.col("url"))))
 
 
 def url_template_col(url: Column) -> Column:
@@ -276,8 +280,7 @@ def url_template_col(url: Column) -> Column:
     ``#`` — calendar pages, pagination, session ids and content hashes
     all fold onto one template per generator. Native expressions only."""
     path = path_col(url)
-    q = F.when(url.contains("?"),
-               F.substring_index(url, "?", -1)).otherwise(F.lit(""))
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)  # first ?, fragment off
     keys = F.array_sort(F.transform(
         F.filter(F.split(q, "&"), lambda p: F.length(p) > 0),
         lambda p: F.substring_index(p, "=", 1)))
@@ -292,15 +295,16 @@ def spider_trap_templates(candidates: DataFrame, url_col: str = "url",
     """Mine (host, template) groups whose URL count explodes past
     ``max_urls_per_template`` — the classic spider-trap signature (one
     generator minting unbounded distinct URLs: calendars, faceted
-    search, session tokens). One map + map-side-partial groupBy over
-    the frontier; output is O(distinct templates) rows with ``trap``
-    flagged. Thread the flagged frame into ``trap_filter`` to cap the
+    search, session tokens). DISTINCT URLs per template — duplicate
+    discoveries of one popular URL are endorsements, not a trap — via
+    Spark's two-stage distinct aggregate over the frontier; output is
+    O(distinct templates) rows with ``trap`` flagged. Thread the flagged frame into ``trap_filter`` to cap the
     frontier's exposure before scheduling."""
     t = url_template_col(F.col(url_col))
     return (candidates
             .groupBy(F.col(host_col).alias("host"),
                      t.alias("template"))
-            .agg(F.count("*").alias("n_urls"))
+            .agg(F.count_distinct(F.col(url_col)).alias("n_urls"))
             .withColumn("trap",
                         F.col("n_urls") > F.lit(max_urls_per_template)))
 
@@ -313,8 +317,10 @@ def trap_filter(candidates: DataFrame, traps: DataFrame,
     definition few templates, however many URLs they mint), so the
     frontier itself never shuffles."""
     flagged = F.broadcast(
-        traps.filter("trap").select("host", "template"))
-    keyed = candidates.withColumn("template",
+        traps.filter("trap")
+        .select(F.col("host").alias(host_col),
+                F.col("template").alias("_trap_template")))
+    keyed = candidates.withColumn("_trap_template",
                                   url_template_col(F.col(url_col)))
-    return (keyed.join(flagged, [host_col, "template"], "left_anti")
-            .drop("template"))
+    return (keyed.join(flagged, [host_col, "_trap_template"], "left_anti")
+            .drop("_trap_template"))

@@ -68,7 +68,10 @@ def parse_robots_txt(robots: DataFrame, host_col: str = "host",
     consecutive ``User-agent:`` lines form a group; ``Allow:`` /
     ``Disallow:`` directives bind to the CURRENT group (matched
     case-insensitively against ``user_agent``, exact token — ``*`` by
-    default, our crawler's agent); ``#`` comments strip to end of
+    default, our crawler's agent); RFC 9309 group selection — if ANY
+    group names the specific agent, only those groups apply (even if
+    they carry no rules: an empty matching group means allow-all);
+    otherwise the ``*`` groups apply; ``#`` comments strip to end of
     line; directives with an empty value record no rule (an empty
     Disallow means allow-all per REP — absence of a rule IS allowed in
     robots_gate's verdict); unknown directives (Crawl-delay, Sitemap)
@@ -76,14 +79,17 @@ def parse_robots_txt(robots: DataFrame, host_col: str = "host",
     reference parsers.
 
     All doc-local native expressions: one ``F.aggregate`` fold over the
-    split lines carrying struct(applies, ua_run, rules) state, then one
-    explode — O(lines) per host inside codegen, no Python, and the
-    output is the O(hosts)-row frame the gate broadcasts."""
+    split lines carrying struct state (specific/star group-applies,
+    ua-run, saw-specific, both rule lists), then one explode —
+    O(lines) per host inside codegen, no Python, and the output is the
+    O(hosts)-row frame the gate broadcasts."""
     empty_rules = F.expr(
         "CAST(array() AS array<struct<prefix:string,allow:boolean>>)")
-    init = F.struct(F.lit(False).alias("applies"),
+    init = F.struct(F.lit(False).alias("ap_s"), F.lit(False).alias("ap_g"),
                     F.lit(False).alias("ua_run"),
-                    empty_rules.alias("rules"))
+                    F.lit(False).alias("saw_s"),
+                    empty_rules.alias("rules_s"),
+                    empty_rules.alias("rules_g"))
     ua = F.lit(user_agent.lower())
 
     def step(acc, raw):
@@ -94,27 +100,37 @@ def parse_robots_txt(robots: DataFrame, host_col: str = "host",
         is_allow = low.rlike(r"^allow\s*:")
         is_dis = low.rlike(r"^disallow\s*:")
         is_blank = F.length(line) == 0
-        hit = F.lower(val) == ua
-        applies = (F.when(is_ua,
-                          F.when(acc["ua_run"], acc["applies"] | hit)
-                          .otherwise(hit))
-                   .otherwise(acc["applies"]))
-        new_rule = ((is_allow | is_dis) & acc["applies"]
-                    & (F.length(val) > 0))
-        rules = F.when(
-            new_rule,
-            F.concat(acc["rules"],
-                     F.array(F.struct(val.alias("prefix"),
-                                      is_allow.alias("allow"))))
-        ).otherwise(acc["rules"])
+        hit_s = F.lower(val) == ua
+        hit_g = val == "*"
+
+        def applies(prev, hit):
+            return (F.when(is_ua,
+                           F.when(acc["ua_run"], prev | hit).otherwise(hit))
+                    .otherwise(prev))
+
+        ap_s = applies(acc["ap_s"], hit_s)
+        ap_g = applies(acc["ap_g"], hit_g)
+        is_rule = (is_allow | is_dis) & (F.length(val) > 0)
+        entry = F.array(F.struct(val.alias("prefix"),
+                                 is_allow.alias("allow")))
+
+        def grow(prev, ap):
+            return F.when(is_rule & ap,
+                          F.concat(prev, entry)).otherwise(prev)
+
         # blank lines leave the run state alone (REP: groups end at the
         # next User-agent line, not at blank lines)
         ua_run = F.when(is_blank, acc["ua_run"]).otherwise(is_ua)
-        return F.struct(applies.alias("applies"), ua_run.alias("ua_run"),
-                        rules.alias("rules"))
+        return F.struct(
+            ap_s.alias("ap_s"), ap_g.alias("ap_g"), ua_run.alias("ua_run"),
+            (acc["saw_s"] | (is_ua & hit_s)).alias("saw_s"),
+            grow(acc["rules_s"], acc["ap_s"]).alias("rules_s"),
+            grow(acc["rules_g"], acc["ap_g"]).alias("rules_g"))
 
-    parsed = F.aggregate(F.split(F.col(text_col), "\r?\n"), init, step,
-                         lambda acc: acc["rules"])
+    parsed = F.aggregate(
+        F.split(F.col(text_col), "\r?\n"), init, step,
+        lambda acc: F.when(acc["saw_s"], acc["rules_s"])
+        .otherwise(acc["rules_g"]))
     return (robots.select(F.col(host_col).alias("host"),
                           F.explode(parsed).alias("r"))
             .select("host",

@@ -107,3 +107,35 @@ def test_feeds_scheduler_priority(spark):
     picked = schedule_per_host(cand, hosts).collect()
     assert len(picked) == 1
     assert picked[0].url == max(want, key=lambda v: (want[v], v))
+
+def test_nodes_param_keeps_linkless_pages(spark):
+    # 'iso' has no links and no inlinks: absent without nodes=, ranked
+    # with it, and the mirror (which treats it as a dangling vertex)
+    # agrees exactly
+    df = spark.createDataFrame(GRAPHS["chain"], "src string, dst string")
+    pages = spark.createDataFrame([("a",), ("b",), ("c",), ("d",),
+                                   ("iso",)], "url string")
+    without = {r.node for r in pagerank(df, max_iter=5).collect()}
+    assert "iso" not in without
+    got = {r.node: r.rank
+           for r in pagerank(df, max_iter=5, nodes=pages).collect()}
+    # mirror with the isolated vertex in the node set
+    nodes = sorted({u for u, _ in GRAPHS["chain"]}
+                   | {v for _, v in GRAPHS["chain"]} | {"iso"})
+    n = len(nodes)
+    out_deg = {}
+    for u, v in GRAPHS["chain"]:
+        out_deg.setdefault(u, []).append(v)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        dangling = sum(rank[v] for v in nodes if v not in out_deg)
+        inflow = {v: 0.0 for v in nodes}
+        for u, ts in out_deg.items():
+            for v in ts:
+                inflow[v] += rank[u] / len(ts)
+        rank = {v: 0.15 / n + 0.85 * (inflow[v] + dangling / n)
+                for v in nodes}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)

@@ -135,3 +135,34 @@ def test_parse_robots_txt_plan_native(spark):
     plan = (parse_robots_txt(df)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_parse_robots_txt_star_fallback(spark):
+    """RFC 9309 group selection: with no group naming the agent, the
+    '*' group applies; a matching group — even an EMPTY one — switches
+    the '*' group off."""
+    from data_crawler_spark.operators.robots import parse_robots_txt
+
+    txt = "User-agent: *\nDisallow: /private/"
+    df = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    got = {(r.rule_type, r.path_prefix)
+           for r in parse_robots_txt(df, user_agent="mybot").collect()}
+    assert got == {("disallow", "/private/")}      # fell back to *
+
+    # NB: a BLANK line does not end a user-agent run (RFC 9309 grammar
+    # allows emptylines between startgrouplines, and Google's parser
+    # stacks them) — so the mybot group must be closed by a directive
+    # (Crawl-delay, unknown to the rule extractor) before '*' starts
+    txt2 = "User-agent: mybot\nCrawl-delay: 5\nUser-agent: *\nDisallow: /"
+    df2 = spark.createDataFrame([("h", txt2)], "host string, robots_txt string")
+    # a mybot group exists (no allow/disallow rules) -> allow-all for
+    # mybot, the '*' group is ignored
+    assert parse_robots_txt(df2, user_agent="mybot").count() == 0
+    assert {(r.rule_type, r.path_prefix)
+            for r in parse_robots_txt(df2).collect()} == {("disallow", "/")}
+    # and the RFC stacking case: blank-separated UA lines combine
+    txt3 = "User-agent: mybot\n\nUser-agent: other\nDisallow: /both/"
+    df3 = spark.createDataFrame([("h", txt3)], "host string, robots_txt string")
+    assert {(r.rule_type, r.path_prefix)
+            for r in parse_robots_txt(df3, user_agent="mybot").collect()} \
+        == {("disallow", "/both/")}

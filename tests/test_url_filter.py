@@ -144,3 +144,52 @@ def test_spider_trap_mining_and_filter(spark):
     plan = (trap_filter(df, mined)._jdf.queryExecution()
             .executedPlan().toString())
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_trap_counts_distinct_urls_not_rows(spark):
+    from data_crawler_spark.operators.links import spider_trap_templates
+
+    # one popular URL discovered 500 times is NOT a trap
+    rows = [("http://e.com/post/7", "e.com")] * 500 + \
+           [(f"http://e.com/post/{i}", "e.com") for i in range(50)]
+    df = spark.createDataFrame(rows, "url string, host string")
+    mined = {r.template: (r.n_urls, r.trap)
+             for r in spider_trap_templates(
+                 df, max_urls_per_template=100).collect()}
+    assert mined["/post/#?"] == (50, False)
+
+
+def test_trap_filter_custom_host_col_and_template_col(spark):
+    from data_crawler_spark.operators.links import (spider_trap_templates,
+                                                    trap_filter)
+
+    rows = ([(f"http://e.com/cal/{i}", "e.com", "keepme")
+             for i in range(20)]
+            + [("http://e.com/about", "e.com", "keepme")])
+    df = spark.createDataFrame(rows, "url string, h string, template string")
+    mined = spider_trap_templates(df, host_col="h",
+                                  max_urls_per_template=10)
+    out = trap_filter(df, mined, host_col="h")
+    got = out.collect()
+    assert {r.url for r in got} == {"http://e.com/about"}
+    # the caller's own 'template' column survives untouched
+    assert [r.template for r in got] == ["keepme"]
+
+
+def test_sitemap_entity_order_and_uppercase_scheme(spark):
+    from data_crawler_spark.operators.links import (parse_sitemap_col,
+                                                    sitemap_urls)
+    from pyspark.sql import functions as F
+
+    # a URL literally containing &lt;b&gt; is sitemap-escaped with
+    # &amp;lt; — amp-first decoding would double-unescape it to <b>
+    xml = "<urlset><url><loc>http://a.com/?q=&amp;lt;b&amp;gt;</loc></url></urlset>"
+    df = spark.createDataFrame([(xml,)], "x string")
+    got = df.select(parse_sitemap_col(F.col("x")).alias("u")).collect()[0].u
+    assert got == ["http://a.com/?q=&lt;b&gt;"]
+
+    xml2 = "<urlset><url><loc>HTTP://A.com/x</loc></url></urlset>"
+    df2 = spark.createDataFrame([("http://a.com/s.xml", xml2)],
+                                "url string, sitemap_xml string")
+    out = sitemap_urls(df2).collect()
+    assert len(out) == 1 and out[0].url.startswith("http://a.com/")
