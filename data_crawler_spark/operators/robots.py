@@ -137,3 +137,60 @@ def parse_robots_txt(robots: DataFrame, host_col: str = "host",
                     F.when(F.col("r.allow"), F.lit("allow"))
                     .otherwise(F.lit("disallow")).alias("rule_type"),
                     F.col("r.prefix").alias("path_prefix")))
+
+
+def parse_crawl_delay(robots: DataFrame, host_col: str = "host",
+                      text_col: str = "robots_txt",
+                      user_agent: str = "*") -> DataFrame:
+    """Extract the ``Crawl-delay`` (seconds, double) each host asks of
+    ``user_agent`` — the politeness seam: feed the result into the
+    hosts table's ``crawl_delay`` column. Same RFC 9309 group
+    selection as parse_robots_txt (specific group wins, even empty;
+    else the ``*`` group); the LAST delay in the selected groups wins
+    (later directives override); hosts asking nothing emit no row.
+    Same single F.aggregate fold, zero Exchange / zero Python."""
+    init = F.struct(F.lit(False).alias("ap_s"), F.lit(False).alias("ap_g"),
+                    F.lit(False).alias("ua_run"),
+                    F.lit(False).alias("saw_s"),
+                    F.lit(None).cast("double").alias("delay_s"),
+                    F.lit(None).cast("double").alias("delay_g"))
+    ua = F.lit(user_agent.lower())
+
+    def step(acc, raw):
+        line = F.trim(F.regexp_replace(raw, "#.*", ""))
+        low = F.lower(line)
+        val = F.trim(F.regexp_replace(line, r"^[A-Za-z-]+\s*:\s*", ""))
+        is_ua = low.rlike(r"^user-agent\s*:")
+        is_delay = low.rlike(r"^crawl-delay\s*:")
+        is_blank = F.length(line) == 0
+        hit_s = F.lower(val) == ua
+        hit_g = val == "*"
+
+        def applies(prev, hit):
+            return (F.when(is_ua,
+                           F.when(acc["ua_run"], prev | hit).otherwise(hit))
+                    .otherwise(prev))
+
+        # try_cast: ANSI mode throws on a malformed delay ("soon")
+        num = F.when(is_delay, val.try_cast("double"))
+
+        def delay(prev, ap):
+            return F.when(is_delay & ap & num.isNotNull(),
+                          num).otherwise(prev)
+
+        ua_run = F.when(is_blank, acc["ua_run"]).otherwise(is_ua)
+        return F.struct(
+            applies(acc["ap_s"], hit_s).alias("ap_s"),
+            applies(acc["ap_g"], hit_g).alias("ap_g"),
+            ua_run.alias("ua_run"),
+            (acc["saw_s"] | (is_ua & hit_s)).alias("saw_s"),
+            delay(acc["delay_s"], acc["ap_s"]).alias("delay_s"),
+            delay(acc["delay_g"], acc["ap_g"]).alias("delay_g"))
+
+    delay = F.aggregate(
+        F.split(F.col(text_col), "\r?\n"), init, step,
+        lambda acc: F.when(acc["saw_s"], acc["delay_s"])
+        .otherwise(acc["delay_g"]))
+    return (robots.select(F.col(host_col).alias("host"),
+                          delay.alias("crawl_delay"))
+            .filter(F.col("crawl_delay").isNotNull()))

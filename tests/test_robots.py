@@ -166,3 +166,24 @@ def test_parse_robots_txt_star_fallback(spark):
     assert {(r.rule_type, r.path_prefix)
             for r in parse_robots_txt(df3, user_agent="mybot").collect()} \
         == {("disallow", "/both/")}
+
+
+def test_parse_crawl_delay(spark):
+    from data_crawler_spark.operators.robots import parse_crawl_delay
+
+    txt_a = ("User-agent: mybot\nCrawl-delay: 2.5\n"
+             "User-agent: *\nCrawl-delay: 10\nDisallow: /x/")
+    txt_b = "User-agent: *\nDisallow: /y/"          # no delay -> no row
+    txt_c = "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 7"  # last wins
+    txt_d = "User-agent: *\nCrawl-delay: soon"      # unparsable -> no row
+    df = spark.createDataFrame(
+        [("a", txt_a), ("b", txt_b), ("c", txt_c), ("d", txt_d)],
+        "host string, robots_txt string")
+    star = {r.host: r.crawl_delay for r in parse_crawl_delay(df).collect()}
+    assert star == {"a": 10.0, "c": 7.0}
+    mine = {r.host: r.crawl_delay
+            for r in parse_crawl_delay(df, user_agent="mybot").collect()}
+    assert mine == {"a": 2.5, "c": 7.0}   # c falls back to the * group
+    plan = (parse_crawl_delay(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
