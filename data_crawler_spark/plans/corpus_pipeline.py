@@ -192,3 +192,28 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
         out = shard_by_token_budget(out, shard_budget, "n_tokens",
                                     id_col, shard_partitions)
     return out
+
+
+def write_training_shards(out: DataFrame, path: str,
+                          partition_by: tuple[str, ...] = ("split",
+                                                           "shard_id"),
+                          mode: str = "overwrite",
+                          sort_in_shard: str | None = "doc_id") -> None:
+    """The pipeline's sink: lay the cleaned corpus out as the training
+    job reads it — parquet partitioned by the split/shard columns
+    clean_corpus appended, one directory per (split, shard), rows
+    inside a shard sorted by ``sort_in_shard`` so every rewrite of the
+    same corpus is byte-stable. ``sortWithinPartitions`` keeps the
+    sort shuffle-free (each shard's rows sort inside their task);
+    dynamic partition overwrite semantics are parquet-native, so a
+    re-run replaces only the partitions it writes."""
+    missing = [c for c in partition_by if c not in out.columns]
+    if missing:
+        raise ValueError(
+            f"partition columns not in frame (run clean_corpus with the "
+            f"matching stages): {missing}")
+    w = out
+    if sort_in_shard is not None:
+        w = w.repartition(*[F.col(c) for c in partition_by]) \
+             .sortWithinPartitions(sort_in_shard)
+    (w.write.mode(mode).partitionBy(*partition_by).parquet(path))

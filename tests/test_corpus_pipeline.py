@@ -211,3 +211,29 @@ def test_clean_corpus_hygiene_stage(spark):
     assert kept == {1}
     kept_raw = {r.doc_id for r in clean_corpus(df, **flags).collect()}
     assert kept_raw == {1, 2}
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from data_crawler_spark.plans.corpus_pipeline import \
+        write_training_shards
+
+    rows = [(i, f"{BASE} doc {i}") for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(df, quality=False, repetition=False,
+                       near_dup_threshold=None,
+                       split_fractions={"train": 0.75, "val": 0.25},
+                       shard_budget=150)
+    dest = str(tmp_path / "shards")
+    write_training_shards(out, dest)
+    back = spark.read.parquet(dest)
+    want = {(r.doc_id, r.split, r.shard_id) for r in out.collect()}
+    got = {(r.doc_id, r.split, r.shard_id) for r in back.collect()}
+    assert got == want
+    # physical layout: one directory per (split, shard_id)
+    import os
+    splits = {d for d in os.listdir(dest) if d.startswith("split=")}
+    assert splits == {f"split={s}" for _, s, _ in want}
+    assert all(any(x.startswith("shard_id=") for x in
+                   os.listdir(os.path.join(dest, d))) for d in splits)
+    with pytest.raises(ValueError):
+        write_training_shards(df, dest)   # no split/shard columns
