@@ -102,11 +102,16 @@ def test_pipeline_rounds_invariance(spark, web1k, tmp_path):
     overlap: pipelined and inline crawls produce byte-identical visit
     order, and the pipelined run releases its staged prefetch at loop
     exit (no cached RDDs left behind)."""
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    # compare RDD ID SETS, not counts: the session is suite-shared and
+    # the ContextCleaner may GC-release earlier tests' localCheckpoint
+    # blocks mid-test — the invariant is that run_crawl leaves no NEW
+    # cached RDD behind, not that the global count is frozen
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = {int(k) for k in jmap.keySet().toArray()}
     res_p = run_crawl(spark, web1k, tmp_path / "p", max_rounds=4,
                       pipeline_rounds=True)
-    after = jsc.getPersistentRDDs().size()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    after = {int(k) for k in jmap.keySet().toArray()}
     res_i = run_crawl(spark, web1k, tmp_path / "i", max_rounds=4,
                       pipeline_rounds=False)
     vo_p = [(r.round, r.seq, r.url)
@@ -114,7 +119,8 @@ def test_pipeline_rounds_invariance(spark, web1k, tmp_path):
     vo_i = [(r.round, r.seq, r.url)
             for r in visit_order_df(res_i["ctx"]).collect()]
     assert vo_p == vo_i
-    assert after == before, "staged prefetch must be released at exit"
+    assert after - before == set(), \
+        "staged prefetch must be released at exit"
 
 
 def test_bootstrap_resets_previous_state(spark, web1k, tmp_path):
