@@ -139,3 +139,51 @@ def test_nodes_param_keeps_linkless_pages(spark):
     for v in nodes:
         assert got[v] == pytest.approx(rank[v], rel=1e-9)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def _ref_hits(edge_list, iters=20):
+    import math
+    edges = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out, into = {}, {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+        into.setdefault(v, []).append(u)
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 1.0 for v in nodes}
+    for _ in range(iters):
+        auth = {v: sum(hub[u] for u in into.get(v, ())) for v in nodes}
+        na = math.sqrt(sum(a * a for a in auth.values())) or 1.0
+        auth = {v: a / na for v, a in auth.items()}
+        hub = {u: sum(auth[v] for v in out.get(u, ())) for u in nodes}
+        nh = math.sqrt(sum(h * h for h in hub.values())) or 1.0
+        hub = {u: h / nh for u, h in hub.items()}
+    return hub, auth
+
+
+@pytest.mark.parametrize("name", ["chain", "star_in", "dangling"])
+def test_hits_matches_mirror(spark, name):
+    from data_crawler_spark.operators.graph import hits
+
+    edges = GRAPHS[name]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: (r.hub, r.authority)
+           for r in hits(df, max_iter=12).collect()}
+    hub, auth = _ref_hits(edges, iters=12)
+    assert set(got) == set(hub)
+    for v in hub:
+        assert got[v][0] == pytest.approx(hub[v], rel=1e-9, abs=1e-12)
+        assert got[v][1] == pytest.approx(auth[v], rel=1e-9, abs=1e-12)
+
+
+def test_hits_hub_vs_authority_roles(spark):
+    from data_crawler_spark.operators.graph import hits
+
+    # 'dir' links to everything (pure hub); targets are authorities
+    edges = [("dir", f"p{i}") for i in range(4)]
+    got = {r.node: r for r in hits(spark.createDataFrame(
+        edges, "src string, dst string"), max_iter=8).collect()}
+    assert got["dir"].hub == pytest.approx(1.0)
+    assert got["dir"].authority == pytest.approx(0.0)
+    assert all(got[f"p{i}"].authority == pytest.approx(0.5)
+               for i in range(4))
