@@ -216,3 +216,52 @@ def test_streaming_exact_dedup_state_across_batches(spark, tmp_path):
     batch_hashes = {r.content_hash for r in exact_dedup(
         spark.createDataFrame(batch1 + batch2, schema)).collect()}
     assert {r.content_hash for r in rows} == batch_hashes
+
+
+def test_clean_stream_matches_batch_stages(spark, tmp_path):
+    """Ingest-time cleaning on a stream: the kept set equals the batch
+    pipeline's map-only gates + exact dedup over the same rows."""
+    import pandas as pd
+
+    from data_crawler_spark.plans.corpus_pipeline import clean_corpus
+    from data_crawler_spark.streaming.cleaning import clean_stream
+
+    good = ("the crawl engine writes clean tokens and the shard packer "
+            "reads them with care because the pipeline must keep order "
+            "and the filters must agree on what counts as a word while "
+            "the dedup stages remove copies of documents that have been "
+            "seen before and the final corpus stays small")
+    schema = "doc_id long, warc_ts timestamp, text string"
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def row(i, mins, text):
+        return (i, (base + pd.Timedelta(minutes=mins)).to_pydatetime(),
+                text)
+
+    rows = [
+        row(1, 0, good),                      # survives
+        row(2, 1, "### " * 60 + "the of"),    # gopher symbol rule
+        row(3, 2, "same line of the\n" * 8),  # duplicate-line rule
+        row(4, 3, good.upper() + " "),        # normalized dup of 1
+        row(5, 4, good.replace("crawl", "fetch", 1)),  # survives
+    ]
+    src = tmp_path / "csrc"
+    src.mkdir()
+    sink, ckpt = str(tmp_path / "csink"), str(tmp_path / "cckpt")
+    cleaned = clean_stream(
+        spark.readStream.schema(schema).parquet(str(src) + "/*"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b1"))
+    q = (cleaned.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    kept = {r.doc_id for r in got}
+    # batch contrast over the identical rows (hygiene + quality +
+    # repetition + exact dedup; near-dup off — not streaming-legal)
+    bdf = spark.createDataFrame(rows, schema)
+    want = {r.doc_id for r in clean_corpus(
+        bdf, hygiene=True, near_dup_threshold=None).collect()}
+    assert kept == want == {1, 5}
+    assert all(r.n_tokens > 0 for r in got)
