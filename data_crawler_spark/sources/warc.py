@@ -1,0 +1,291 @@
+"""WARC (ISO 28500) ingestion — the Common-Crawl file-format seam.
+
+The engine's native page store is parquet, but the public web corpus
+the north rule targets ("Common-Crawl-style web pages",
+BASELINE.json:15) ships as WARC: concatenated records, each a
+``WARC/1.0`` version line, CRLF header block, ``Content-Length``-framed
+payload, two closing CRLFs; Common Crawl compresses each record as its
+own gzip *member* so a reader can split files without decompressing
+the whole archive.
+
+Spark shape (the layout public CC-on-Spark pipelines use): one WARC
+file = one ``binaryFile`` row = one task — CC segments are ~1 GB, so
+file-level parallelism is the natural 100 TB partitioning, and the
+splitter streams records out of a single buffer per task (memory is
+bounded by one file, never by the archive). Parsing runs in ONE
+``mapInArrow`` stage: no shuffle, no per-row Python objects beyond the
+header dict of the record being split.
+
+``warc_pages`` projects response records onto the engine's fixed
+``PAGES`` shape (schemas.py:19) so a crawl/extraction/cleaning plan
+runs unchanged on WARC input. ``write_warc_pages`` is the inverse
+seam (and the roundtrip fixture builder): pages -> spec-conformant
+``.warc`` / ``.warc.gz`` files with ``application/http`` response
+payloads.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Iterator
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CRLF = b"\r\n"
+_HDR_END = b"\r\n\r\n"
+
+RECORDS_SCHEMA = pa.schema([
+    ("warc_file", pa.string()),
+    ("record_offset", pa.int64()),
+    ("record_type", pa.string()),
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("http_status", pa.int32()),
+    ("content_type", pa.string()),
+    ("payload", pa.binary()),
+])
+
+_RECORDS_DDL = (
+    "warc_file string, record_offset long, record_type string, "
+    "url string, warc_ts timestamp, http_status int, "
+    "content_type string, payload binary"
+)
+
+
+# ---------------------------------------------------------------------------
+# record-level codec (pure functions; shared by the Spark reader, the
+# test writer, and any oracle check)
+# ---------------------------------------------------------------------------
+
+def _decompress_members(data: bytes) -> bytes:
+    """Decompress a stream of concatenated gzip members (the CC
+    per-record layout). Plain (non-gzip) input passes through."""
+    if not data.startswith(b"\x1f\x8b"):
+        return data
+    out = io.BytesIO()
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        out.write(d.decompress(data[pos:]))
+        out.write(d.flush())
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = len(data) - len(tail)
+    return out.getvalue()
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """CRLF header block -> {lower(name): value}. Last repeat wins
+    (WARC named headers are single-valued; tolerate sloppy writers)."""
+    headers: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if b":" not in line:
+            continue
+        name, _, value = line.partition(b":")
+        headers[name.strip().lower().decode("ascii", "replace")] = (
+            value.strip().decode("utf-8", "replace"))
+    return headers
+
+
+def split_warc_records(data: bytes) -> Iterator[tuple[int, dict[str, str], bytes]]:
+    """Yield ``(offset, headers, payload)`` per record from one WARC
+    buffer (raw or per-record-gzip). Content-Length framing per ISO
+    28500 §4; offsets index the DECOMPRESSED stream. Malformed trailing
+    bytes terminate the iteration rather than raising (a truncated
+    tail record is dropped, matching lenient public readers)."""
+    data = _decompress_members(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            return
+        start = pos
+        if not data.startswith(b"WARC/", pos):
+            return
+        hdr_end = data.find(_HDR_END, pos)
+        if hdr_end < 0:
+            return
+        headers = _parse_headers(data[pos:hdr_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = hdr_end + len(_HDR_END)
+        if body_start + length > n:
+            return
+        yield start, headers, data[body_start:body_start + length]
+        pos = body_start + length
+
+
+def _parse_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
+    """``application/http; msgtype=response`` payload ->
+    (status, content-type, body)."""
+    sep = block.find(_HDR_END)
+    if sep < 0:
+        return None, None, block
+    head, body = block[:sep], block[sep + len(_HDR_END):]
+    lines = head.split(_CRLF)
+    status: int | None = None
+    first = lines[0].split()
+    if len(first) >= 2 and first[0].upper().startswith(b"HTTP/"):
+        try:
+            status = int(first[1])
+        except ValueError:
+            status = None
+    ctype = _parse_headers(head[len(lines[0]):]).get("content-type")
+    return status, ctype, body
+
+
+def _parse_warc_date(value: str | None) -> datetime | None:
+    """WARC-Date is ISO 8601 UTC (``2026-08-19T00:00:00Z``); returned
+    tz-naive in UTC to match the engine's UTC-session timestamps."""
+    if not value:
+        return None
+    try:
+        dt = datetime.fromisoformat(value.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+# ---------------------------------------------------------------------------
+# Spark reader
+# ---------------------------------------------------------------------------
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file(s) -> records DataFrame (``_RECORDS_DDL``).
+
+    ``path`` is anything ``binaryFile`` accepts (dir, glob, single
+    file); ``.warc`` and per-record ``.warc.gz`` both work. One
+    mapInArrow stage, zero Exchange: the plan is
+    ``binaryFile scan -> ArrowEval`` and record rows stream out in
+    bounded Arrow batches."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            paths = b.column("path").to_pylist()
+            contents = b.column("content")
+            for i, fpath in enumerate(paths):
+                buf = contents[i].as_py()
+                cols: dict[str, list] = {k: [] for k in RECORDS_SCHEMA.names}
+                for off, hdrs, payload in split_warc_records(buf):
+                    rtype = hdrs.get("warc-type")
+                    status = ctype = None
+                    body = payload
+                    if rtype in ("response", "request") and (
+                            hdrs.get("content-type", "").startswith("application/http")):
+                        status, ctype, body = _parse_http_response(payload)
+                    cols["warc_file"].append(fpath)
+                    cols["record_offset"].append(off)
+                    cols["record_type"].append(rtype)
+                    cols["url"].append(hdrs.get("warc-target-uri"))
+                    cols["warc_ts"].append(_parse_warc_date(hdrs.get("warc-date")))
+                    cols["http_status"].append(status)
+                    cols["content_type"].append(ctype)
+                    cols["payload"].append(body)
+                if cols["warc_file"]:
+                    yield pa.RecordBatch.from_pydict(cols, schema=RECORDS_SCHEMA)
+
+    return files.mapInArrow(fn, _RECORDS_DDL)
+
+
+def warc_pages(records: DataFrame, ok_only: bool = True) -> DataFrame:
+    """Response records -> the engine's ``PAGES`` ingest shape
+    (url, warc_ts, html). ``ok_only`` keeps HTTP 200 (the CC-pipeline
+    default); the projection/filter is a pure map over the records
+    stream so Catalyst fuses it into the reader stage."""
+    df = records.where(
+        (F.col("record_type") == "response") & F.col("url").isNotNull())
+    if ok_only:
+        df = df.where(F.col("http_status") == 200)
+    return df.select(
+        F.col("url"),
+        F.col("warc_ts"),
+        F.col("payload").alias("html"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# writer (fixture builder / export sink)
+# ---------------------------------------------------------------------------
+
+def warc_record_bytes(headers: dict[str, str], payload: bytes) -> bytes:
+    """One spec-conformant record: version line, named headers with
+    Content-Length, framed payload, two closing CRLFs."""
+    out = [b"WARC/1.0"]
+    for k, v in headers.items():
+        out.append(f"{k}: {v}".encode("utf-8"))
+    out.append(f"Content-Length: {len(payload)}".encode("ascii"))
+    head = _CRLF.join(out) + _HDR_END
+    return head + payload + _CRLF + _CRLF
+
+
+def _http_response_bytes(html: bytes, content_type: str = "text/html") -> bytes:
+    head = (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + f"Content-Type: {content_type}".encode("ascii") + _CRLF
+        + f"Content-Length: {len(html)}".encode("ascii") + _HDR_END
+    )
+    return head + html
+
+
+def write_warc_pages(pages: pd.DataFrame, path: str | Path,
+                     gzip_records: bool = False,
+                     record_id_prefix: str = "urn:uuid:rec") -> Path:
+    """Pages frame (url, warc_ts, html) -> one WARC file. Each record
+    is its own gzip member when ``gzip_records`` (the CC layout).
+    Driver-side by design: the distributed export is
+    ``pages.repartition(n).foreachPartition``-shaped over this same
+    byte codec; tests and fixture builders need the deterministic
+    single-file form."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    chunks: list[bytes] = []
+    info = warc_record_bytes(
+        {"WARC-Type": "warcinfo",
+         "WARC-Record-ID": f"<{record_id_prefix}-info>",
+         "WARC-Date": "2026-01-01T00:00:00Z",
+         "Content-Type": "application/warc-fields"},
+        b"software: data_crawler_spark\r\n")
+    chunks.append(info)
+    for i, row in enumerate(pages.itertuples(index=False)):
+        ts = row.warc_ts
+        if isinstance(ts, pd.Timestamp):
+            ts = ts.to_pydatetime()
+        date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                if ts is not None else "2026-01-01T00:00:00Z")
+        html = row.html if isinstance(row.html, (bytes, bytearray)) else (
+            (row.html or "").encode("utf-8"))
+        rec = warc_record_bytes(
+            {"WARC-Type": "response",
+             "WARC-Record-ID": f"<{record_id_prefix}-{i}>",
+             "WARC-Date": date,
+             "WARC-Target-URI": row.url,
+             "Content-Type": "application/http; msgtype=response"},
+            _http_response_bytes(bytes(html)))
+        chunks.append(rec)
+    if gzip_records:
+        data = b"".join(
+            gzip.compress(c, compresslevel=1, mtime=0) for c in chunks)
+    else:
+        data = b"".join(chunks)
+    path.write_bytes(data)
+    return path

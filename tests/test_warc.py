@@ -1,0 +1,151 @@
+"""WARC ingestion seam (sources/warc.py): byte-exact page roundtrip
+through spec-conformant .warc / per-record-gzip .warc.gz files, record
+taxonomy, HTTP framing, and the no-shuffle reader plan."""
+
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+import pytest
+
+from data_crawler_spark.sources.warc import (
+    _http_response_bytes,
+    read_warc,
+    split_warc_records,
+    warc_pages,
+    warc_record_bytes,
+    write_warc_pages,
+)
+
+
+def _pages_pdf() -> pd.DataFrame:
+    rows = [
+        ("https://host0.example.com/a.html",
+         pd.Timestamp("2026-08-01 12:00:00"),
+         "<html><title>a</title><p>alpha éé</p></html>".encode()),
+        ("https://host1.example.com/b.html",
+         pd.Timestamp("2026-08-02 00:30:05"),
+         b"<html><p>beta</p><a href=\"/x\"></a></html>"),
+        ("https://host1.example.com/c.html",
+         pd.Timestamp("2026-08-03 23:59:59"),
+         b""),  # empty body is a legal zero-length payload
+        ("https://host2.example.com/crlf.html",
+         pd.Timestamp("2026-08-04 01:02:03"),
+         b"<p>body with \r\n\r\n embedded header-end bytes</p>"),
+    ]
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+
+
+def _roundtrip(spark, tmp_path, gzip_records: bool):
+    pdf = _pages_pdf()
+    write_warc_pages(pdf.iloc[:2], tmp_path / "seg-0.warc"
+                     if not gzip_records else tmp_path / "seg-0.warc.gz",
+                     gzip_records=gzip_records)
+    write_warc_pages(pdf.iloc[2:], tmp_path / "seg-1.warc"
+                     if not gzip_records else tmp_path / "seg-1.warc.gz",
+                     gzip_records=gzip_records)
+    recs = read_warc(spark, str(tmp_path))
+    got = (warc_pages(recs).orderBy("url")
+           .toPandas())
+    assert list(got["url"]) == sorted(pdf["url"])
+    exp = pdf.sort_values("url").reset_index(drop=True)
+    # byte identity of html, exact warc_ts
+    for i in range(len(exp)):
+        assert bytes(got["html"][i]) == bytes(exp["html"][i])
+        assert got["warc_ts"][i] == exp["warc_ts"][i]
+    return recs
+
+
+def test_roundtrip_plain(spark, tmp_path):
+    recs = _roundtrip(spark, tmp_path, gzip_records=False)
+    taxo = {r["record_type"] for r in recs.select("record_type").distinct().collect()}
+    assert taxo == {"warcinfo", "response"}
+    # two files, distinguishable provenance
+    nfiles = recs.select("warc_file").distinct().count()
+    assert nfiles == 2
+
+
+def test_roundtrip_gzip_members(spark, tmp_path):
+    _roundtrip(spark, tmp_path, gzip_records=True)
+
+
+def test_record_offsets_and_status(spark, tmp_path):
+    write_warc_pages(_pages_pdf(), tmp_path / "s.warc")
+    recs = read_warc(spark, str(tmp_path)).orderBy("record_offset").collect()
+    offs = [r["record_offset"] for r in recs]
+    assert offs[0] == 0 and offs == sorted(offs) and len(set(offs)) == len(offs)
+    resp = [r for r in recs if r["record_type"] == "response"]
+    assert all(r["http_status"] == 200 for r in resp)
+    assert all(r["content_type"] == "text/html" for r in resp)
+
+
+def test_non_200_and_request_records(spark, tmp_path):
+    """ok_only drops 404s; request records never reach warc_pages."""
+    rec404 = warc_record_bytes(
+        {"WARC-Type": "response",
+         "WARC-Date": "2026-08-05T00:00:00Z",
+         "WARC-Target-URI": "https://host9.example.com/gone.html",
+         "Content-Type": "application/http; msgtype=response"},
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n<p>nope</p>")
+    req = warc_record_bytes(
+        {"WARC-Type": "request",
+         "WARC-Date": "2026-08-05T00:00:00Z",
+         "WARC-Target-URI": "https://host9.example.com/gone.html",
+         "Content-Type": "application/http; msgtype=request"},
+        b"GET /gone.html HTTP/1.1\r\nHost: host9.example.com\r\n\r\n")
+    ok = warc_record_bytes(
+        {"WARC-Type": "response",
+         "WARC-Date": "2026-08-05T00:00:01Z",
+         "WARC-Target-URI": "https://host9.example.com/ok.html",
+         "Content-Type": "application/http; msgtype=response"},
+        _http_response_bytes(b"<p>fine</p>"))
+    (tmp_path / "m.warc").write_bytes(rec404 + req + ok)
+
+    recs = read_warc(spark, str(tmp_path))
+    assert recs.count() == 3
+    strict = warc_pages(recs).collect()
+    assert [r["url"] for r in strict] == ["https://host9.example.com/ok.html"]
+    lax = warc_pages(recs, ok_only=False).orderBy("url").collect()
+    assert [r["url"] for r in lax] == [
+        "https://host9.example.com/gone.html",
+        "https://host9.example.com/ok.html"]
+    assert bytes(lax[0]["html"]) == b"<p>nope</p>"
+
+
+def test_truncated_tail_record_dropped():
+    good = warc_record_bytes(
+        {"WARC-Type": "response", "WARC-Date": "2026-08-05T00:00:00Z",
+         "WARC-Target-URI": "https://h/x",
+         "Content-Type": "application/http; msgtype=response"},
+        _http_response_bytes(b"<p>x</p>"))
+    truncated = warc_record_bytes(
+        {"WARC-Type": "response", "WARC-Date": "2026-08-05T00:00:00Z",
+         "WARC-Target-URI": "https://h/y",
+         "Content-Type": "application/http; msgtype=response"},
+        _http_response_bytes(b"<p>yyyyyyyy</p>"))[:-20]
+    recs = list(split_warc_records(good + truncated))
+    assert len(recs) == 1
+    assert recs[0][1]["warc-target-uri"] == "https://h/x"
+
+
+def test_concatenated_gzip_members_split():
+    a = warc_record_bytes(
+        {"WARC-Type": "warcinfo", "WARC-Date": "2026-01-01T00:00:00Z",
+         "Content-Type": "application/warc-fields"}, b"k: v\r\n")
+    b = warc_record_bytes(
+        {"WARC-Type": "response", "WARC-Date": "2026-08-05T00:00:00Z",
+         "WARC-Target-URI": "https://h/z",
+         "Content-Type": "application/http; msgtype=response"},
+        _http_response_bytes(b"<p>z</p>"))
+    data = gzip.compress(a, mtime=0) + gzip.compress(b, mtime=0)
+    recs = list(split_warc_records(data))
+    assert [h["warc-type"] for _, h, _ in recs] == ["warcinfo", "response"]
+
+
+def test_reader_plan_no_exchange(spark, tmp_path):
+    """binaryFile scan -> one Arrow stage; filter/projection fuse in."""
+    write_warc_pages(_pages_pdf(), tmp_path / "s.warc")
+    plan = (warc_pages(read_warc(spark, str(tmp_path)))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
