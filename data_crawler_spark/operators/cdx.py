@@ -96,6 +96,29 @@ def cdx_lookup_asof(index: DataFrame, queries: DataFrame,
     )
 
 
+def cdx_revisits(index: DataFrame) -> DataFrame:
+    """Revisit detection — the web-archive dedup signal: a capture
+    whose content digest already appeared at an EARLIER ts for the
+    same SURT key stores no payload in a deduplicated archive, only a
+    pointer to the original. Emits those recaptures with
+    ``original_ts`` (the first capture of that digest).
+
+    One hash exchange on (surt_key, digest) — the window key — and
+    ties at identical ts break deterministically (the co-timed capture
+    set beyond the first is revisits)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("surt_key", "digest")
+         .orderBy("warc_ts", "url"))
+    return (
+        index
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("original_ts", F.first("warc_ts").over(w))
+        .where(F.col("_rn") > 1)
+        .drop("_rn")
+    )
+
+
 def cdx_prefix_scan(index: DataFrame, surt_prefix: str) -> DataFrame:
     """All captures under a SURT prefix (``com,example)`` = the whole
     site) — a pure range predicate on the sort key, so a parquet- or

@@ -247,41 +247,90 @@ def _http_response_bytes(html: bytes, content_type: str = "text/html") -> bytes:
     return head + html
 
 
+def _page_record_bytes(url: str, ts, html, rec_id: str) -> bytes:
+    """One response record for a pages row — the shared export codec."""
+    if isinstance(ts, pd.Timestamp):
+        ts = ts.to_pydatetime()
+    date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            if ts is not None else "2026-01-01T00:00:00Z")
+    if not isinstance(html, (bytes, bytearray)):
+        html = (html or "").encode("utf-8")
+    return warc_record_bytes(
+        {"WARC-Type": "response",
+         "WARC-Record-ID": f"<{rec_id}>",
+         "WARC-Date": date,
+         "WARC-Target-URI": url,
+         "Content-Type": "application/http; msgtype=response"},
+        _http_response_bytes(bytes(html)))
+
+
+_WARCINFO = warc_record_bytes(
+    {"WARC-Type": "warcinfo",
+     "WARC-Record-ID": "<urn:uuid:rec-info>",
+     "WARC-Date": "2026-01-01T00:00:00Z",
+     "Content-Type": "application/warc-fields"},
+    b"software: data_crawler_spark\r\n")
+
+
+def export_warc(pages: DataFrame, out_dir: str | Path,
+                gzip_records: bool = True) -> DataFrame:
+    """Distributed WARC sink: each task writes ONE
+    ``part-<partition>.warc[.gz]`` under ``out_dir`` and emits a
+    manifest row ``(warc_file, n_records, n_bytes)``.
+
+    The export is embarrassingly parallel — no shuffle is added, each
+    partition streams its rows through the record codec and appends to
+    its own file, so output file count == partition count (callers
+    size files with ``repartition``/``coalesce``, the same lever as
+    parquet). ``out_dir`` must be a task-writable shared filesystem
+    (the standard contract for executor-written sinks). The returned
+    manifest is lazy; run an action to execute the export. Roundtrip
+    with ``read_warc`` is byte-identical per page (tested)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    suffix = ".warc.gz" if gzip_records else ".warc"
+    src = pages.select("url", "warc_ts", "html")
+    mschema = "warc_file string, n_records long, n_bytes long"
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        fpath = out / f"part-{pid:05d}{suffix}"
+        n = 0
+        chunks: list[bytes] = [_WARCINFO]
+        for b in batches:
+            pdf = b.to_pandas()
+            for row in pdf.itertuples(index=False):
+                chunks.append(_page_record_bytes(
+                    row.url, row.warc_ts, row.html, f"urn:uuid:rec-{pid}-{n}"))
+                n += 1
+        if gzip_records:
+            data = b"".join(
+                gzip.compress(c, compresslevel=1, mtime=0) for c in chunks)
+        else:
+            data = b"".join(chunks)
+        fpath.write_bytes(data)
+        yield pa.RecordBatch.from_pydict(
+            {"warc_file": [str(fpath)], "n_records": [n],
+             "n_bytes": [len(data)]})
+
+    return src.mapInArrow(fn, mschema)
+
+
 def write_warc_pages(pages: pd.DataFrame, path: str | Path,
                      gzip_records: bool = False,
                      record_id_prefix: str = "urn:uuid:rec") -> Path:
     """Pages frame (url, warc_ts, html) -> one WARC file. Each record
     is its own gzip member when ``gzip_records`` (the CC layout).
-    Driver-side by design: the distributed export is
-    ``pages.repartition(n).foreachPartition``-shaped over this same
-    byte codec; tests and fixture builders need the deterministic
-    single-file form."""
+    Driver-side by design: ``export_warc`` is the distributed form
+    over the same byte codec; tests and fixture builders need the
+    deterministic single-file form."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    chunks: list[bytes] = []
-    info = warc_record_bytes(
-        {"WARC-Type": "warcinfo",
-         "WARC-Record-ID": f"<{record_id_prefix}-info>",
-         "WARC-Date": "2026-01-01T00:00:00Z",
-         "Content-Type": "application/warc-fields"},
-        b"software: data_crawler_spark\r\n")
-    chunks.append(info)
+    chunks: list[bytes] = [_WARCINFO]
     for i, row in enumerate(pages.itertuples(index=False)):
-        ts = row.warc_ts
-        if isinstance(ts, pd.Timestamp):
-            ts = ts.to_pydatetime()
-        date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-                if ts is not None else "2026-01-01T00:00:00Z")
-        html = row.html if isinstance(row.html, (bytes, bytearray)) else (
-            (row.html or "").encode("utf-8"))
-        rec = warc_record_bytes(
-            {"WARC-Type": "response",
-             "WARC-Record-ID": f"<{record_id_prefix}-{i}>",
-             "WARC-Date": date,
-             "WARC-Target-URI": row.url,
-             "Content-Type": "application/http; msgtype=response"},
-            _http_response_bytes(bytes(html)))
-        chunks.append(rec)
+        chunks.append(_page_record_bytes(
+            row.url, row.warc_ts, row.html, f"{record_id_prefix}-{i}"))
     if gzip_records:
         data = b"".join(
             gzip.compress(c, compresslevel=1, mtime=0) for c in chunks)

@@ -105,6 +105,27 @@ def test_lookup_asof(spark):
     assert cdx_lookup_asof(idx, q, datetime(2026, 7, 1)).count() == 0
 
 
+def test_revisits(spark):
+    """Same digest at a later ts for the same SURT key is a revisit
+    pointing at the ORIGINAL capture; a content change is not."""
+    from data_crawler_spark.operators.cdx import cdx_revisits
+    rows = [
+        ("https://example.com/a", datetime(2026, 8, 1), b"v1"),
+        ("https://example.com/a", datetime(2026, 8, 5), b"v2"),   # changed
+        ("https://www.example.com/a", datetime(2026, 8, 9), b"v1"),  # back to v1
+        ("https://example.com/a", datetime(2026, 8, 12), b"v1"),  # v1 again
+        ("https://other.net/a", datetime(2026, 8, 2), b"v1"),     # other site
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary")
+    rev = cdx_revisits(cdx_index(pages)).orderBy("warc_ts").collect()
+    assert [(r["warc_ts"], r["original_ts"]) for r in rev] == [
+        (datetime(2026, 8, 9), datetime(2026, 8, 1)),
+        (datetime(2026, 8, 12), datetime(2026, 8, 1)),
+    ]
+    assert all(r["digest"] == hashlib.sha1(b"v1").hexdigest() for r in rev)
+
+
 def test_prefix_scan(spark):
     idx = cdx_index(_pages(spark))
     site = cdx_prefix_scan(idx, "com,example)").collect()

@@ -143,6 +143,40 @@ def test_concatenated_gzip_members_split():
     assert [h["warc-type"] for _, h, _ in recs] == ["warcinfo", "response"]
 
 
+def test_export_warc_distributed_roundtrip(spark, tmp_path):
+    """export_warc writes one file per partition, the manifest counts
+    are exact, and read_warc recovers every page byte-identically."""
+    pdf = _pages_pdf()
+    pages = spark.createDataFrame(
+        pdf, "url string, warc_ts timestamp, html binary").repartition(3)
+    from data_crawler_spark.sources.warc import export_warc
+    manifest = export_warc(pages, tmp_path / "out").collect()
+    assert len(manifest) == 3
+    assert sum(r["n_records"] for r in manifest) == len(pdf)
+    files = sorted((tmp_path / "out").glob("part-*.warc.gz"))
+    assert [str(f) for f in files] == sorted(r["warc_file"] for r in manifest)
+    for r in manifest:
+        assert r["n_bytes"] == (tmp_path / "out" / r["warc_file"].split("/")[-1]).stat().st_size
+
+    got = (warc_pages(read_warc(spark, str(tmp_path / "out")))
+           .orderBy("url").toPandas())
+    exp = pdf.sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(exp["url"])
+    for i in range(len(exp)):
+        assert bytes(got["html"][i]) == bytes(exp["html"][i])
+        assert got["warc_ts"][i] == exp["warc_ts"][i]
+
+
+def test_export_warc_plan_no_shuffle(spark, tmp_path):
+    """The sink adds no exchange beyond the caller's own layout."""
+    from data_crawler_spark.sources.warc import export_warc
+    pages = spark.createDataFrame(
+        _pages_pdf(), "url string, warc_ts timestamp, html binary")
+    plan = (export_warc(pages, tmp_path / "o")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
 def test_reader_plan_no_exchange(spark, tmp_path):
     """binaryFile scan -> one Arrow stage; filter/projection fuse in."""
     write_warc_pages(_pages_pdf(), tmp_path / "s.warc")
