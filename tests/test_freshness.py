@@ -1,0 +1,117 @@
+"""Change-rate estimation + recrawl priority (operators/freshness.py).
+
+Hand-computed Cho–Garcia-Molina values pin the estimator; plan test
+pins the one-exchange shape."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+import pytest
+
+from data_crawler_spark.operators.cdx import cdx_index
+from data_crawler_spark.operators.freshness import (
+    capture_intervals,
+    change_rate,
+    recrawl_priority,
+)
+
+T0 = datetime(2026, 8, 1)
+
+
+def _hours(h):
+    return T0 + timedelta(hours=h)
+
+
+def _index(spark, rows):
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary")
+    return cdx_index(pages)
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    rows = [
+        # fast: 4 intervals of 10h, digests a a b b c -> X=2
+        *[("https://fast.com/", _hours(10 * i), d)
+          for i, d in enumerate([b"a", b"a", b"b", b"b", b"c"])],
+        # static: 4 intervals of 10h, never changes
+        *[("https://static.com/", _hours(10 * i), b"s")
+          for i in range(5)],
+        # always-changing: 2 intervals of 1h, X=2 (X=n smoothing case)
+        *[("https://hot.com/", _hours(i), d)
+          for i, d in enumerate([b"p", b"q", b"r"])],
+        # single capture: no interval, no estimate
+        ("https://new.com/", _hours(0), b"n"),
+    ]
+    return _index(spark, rows)
+
+
+def test_capture_intervals(idx):
+    iv = {(r["url"], r["warc_ts"]): (r["interval_s"], r["changed"])
+          for r in capture_intervals(idx).collect()}
+    assert iv[("https://fast.com/", _hours(0))] == (None, None)
+    assert iv[("https://fast.com/", _hours(10))] == (36000.0, False)
+    assert iv[("https://fast.com/", _hours(20))] == (36000.0, True)
+    assert iv[("https://new.com/", _hours(0))] == (None, None)
+
+
+def test_change_rate_matches_hand_computation(idx):
+    rates = {r["surt_key"]: r for r in change_rate(idx).collect()}
+
+    fast = rates["com,fast)/"]
+    assert (fast["n_intervals"], fast["n_changes"]) == (4, 2)
+    assert fast["span_s"] == 4 * 36000.0
+    # r = -ln((4-2+.5)/(4+.5)); lambda = r / 36000
+    assert fast["lambda_per_s"] == pytest.approx(
+        -math.log(2.5 / 4.5) / 36000.0, rel=1e-12)
+    assert fast["url"] == "https://fast.com/"
+    assert fast["last_ts"] == _hours(40)
+
+    static = rates["com,static)/"]
+    assert static["n_changes"] == 0
+    assert static["lambda_per_s"] == pytest.approx(0.0, abs=1e-15)
+
+    hot = rates["com,hot)/"]  # X == n stays finite via +0.5 smoothing
+    assert (hot["n_intervals"], hot["n_changes"]) == (2, 2)
+    assert hot["lambda_per_s"] == pytest.approx(
+        -math.log(0.5 / 2.5) / 3600.0, rel=1e-12)
+
+    new = rates["com,new)/"]
+    assert new["n_intervals"] == 0 and new["n_changes"] == 0
+    assert new["lambda_per_s"] is None and new["span_s"] is None
+
+
+def test_recrawl_priority_ordering(idx):
+    now = _hours(48)
+    pri = {r["surt_key"]: r["p_changed"]
+           for r in recrawl_priority(change_rate(idx), now).collect()}
+    # hot last seen 2h->46h stale at huge lambda ~= certain change;
+    # fast is moderately stale; static is exactly 0 however stale.
+    assert pri["com,hot)/"] > pri["com,fast)/"] > pri["com,static)/"]
+    assert pri["com,static)/"] == pytest.approx(0.0, abs=1e-15)
+    # single-capture key ages in on the 1/day prior: 48h stale
+    assert pri["com,new)/"] == pytest.approx(
+        1.0 - math.exp(-(1.0 / 86400.0) * 48 * 3600), rel=1e-9)
+    # probabilities, not scores
+    assert all(0.0 <= p <= 1.0 for p in pri.values())
+
+
+def test_recrawl_priority_monotone_in_age(idx):
+    rates = change_rate(idx)
+    early = {r["surt_key"]: r["p_changed"]
+             for r in recrawl_priority(rates, _hours(41)).collect()}
+    late = {r["surt_key"]: r["p_changed"]
+            for r in recrawl_priority(rates, _hours(90)).collect()}
+    for k, p in early.items():
+        assert late[k] >= p
+
+
+def test_change_rate_single_exchange(idx):
+    """The lag window and the per-key aggregate share one hash
+    exchange on surt_key (the cdx_index sort adds its range exchange
+    upstream)."""
+    plan = (change_rate(idx)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
