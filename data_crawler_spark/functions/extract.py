@@ -20,11 +20,14 @@ Extraction spec over the Common-Crawl-style ``html:binary`` column:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 TEXT_RE = r"(?s)<p>(.*?)</p>"
 TITLE_RE = r"(?s)<title>(.*?)</title>"
 HREF_RE = r'<a href="([^"]*)"'
+ANCHOR_RE = r'(?s)<a href="([^"]*)"[^>]*>(.*?)</a>'
 
 
 def decode_html_series(html: pd.Series) -> pd.Series:
@@ -57,3 +60,25 @@ def extract_links_series(html: pd.Series) -> pd.Series:
     links = h.astype("string").str.findall(HREF_RE)
     links = links.apply(lambda v: list(v) if isinstance(v, list) else [])
     return links.astype(object).where(~na, None)
+
+
+_ANCHOR_RX = re.compile(ANCHOR_RE)
+_TAG_RX = re.compile(r"<[^>]*>")
+
+
+def extract_anchors_series(html: pd.Series) -> pd.Series:
+    """html:binary -> list[(href, anchor_text)] in document order.
+
+    Anchor text is the <a>...</a> inner content with nested tags
+    stripped and whitespace collapsed to single spaces — the form
+    anchor-text corpora aggregate on. hrefs are raw (unresolved),
+    same contract as extract_links_series."""
+    h = decode_html_series(html)
+
+    def one(s):
+        if not isinstance(s, str):
+            return None
+        return [(href, " ".join(_TAG_RX.sub(" ", body).split()))
+                for href, body in _ANCHOR_RX.findall(s)]
+
+    return h.apply(one)

@@ -1,0 +1,94 @@
+"""Anchor-text extraction and per-target aggregation.
+
+Anchor text — the words other pages use when they link to a URL — is
+one of the strongest web-scale relevance/quality signals (it is how a
+page can rank for terms it never contains) and a standard
+training-data artifact: (anchor, target-page) pairs are mined as
+query–document supervision. This module extracts (source, target,
+anchor) triples from the PAGES table and aggregates an anchor profile
+per target URL.
+
+Scale shape: html crosses exactly ONE Arrow stage (the same rule as
+the extraction sweep — operators/extractor.py); href resolution and
+canonicalization are the native op-05 expressions after the explode,
+so no Python touches the exploded edge stream. The per-target summary
+pre-aggregates on (target, anchor) FIRST — that is the skew breaker:
+a head target with 10^9 in-links collapses to at most its distinct
+anchor strings before any single task sees it — then tops-k inside
+one collect_list + sort_array + slice, so the whole summary is two
+hash exchanges and no window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_crawler_spark.functions.extract import extract_anchors_series
+from data_crawler_spark.operators.links import (
+    canonicalize_col,
+    resolve_href_col,
+)
+
+__all__ = ["page_anchors", "anchor_summary"]
+
+_RAW_SCHEMA = ("url string, "
+               "anchors array<struct<href:string, anchor:string>>")
+_PAIR_TYPE = pa.list_(pa.struct(
+    [("href", pa.string()), ("anchor", pa.string())]))
+
+
+def page_anchors(pages: DataFrame) -> DataFrame:
+    """PAGES (url, html, ...) -> edge stream
+    ``(src_url, target_url, anchor)``, one row per <a> tag, document
+    order not preserved (the aggregate does not need it).
+
+    target_url is resolved against the source page and canonicalized
+    (op 05), so the same page reached by relative and absolute hrefs
+    aggregates under one key. Pages with no/undecodable html emit
+    nothing."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            pairs = extract_anchors_series(b.column("html").to_pandas())
+            yield pa.RecordBatch.from_arrays(
+                [b.column("url"), pa.array(list(pairs), _PAIR_TYPE)],
+                ["url", "anchors"],
+            )
+
+    raw = pages.select("url", "html").mapInArrow(fn, _RAW_SCHEMA)
+    a = raw.select("url", F.explode("anchors").alias("a"))
+    target = canonicalize_col(
+        resolve_href_col(F.col("url"), F.col("a.href")))
+    return a.select(
+        F.col("url").alias("src_url"),
+        target.alias("target_url"),
+        F.col("a.anchor").alias("anchor"),
+    )
+
+
+def anchor_summary(anchors: DataFrame, top_k: int = 3) -> DataFrame:
+    """Edge stream -> one row per target:
+    ``(target_url, n_inlinks, n_distinct_anchors, top_anchors)``.
+
+    top_anchors = the k most frequent anchor strings, ties broken
+    lexicographically (a total order — deterministic under any
+    partitioning). Two exchanges: the (target, anchor) count is the
+    map-side-combinable skew pre-aggregation, the per-target fold
+    sees one row per distinct anchor string."""
+    per = anchors.groupBy("target_url", "anchor").agg(
+        F.count("*").alias("cnt"))
+    key = F.struct((-F.col("cnt")).alias("nc"),
+                   F.col("anchor").alias("anchor"))
+    tops = F.transform(
+        F.slice(F.sort_array(F.collect_list(key)), 1, top_k),
+        lambda s: s["anchor"],
+    )
+    return per.groupBy("target_url").agg(
+        F.sum("cnt").alias("n_inlinks"),
+        F.count("*").alias("n_distinct_anchors"),
+        tops.alias("top_anchors"),
+    )
