@@ -36,6 +36,7 @@ import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -236,6 +237,42 @@ class SnapshotTable:
         for d in self.dir.iterdir():
             if d.is_dir() and d.name.startswith("d") and d.name not in live:
                 shutil.rmtree(d)
+
+
+def diff_snapshots(old: DataFrame, new: DataFrame, key_col: str,
+                   compare_cols: list[str] | None = None) -> DataFrame:
+    """Row-level diff between two snapshots of the same table:
+    ``(key, change)`` with change ∈ {'added', 'removed', 'changed'};
+    unchanged rows are NOT emitted (at 100 TB the diff is the small
+    output, the unchanged mass is the big one).
+
+    'changed' compares an xxhash64 fingerprint of ``compare_cols``
+    (default: every non-key column both sides share, name-sorted) —
+    each side reduces to (key, 8-byte fingerprint) BEFORE the
+    full-outer join, so wide columns (html!) never ride the shuffle.
+    Typical uses: two crawl-round page snapshots -> recrawl feed; two
+    corpus versions -> incremental re-dedup delta (dedup.py's
+    IncrementalMinHashIndex consumes exactly the 'added' set)."""
+    if compare_cols is None:
+        compare_cols = sorted(
+            set(old.columns) & set(new.columns) - {key_col})
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        fp = (F.xxhash64(*[F.col(c) for c in compare_cols])
+              if compare_cols else F.lit(0).cast("long"))
+        return df.select(F.col(key_col).alias(f"{tag}_key"),
+                         fp.alias(f"{tag}_fp"))
+
+    o, n = side(old, "o"), side(new, "n")
+    j = o.join(n, o["o_key"] == n["n_key"], "full_outer")
+    change = (
+        F.when(F.col("o_key").isNull(), F.lit("added"))
+        .when(F.col("n_key").isNull(), F.lit("removed"))
+        .when(F.col("o_fp") != F.col("n_fp"), F.lit("changed"))
+    )
+    return (j.select(F.coalesce("n_key", "o_key").alias(key_col),
+                     change.alias("change"))
+            .where(F.col("change").isNotNull()))
 
 
 class Checkpoint:

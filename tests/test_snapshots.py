@@ -94,3 +94,41 @@ def test_read_missing_version_raises(spark, tmp_path):
     t.prune(keep_last=1)
     with pytest.raises(ValueError, match="no version 1"):
         t.read(1)
+
+
+def test_diff_snapshots(spark):
+    from data_crawler_spark.plans.snapshots import diff_snapshots
+    old = spark.createDataFrame(
+        [("a", b"1", 10), ("b", b"2", 20), ("c", b"3", 30)],
+        "url string, html binary, size int")
+    new = spark.createDataFrame(
+        [("a", b"1", 10), ("b", b"2x", 20), ("d", b"4", 40)],
+        "url string, html binary, size int")
+    got = {r["url"]: r["change"]
+           for r in diff_snapshots(old, new, "url").collect()}
+    assert got == {"b": "changed", "c": "removed", "d": "added"}
+
+
+def test_diff_snapshots_subset_cols(spark):
+    from data_crawler_spark.plans.snapshots import diff_snapshots
+    old = spark.createDataFrame([("a", b"1", 1)],
+                                "url string, html binary, v int")
+    new = spark.createDataFrame([("a", b"1", 2)],
+                                "url string, html binary, v int")
+    # compare only html: the v flip is invisible -> empty diff
+    assert diff_snapshots(old, new, "url", ["html"]).count() == 0
+    assert {r["change"] for r in
+            diff_snapshots(old, new, "url", ["v"]).collect()} == {"changed"}
+
+
+def test_diff_snapshots_fingerprints_before_join(spark):
+    """html must not cross the diff shuffle: both exchange inputs
+    project to (key, int64 fingerprint)."""
+    from data_crawler_spark.plans.snapshots import diff_snapshots
+    old = spark.createDataFrame([("a", b"1")], "url string, html binary")
+    new = spark.createDataFrame([("a", b"2")], "url string, html binary")
+    plan = (diff_snapshots(old, new, "url")._jdf.queryExecution()
+            .executedPlan().toString())
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "html" not in m.group(0)
