@@ -45,6 +45,39 @@ def is_http_col(url: Column) -> Column:
     return url.startswith("http://") | url.startswith("https://")
 
 
+# Second-level labels that act as public suffixes under a 2-letter
+# country TLD (the tldextract-style fallback heuristic: "bbc.co.uk"
+# registers at three labels, "example.de" at two). A deliberate
+# HEURISTIC subset of the public-suffix list — the full PSL is a
+# runtime data file this sandbox doesn't ship; the seam to swap it in
+# is this one tuple.
+_PSL_SLD = ("co", "com", "net", "org", "ac", "gov", "edu", "mil", "sch")
+
+
+def registered_domain_col(url_or_host: Column,
+                          is_host: bool = False) -> Column:
+    """Registrable domain of a URL (or bare host with
+    ``is_host=True``): the unit crawl budgets, host reputation, and
+    leakage-free train/val splits group on (every subdomain of one
+    site shares it). ``a.b.example.co.uk`` -> ``example.co.uk``;
+    ``www.example.com`` -> ``example.com``; IPs/single-label hosts
+    pass through. Pure native expressions — no Python, no lookup
+    join."""
+    host = url_or_host if is_host else host_col(url_or_host)
+    host = F.regexp_replace(host, r":\d+\z", "")  # strip port
+    is_ip = host.rlike(r"\A\d+\.\d+\.\d+\.\d+\z")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    take3 = ((n >= F.lit(3))
+             & F.element_at(labels, -2).isin(*_PSL_SLD)
+             & (F.length(F.element_at(labels, -1)) == 2))
+    return (
+        F.when(is_ip | (n <= 2), host)
+        .when(take3, F.array_join(F.slice(labels, -3, 3), "."))
+        .otherwise(F.array_join(F.slice(labels, -2, 2), "."))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Native canonicalizer (SURVEY.md §2 op 05, JVM fast path).
 #
