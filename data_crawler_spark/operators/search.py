@@ -1,0 +1,98 @@
+"""Distributed full-text relevance scoring — BM25 over the corpus.
+
+The text-side counterpart of the embedding ANN stack
+(operators/similarity.py): given a query set, rank documents by
+Okapi BM25 (Robertson & Walker; the Lucene-default scoring function).
+Used in pipeline curation for retrieving benchmark-adjacent documents
+(decontamination beyond exact n-gram match) and for building
+retrieval supervision pairs from anchor/query logs.
+
+Scale shape:
+- ``term_postings`` is the classic postings build: explode tokens,
+  reduce per (term, doc) with a map-side partial — ONE shuffle.
+  doc_len is computed at explode time (the tokenizer runs twice per
+  doc — CPU traded for not adding a doc_id exchange) and rides each
+  posting as 8 denormalized bytes, so scoring never joins back to
+  the corpus.
+- ``bm25_topk`` prunes the postings to the query vocabulary FIRST
+  (broadcast semi-join — at 100 TB this is the difference between
+  touching the query terms' postings lists and touching the corpus),
+  computes document frequency only for those terms, broadcasts the
+  (query_id, term, idf) side, folds per (query, doc) with map-side
+  partial sums, and ranks per query through one window. The wide
+  text column never appears past the postings build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_crawler_spark.operators.text import token_count_col, tokens_col
+
+__all__ = ["term_postings", "bm25_topk"]
+
+
+def term_postings(corpus: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Corpus -> postings ``(term, doc_id, tf, doc_len)``."""
+    toks = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_col(F.col(text_col)).alias("doc_len"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    return (toks.groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"),
+                 F.min("doc_len").alias("doc_len")))
+
+
+def bm25_topk(corpus: DataFrame, queries: DataFrame,
+              id_col: str = "doc_id", text_col: str = "text",
+              query_id_col: str = "query_id",
+              query_col: str = "query",
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """(query_id, doc_id, score, rank) — top-k BM25 matches per query.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (the Lucene form — always
+    positive, so common-term queries cannot produce negative
+    contributions). N counts ALL corpus docs (token-less ones too).
+    Ties break (score DESC, doc_id ASC) — a total order, deterministic
+    under any partitioning. Documents matching no query term are
+    absent (score 0 by definition)."""
+    consts = corpus.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(token_count_col(F.col(text_col))).alias("avg_len"),
+    ).first()
+    n_docs, avg_len = consts["n_docs"], consts["avg_len"]
+    if not n_docs or not avg_len:
+        raise ValueError("bm25_topk: empty corpus (no tokens)")
+
+    q_terms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokens_col(F.col(query_col))))
+        .alias("term"))
+
+    # prune the corpus-side work to the query vocabulary before
+    # anything else touches it
+    hit = term_postings(corpus, id_col, text_col).join(
+        F.broadcast(q_terms.select("term").distinct()), "term",
+        "left_semi")
+
+    # postings are unique per (term, doc): df = row count per term
+    df_by_term = hit.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
+                              + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    q_idf = (q_terms.join(df_by_term, "term", "inner")
+             .select("query_id", "term", idf.alias("idf")))
+
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len")
+                            / F.lit(float(avg_len))))
+    scored = (hit.join(F.broadcast(q_idf), "term", "inner")
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum(F.col("idf") * tf_norm).alias("score")))
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -1,0 +1,86 @@
+"""BM25 scoring (operators/search.py) vs an independent in-test mirror."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_crawler_spark.operators.search import bm25_topk, term_postings
+
+DOCS = [
+    ("d1", "spark engine fast"),
+    ("d2", "spark spark slow engine"),
+    ("d3", "banana apple"),
+    ("d4", ""),
+]
+N = 4
+AVG = (3 + 4 + 2 + 0) / 4
+
+
+def _bm25(tf, df, dl, k1=1.2, b=0.75):
+    idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / AVG))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return spark.createDataFrame(
+        [("q1", "Spark ENGINE"), ("q2", "banana"), ("q3", "zzz missing")],
+        "query_id string, query string")
+
+
+def test_term_postings(corpus):
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["doc_len"])
+           for r in term_postings(corpus).collect()}
+    assert got[("spark", "d2")] == (2, 4)
+    assert got[("spark", "d1")] == (1, 3)
+    assert got[("apple", "d3")] == (1, 2)
+    assert len(got) == 8  # d4 emits nothing
+
+
+def test_bm25_matches_mirror(corpus, queries):
+    got = {(r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+           for r in bm25_topk(corpus, queries).collect()}
+    exp_d1 = _bm25(1, 2, 3) + _bm25(1, 2, 3)          # spark + engine
+    exp_d2 = _bm25(2, 2, 4) + _bm25(1, 2, 4)
+    assert got[("q1", "d1")][0] == pytest.approx(exp_d1, rel=1e-12)
+    assert got[("q1", "d2")][0] == pytest.approx(exp_d2, rel=1e-12)
+    # ranks follow the mirror's order
+    order = sorted([("d1", exp_d1), ("d2", exp_d2)],
+                   key=lambda t: (-t[1], t[0]))
+    assert got[("q1", order[0][0])][1] == 1
+    assert got[("q1", order[1][0])][1] == 2
+    assert got[("q2", "d3")][0] == pytest.approx(
+        _bm25(1, 1, 2), rel=1e-12)
+    # q3 matches nothing; no q3 rows at all
+    assert not [k for k in got if k[0] == "q3"]
+
+
+def test_bm25_topk_truncates(corpus, queries):
+    got = bm25_topk(corpus, queries, k=1).collect()
+    q1 = [r for r in got if r["query_id"] == "q1"]
+    assert len(q1) == 1 and q1[0]["rank"] == 1
+
+
+def test_bm25_plan(corpus, queries):
+    plan = (bm25_topk(corpus, queries)._jdf.queryExecution()
+            .executedPlan().toString())
+    # query-side joins broadcast; postings never carry text through
+    # an exchange
+    assert "BroadcastHashJoin" in plan
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "text" not in m.group(0)
+
+
+def test_bm25_empty_corpus(spark, queries):
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        bm25_topk(empty, queries)
