@@ -1,0 +1,134 @@
+"""Fetch hygiene: charset sniffing, tolerant decoding, soft-404 and
+error-page detection.
+
+Real crawled bytes are not all UTF-8 and real 200-status responses
+are not all content: a scale crawler sniffs the declared/BOM charset
+before decoding, and screens out "soft 404s" — error pages served
+with status 200 — before they pollute dedup signatures and the
+training corpus. (The engine's extraction SPEC stays strict-UTF-8 —
+functions/extract.py, byte-identity contract; this module is the
+upstream normalization that gets arbitrary fetched bytes INTO that
+contract.)
+
+Scale shape: charset sniffing is native expressions over a bounded
+binary prefix (the standard 1024-byte sniff window — the full html
+never feeds a regex); the per-row-charset decode is the one genuinely
+Python step (Arrow-batched mapInPandas, no per-row UDF); soft-404
+detection is pure native expressions over already-extracted
+text/title. Nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sniff_charset_col", "decode_pages", "soft404_col",
+           "drop_soft404"]
+
+_SNIFF_BYTES = 1024
+# charsets the tolerant decoder accepts; anything else falls back
+_KNOWN = {"utf-8", "utf8", "latin-1", "latin1", "iso-8859-1",
+          "windows-1252", "cp1252", "ascii", "utf-16", "utf-16le",
+          "utf-16be"}
+
+
+def sniff_charset_col(html: Column) -> Column:
+    """html:binary -> declared charset (lowercase) or null.
+
+    Priority, per the WHATWG encoding-sniffing order this engine
+    needs: BOM (UTF-8 / UTF-16 LE/BE), then ``<meta charset=...>`` or
+    ``http-equiv Content-Type`` inside the first 1 KiB, decoded
+    permissively as latin-1 (every byte maps, so the regex sees all
+    ASCII-compatible declarations). Null = undeclared (caller treats
+    as UTF-8-with-fallback)."""
+    head = F.substring(html, 1, _SNIFF_BYTES)
+    # latin-1 decode of the sniff window: ASCII-transparent, total
+    s = F.lower(F.decode(head, "ISO-8859-1"))
+    meta = F.regexp_extract(
+        s, r'charset\s*=\s*["\']?\s*([a-z0-9_\-]+)', 1)
+    bom8 = F.lit(b"\xef\xbb\xbf")
+    bom16le = F.lit(b"\xff\xfe")
+    bom16be = F.lit(b"\xfe\xff")
+    return (
+        F.when(F.startswith(html, bom8), F.lit("utf-8"))
+        .when(F.startswith(html, bom16le), F.lit("utf-16le"))
+        .when(F.startswith(html, bom16be), F.lit("utf-16be"))
+        .when(meta != "", meta)
+    )
+
+
+def decode_pages(pages: DataFrame, html_col: str = "html",
+                 out_col: str = "html_utf8") -> DataFrame:
+    """Tolerant decode: re-encode every page's bytes to clean UTF-8
+    using its sniffed charset, falling back utf-8 -> windows-1252
+    (never fails: cp1252's 5 unmapped bytes fall through to latin-1,
+    which is total). Output column is ``binary`` — valid UTF-8 bytes
+    satisfying the strict extraction spec. Adds ``charset_used``.
+
+    Arrow-batched mapInPandas; passthrough columns preserved."""
+    src = pages.withColumn("_sniffed", sniff_charset_col(F.col(html_col)))
+    fields = ", ".join(f"`{c}` {t}" for c, t in src.dtypes)
+    schema = f"{fields}, {out_col} binary, charset_used string"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(raw, sniffed):
+            if raw is None:
+                return None, None
+            raw = bytes(raw)
+            cands = []
+            if isinstance(sniffed, str) and sniffed in _KNOWN:
+                cands.append(sniffed)
+            cands += ["utf-8", "windows-1252", "latin-1"]
+            for cs in cands:
+                try:
+                    return one_encode(raw.decode(cs)), cs
+                except (UnicodeDecodeError, LookupError):
+                    continue
+            return one_encode(raw.decode("latin-1")), "latin-1"
+
+        def one_encode(s: str) -> bytes:
+            return s.encode("utf-8")
+
+        for pdf in batches:
+            out = [one(r, s) for r, s in
+                   zip(pdf[html_col], pdf["_sniffed"])]
+            pdf = pdf.copy()
+            pdf[out_col] = [o[0] for o in out]
+            pdf["charset_used"] = [o[1] for o in out]
+            yield pdf
+
+    return src.mapInPandas(fn, schema).drop("_sniffed")
+
+
+# soft-404 phrase heuristics over extracted text/title — the standard
+# signal set (Bar-Yossef et al., "Sic transit gloria telae": detect
+# error pages by content, not status)
+_ERR_PAT = (r"(?i)\b(page not found|404 not found|file not found|"
+            r"error 404|no longer available|does not exist|"
+            r"been removed|access denied|forbidden)\b")
+
+
+def soft404_col(text: Column, title: Column | None = None,
+                min_tokens: int = 5) -> Column:
+    """true when the page looks like an error page served as content:
+    an error phrase in the title (strongest), or an error phrase in a
+    very short body (error pages are terse; a long article MENTIONING
+    404 is not an error page)."""
+    short = F.size(F.split(F.trim(text), r"\s+")) <= min_tokens
+    body_hit = text.rlike(_ERR_PAT) & short
+    if title is not None:
+        return title.rlike(_ERR_PAT) | body_hit
+    return body_hit
+
+
+def drop_soft404(df: DataFrame, text_col: str = "text",
+                 title_col: str | None = "title",
+                 min_tokens: int = 5) -> DataFrame:
+    title = (F.col(title_col)
+             if title_col and title_col in df.columns else None)
+    return df.where(~F.coalesce(
+        soft404_col(F.col(text_col), title, min_tokens), F.lit(False)))

@@ -1,0 +1,86 @@
+"""Charset sniffing, tolerant decode, soft-404 (operators/hygiene.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_crawler_spark.operators.hygiene import (
+    decode_pages,
+    drop_soft404,
+    sniff_charset_col,
+    soft404_col,
+)
+
+
+def _sniff(spark, payload: bytes):
+    df = spark.createDataFrame([(payload,)], "html binary")
+    return df.select(sniff_charset_col(F.col("html")).alias("c")).first()["c"]
+
+
+def test_sniff_charset(spark):
+    assert _sniff(spark, b"\xef\xbb\xbfhello") == "utf-8"
+    assert _sniff(spark, b"\xff\xfeh\x00i\x00") == "utf-16le"
+    assert _sniff(spark, b"\xfe\xff\x00h\x00i") == "utf-16be"
+    assert _sniff(spark, b'<meta charset="Windows-1252"><p>x</p>') == \
+        "windows-1252"
+    assert _sniff(
+        spark,
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=ISO-8859-1">') == "iso-8859-1"
+    assert _sniff(spark, b"<html><p>plain</p></html>") is None
+    # declaration outside the 1 KiB sniff window is not seen
+    assert _sniff(spark, b" " * 1024 + b'<meta charset="utf-8">') is None
+
+
+def test_decode_pages(spark):
+    rows = [
+        ("cp1252", "caf\xe9 page".encode("windows-1252")
+         .replace(b"caf", b'<meta charset="windows-1252">caf')),
+        ("utf8", "déjà".encode("utf-8")),
+        ("broken", b'<meta charset="utf-8">caf\xe9'),  # lies: really 1252
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: (r["html_utf8"], r["charset_used"])
+           for r in decode_pages(df).collect()}
+    assert bytes(got["cp1252"][0]).decode("utf-8") == \
+        '<meta charset="windows-1252">caf\xe9 page'
+    assert got["cp1252"][1] == "windows-1252"
+    assert bytes(got["utf8"][0]).decode("utf-8") == "déjà"
+    assert got["utf8"][1] == "utf-8"
+    # declared utf-8 but invalid -> falls back to cp1252
+    assert bytes(got["broken"][0]).decode("utf-8").endswith("caf\xe9")
+    assert got["broken"][1] == "windows-1252"
+    assert got["null"] == (None, None)
+    # every output decodes as strict utf-8 (the extraction contract)
+    for b, _ in got.values():
+        if b is not None:
+            bytes(b).decode("utf-8")
+
+
+def test_soft404(spark):
+    rows = [
+        ("err_title", "some body", "404 Not Found"),
+        ("err_body", "page not found", "Welcome"),
+        ("mention", "a long article that happens to mention the "
+                    "phrase page not found while discussing http "
+                    "errors in depth and detail", "Essay"),
+        ("fine", "regular content here", "Home"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, title string")
+    flags = {r["url"]: r["f"] for r in df.select(
+        "url", soft404_col(F.col("text"), F.col("title")).alias("f"))
+        .collect()}
+    assert flags == {"err_title": True, "err_body": True,
+                     "mention": False, "fine": False}
+    kept = {r["url"] for r in drop_soft404(df).collect()}
+    assert kept == {"mention", "fine"}
+
+
+def test_drop_soft404_without_title(spark):
+    df = spark.createDataFrame(
+        [("a", "page not found"), ("b", "real content")],
+        "url string, text string")
+    assert {r["url"] for r in drop_soft404(df, title_col=None).collect()} \
+        == {"b"}
