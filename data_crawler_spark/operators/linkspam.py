@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from data_crawler_spark.operators.links import (
     canonicalize_col,
+    is_http_col,
     registered_domain_col,
     resolve_href_col,
 )
@@ -50,16 +51,16 @@ def domain_link_signals(pages: DataFrame, url_col: str = "url",
                  .groupBy("src_domain")
                  .agg(F.count("*").alias("n_pages")))
 
+    resolved = canonicalize_col(
+        resolve_href_col(F.col("_u"), F.col("_href")))
     edges = (
         pages.select(src_dom, F.col(url_col).alias("_u"),
                      F.explode(F.col(links_col)).alias("_href"))
-        .select(
-            "src_domain",
-            registered_domain_col(
-                canonicalize_col(resolve_href_col(F.col("_u"),
-                                                  F.col("_href"))))
-            .alias("dst_domain"),
-        )
+        .select("src_domain", resolved.alias("_dst"))
+        # mailto:/javascript:/fragment junk is not an outlink
+        .where(is_http_col(F.col("_dst")))
+        .select("src_domain",
+                registered_domain_col(F.col("_dst")).alias("dst_domain"))
     )
     # skew pre-count: (src, dst) pairs first
     pair = edges.groupBy("src_domain", "dst_domain").agg(

@@ -73,10 +73,12 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame,
         .alias("term"))
 
     # prune the corpus-side work to the query vocabulary before
-    # anything else touches it
+    # anything else touches it; both the df aggregate and the scoring
+    # join read the pruned postings, so materialize them ONCE
+    # (localCheckpoint — without it the corpus would tokenize twice)
     hit = term_postings(corpus, id_col, text_col).join(
         F.broadcast(q_terms.select("term").distinct()), "term",
-        "left_semi")
+        "left_semi").localCheckpoint()
 
     # postings are unique per (term, doc): df = row count per term
     df_by_term = hit.groupBy("term").agg(F.count("*").alias("df"))
