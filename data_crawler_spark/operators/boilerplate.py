@@ -1,0 +1,197 @@
+"""Main-content extraction: jusText-style block classification.
+
+Real crawled pages are mostly chrome — navigation, footers, cookie
+banners, related-links rails. Training-data pipelines strip that
+boilerplate BEFORE dedup and quality scoring (CCNet, RefinedWeb, and
+Dolma all do), otherwise template text dominates the near-dup
+signatures and the survivors keep nav noise. This module implements
+the published jusText algorithm (Pomikálek 2011: "Removing boilerplate
+and duplicate content from web corpora", ch. 4) with a simplified,
+precisely-documented context pass.
+
+Per page: segment the HTML into text blocks at block-level tag
+boundaries, score each block (length, stopword density, link
+density), classify context-free into good / near-good / short / bad,
+then resolve near-good and short blocks from their nearest
+good-or-bad neighbors. Main text is the concatenation of the blocks
+that end up good.
+
+Scale shape: everything is doc-local — segmentation, scoring, and the
+context pass all happen inside ONE Arrow-batched ``mapInPandas``
+stage over the page scan (HTML parsing has no native Spark
+expression; this is the documented Python seam, same as the
+extractor). Zero Exchange in either op's plan (plan-tested). At 100 TB
+the stage scales with input splits exactly like the op-42/46
+extraction sweep, which holds 0.836 normalized 8->32 scaling.
+
+Classification (context-free; jusText §4.2 thresholds as defaults):
+  - link_density > max_link_density          -> bad
+  - n_chars < length_low                     -> short
+  - stop_density >= stopwords_high           -> good if n_chars >
+                                                length_high else near-good
+  - stop_density >= stopwords_low            -> near-good
+  - otherwise                                -> bad
+
+Context pass (simplified from jusText §4.2's revised classification;
+PREV/NEXT = the nearest preceding/following block whose CONTEXT-FREE
+class is good or bad, document boundary counts as bad):
+  - near-good -> good iff PREV or NEXT is good
+  - short     -> good iff PREV and NEXT are both good
+Both otherwise resolve to bad. good/bad blocks keep their class.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from data_crawler_spark.functions.extract import decode_html_series
+from data_crawler_spark.operators.text import STOPWORDS_EN
+
+__all__ = ["segment_blocks", "html_blocks", "main_text"]
+
+# jusText defaults (Pomikálek 2011, §4.4 "default settings")
+LENGTH_LOW = 70
+LENGTH_HIGH = 200
+STOPWORDS_LOW = 0.30
+STOPWORDS_HIGH = 0.32
+MAX_LINK_DENSITY = 0.2
+
+_BLOCK_TAGS = ("p|div|h[1-6]|li|ul|ol|td|th|tr|table|blockquote|pre|"
+               "section|article|header|footer|nav|aside|main|figure|"
+               "figcaption|dl|dt|dd|form|fieldset|br|hr|body|html|head|"
+               "title")
+_SPLIT_RE = re.compile(r"(?i)</?(?:%s)\b[^>]*>" % _BLOCK_TAGS)
+_DROP_RE = re.compile(
+    r"(?is)<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>")
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_A_RE = re.compile(r"(?is)<a\b[^>]*>(.*?)</a\s*>")
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _clean(fragment: str) -> str:
+    return _WS_RE.sub(" ", _TAG_RE.sub(" ", fragment)).strip()
+
+
+def segment_blocks(html: str,
+                   stopwords: frozenset[str] = frozenset(STOPWORDS_EN),
+                   length_low: int = LENGTH_LOW,
+                   length_high: int = LENGTH_HIGH,
+                   stopwords_low: float = STOPWORDS_LOW,
+                   stopwords_high: float = STOPWORDS_HIGH,
+                   max_link_density: float = MAX_LINK_DENSITY,
+                   ) -> list[dict]:
+    """One page's HTML -> classified blocks (pure function; the exact
+    per-row semantics of both Spark ops — called inside their Arrow
+    batches and directly by tests)."""
+    html = _COMMENT_RE.sub(" ", _DROP_RE.sub(" ", html))
+    blocks = []
+    for frag in _SPLIT_RE.split(html):
+        text = _clean(frag)
+        if not text:
+            continue
+        link_chars = sum(len(_clean(m)) for m in _A_RE.findall(frag))
+        words = text.split()
+        stops = sum(1 for w in words if w.lower() in stopwords)
+        stop_density = stops / len(words)
+        # anchors' own tags were stripped by _clean on the fragment,
+        # so link text is a subset of text: density is in [0, 1]
+        link_density = min(link_chars / len(text), 1.0)
+        if link_density > max_link_density:
+            label = "bad"
+        elif len(text) < length_low:
+            label = "short"
+        elif stop_density >= stopwords_high:
+            label = "good" if len(text) > length_high else "neargood"
+        elif stop_density >= stopwords_low:
+            label = "neargood"
+        else:
+            label = "bad"
+        blocks.append({
+            "block_idx": len(blocks), "block_text": text,
+            "n_chars": len(text), "n_words": len(words),
+            "link_density": round(link_density, 6),
+            "stop_density": round(stop_density, 6),
+            "label": label,
+        })
+    # context pass: resolve short/neargood from nearest good/bad
+    hard = [b["label"] for b in blocks]
+    prev, last = [], "bad"
+    for lab in hard:
+        prev.append(last)
+        if lab in ("good", "bad"):
+            last = lab
+    nxt, last = [None] * len(blocks), "bad"
+    for i in range(len(blocks) - 1, -1, -1):
+        nxt[i] = last
+        if hard[i] in ("good", "bad"):
+            last = hard[i]
+    for i, b in enumerate(blocks):
+        if b["label"] == "neargood":
+            b["final"] = "good" if ("good" in (prev[i], nxt[i])) else "bad"
+        elif b["label"] == "short":
+            b["final"] = "good" if (prev[i] == "good" == nxt[i]) else "bad"
+        else:
+            b["final"] = b["label"]
+    return blocks
+
+
+_BLOCK_FIELDS = ("block_idx int, block_text string, n_chars int, "
+                 "n_words int, link_density double, stop_density double, "
+                 "label string, final string")
+
+
+def html_blocks(pages: DataFrame, html_col: str = "html",
+                id_cols: tuple[str, ...] = ("url",),
+                **params) -> DataFrame:
+    """Page frame -> one row per classified text block (diagnostic /
+    filter-tuning view). Doc-local: one Arrow stage, zero Exchange."""
+    src = pages.select(*id_cols, html_col)
+    ids = ", ".join(f"`{c}` {t}" for c, t in src.dtypes if c != html_col)
+    schema = f"{ids}, {_BLOCK_FIELDS}"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for h, idv in zip(decode_html_series(pdf[html_col]),
+                              pdf[list(id_cols)].itertuples(index=False)):
+                if h is None or (isinstance(h, float) and pd.isna(h)):
+                    continue
+                for b in segment_blocks(h, **params):
+                    out.append({**dict(zip(id_cols, idv)), **b})
+            yield pd.DataFrame(
+                out, columns=list(id_cols) + [f.split()[0] for f in
+                                              _BLOCK_FIELDS.split(", ")])
+
+    return src.mapInPandas(fn, schema)
+
+
+def main_text(pages: DataFrame, html_col: str = "html",
+              out_col: str = "main_text", **params) -> DataFrame:
+    """Adds ``out_col``: the page's boilerplate-stripped main content
+    (final-good blocks joined with blank lines; "" when nothing
+    survives, null for null html). All input columns pass through.
+    Doc-local: one Arrow stage, zero Exchange."""
+    fields = ", ".join(f"`{c}` {t}" for c, t in pages.dtypes)
+    schema = f"{fields}, {out_col} string"
+    cols = [c for c, _ in pages.dtypes]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for h in decode_html_series(pdf[html_col]):
+                if h is None or (isinstance(h, float) and pd.isna(h)):
+                    vals.append(None)
+                    continue
+                vals.append("\n\n".join(
+                    b["block_text"] for b in segment_blocks(h, **params)
+                    if b["final"] == "good"))
+            out = pdf[cols].copy()
+            out[out_col] = pd.Series(vals, index=pdf.index, dtype=object)
+            yield out
+
+    return pages.mapInPandas(fn, schema)
