@@ -38,8 +38,8 @@ from ..operators.dedup import (connected_components, decontaminate,
                                paragraph_dedup)
 from ..operators.lm import lm_score, perplexity_buckets, train_ngram_lm
 from ..operators.sampling import hash_split, sample_corpus_mixture
-from ..operators.text import (c4_rules, clean_text_col, gopher_rules,
-                              ngram_repetition_signals,
+from ..operators.text import (c4_rules, clean_text_col, compression_ratio,
+                              gopher_rules, ngram_repetition_signals,
                               repetition_signals, shard_by_token_budget,
                               token_count_col, unicode_normalize)
 
@@ -50,6 +50,7 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                  c4: bool = False, c4_banned_words: tuple[str, ...] = (),
                  quality: bool = True, repetition: bool = True,
                  ngram_repetition: bool = False,
+                 compression_bounds: tuple[float, float] | None = None,
                  paragraph_dedup_keep: str | None = None,
                  min_paragraph_survival: float = 0.5,
                  exact: bool = True, near_dup_threshold: float | None = 0.7,
@@ -85,6 +86,9 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
       ``c4_banned_words`` page filters).
     - ``ngram_repetition=True`` adds the MassiveText Table A1 n-gram
       rules next to the duplicate-line rules.
+    - ``compression_bounds=(lo, hi)`` gates on the zlib compression
+      ratio (Dolma-style: template farms compress toward 0, junk
+      toward 1; docs outside the band — or with empty text — drop).
     - ``paragraph_dedup_keep`` ("first" / "none") runs CCNet-style
       corpus-wide paragraph dedup BEFORE the doc-level dedups (the
       boilerplate it strips would otherwise mask near-dup signals);
@@ -125,6 +129,14 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
     if ngram_repetition:
         out = (ngram_repetition_signals(out, id_col, text_col)
                .filter("ngram_repetition_keep").select(cols))
+    if compression_bounds is not None:
+        # Dolma-style repetitiveness gate: keep docs whose zlib ratio
+        # sits inside [lo, hi] (template farms compress toward 0,
+        # junk/binary toward 1). Empty/null text has no ratio -> drop.
+        lo, hi = compression_bounds
+        out = (compression_ratio(out, text_col)
+               .filter(F.col("compression_ratio").between(lo, hi))
+               .select(cols))
 
     if paragraph_dedup_keep is not None:
         deduped = paragraph_dedup(out, id_col, text_col,

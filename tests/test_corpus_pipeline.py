@@ -237,3 +237,26 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
                    os.listdir(os.path.join(dest, d))) for d in splits)
     with pytest.raises(ValueError):
         write_training_shards(df, dest)   # no split/shard columns
+
+
+def test_clean_corpus_compression_stage(spark):
+    from data_crawler_spark.operators.text import compression_ratio
+
+    prose = ("a riverbank village holds its yearly market under cold "
+             "skies while traders argue about wool prices and children "
+             "chase geese between the stalls of early winter morning "
+             "and the innkeeper counts coins in the doorway of it all")
+    rows = [(1, prose),
+            (2, "the of and to " * 200),   # template: ratio < lo
+            (3, "")]                       # empty: no ratio -> dropped
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lo = 0.1
+    out = clean_corpus(docs, quality=False, repetition=False, exact=False,
+                       near_dup_threshold=None,
+                       compression_bounds=(lo, 0.9))
+    assert {r.doc_id for r in out.collect()} == {1}
+    # the gate matches the direct operator at the same bounds
+    direct = {r.doc_id for r in
+              compression_ratio(docs, "text")
+              .filter(f"compression_ratio between {lo} and 0.9").collect()}
+    assert direct == {1}

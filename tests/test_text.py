@@ -541,3 +541,40 @@ def test_unicode_normalize_vs_unicodedata(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="form"):
         unicode_normalize(df, form="NFX")
+
+
+def test_compression_ratio_vs_zlib(spark):
+    import zlib
+
+    from data_crawler_spark.operators.text import compression_ratio
+
+    docs = {
+        1: "the " * 500,                                 # template farm
+        2: ("a riverbank village holds its yearly market under cold "
+            "skies while traders argue about wool prices and children "
+            "chase geese between the stalls of early winter morning"),
+        3: "qZ3!kV9@mX1#pW7$rT5%yU2^sH8&dG4*fJ6(bN0)",   # high-entropy
+        4: "",                                           # no ratio
+        5: None,
+    }
+    df = spark.createDataFrame(list(docs.items()), "i long, text string")
+    got = {r.i: r.compression_ratio
+           for r in compression_ratio(df, "text").collect()}
+    for i, t in docs.items():
+        if not t:
+            assert got[i] is None, i
+        else:
+            raw = t.encode()
+            assert got[i] == pytest.approx(
+                len(zlib.compress(raw, 6)) / len(raw)), i
+    # the signal orders as published: template << prose < junk
+    assert got[1] < 0.1 < got[2] < got[3]
+
+
+def test_compression_ratio_level_and_out_col(spark):
+    from data_crawler_spark.operators.text import compression_ratio
+
+    df = spark.createDataFrame([(1, "the " * 500)], "i long, text string")
+    out = compression_ratio(df, "text", out_col="cr", level=9)
+    assert out.columns == ["i", "text", "cr"]
+    assert out.first()["cr"] <= 0.1
