@@ -264,6 +264,23 @@ def _page_record_bytes(url: str, ts, html, rec_id: str) -> bytes:
         _http_response_bytes(bytes(html)))
 
 
+def _text_record_bytes(url: str, ts, text, rec_id: str) -> bytes:
+    """One WET ``conversion`` record for an extracted-text row."""
+    if isinstance(ts, pd.Timestamp):
+        ts = ts.to_pydatetime()
+    date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            if ts is not None else "2026-01-01T00:00:00Z")
+    payload = (text or "").encode("utf-8") \
+        if not isinstance(text, (bytes, bytearray)) else bytes(text)
+    return warc_record_bytes(
+        {"WARC-Type": "conversion",
+         "WARC-Record-ID": f"<{rec_id}>",
+         "WARC-Date": date,
+         "WARC-Target-URI": url,
+         "Content-Type": "text/plain"},
+        payload)
+
+
 _WARCINFO = warc_record_bytes(
     {"WARC-Type": "warcinfo",
      "WARC-Record-ID": "<urn:uuid:rec-info>",
@@ -272,11 +289,11 @@ _WARCINFO = warc_record_bytes(
     b"software: data_crawler_spark\r\n")
 
 
-def export_warc(pages: DataFrame, out_dir: str | Path,
-                gzip_records: bool = True) -> DataFrame:
-    """Distributed WARC sink: each task writes ONE
-    ``part-<partition>.warc[.gz]`` under ``out_dir`` and emits a
-    manifest row ``(warc_file, n_records, n_bytes)``.
+def _export_sink(src: DataFrame, out_dir: str | Path, base_ext: str,
+                 gzip_records: bool, make_record) -> DataFrame:
+    """Shared distributed record sink: each task writes ONE
+    ``part-<partition><ext>`` under ``out_dir`` and emits a manifest
+    row. ``make_record(row, rec_id) -> bytes`` is the per-row codec.
 
     The export is embarrassingly parallel — no shuffle is added, each
     partition streams its rows through the record codec and appends to
@@ -284,12 +301,10 @@ def export_warc(pages: DataFrame, out_dir: str | Path,
     size files with ``repartition``/``coalesce``, the same lever as
     parquet). ``out_dir`` must be a task-writable shared filesystem
     (the standard contract for executor-written sinks). The returned
-    manifest is lazy; run an action to execute the export. Roundtrip
-    with ``read_warc`` is byte-identical per page (tested)."""
+    manifest is lazy; run an action to execute the export."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    suffix = ".warc.gz" if gzip_records else ".warc"
-    src = pages.select("url", "warc_ts", "html")
+    suffix = base_ext + (".gz" if gzip_records else "")
     mschema = "warc_file string, n_records long, n_bytes long"
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -301,8 +316,7 @@ def export_warc(pages: DataFrame, out_dir: str | Path,
         for b in batches:
             pdf = b.to_pandas()
             for row in pdf.itertuples(index=False):
-                chunks.append(_page_record_bytes(
-                    row.url, row.warc_ts, row.html, f"urn:uuid:rec-{pid}-{n}"))
+                chunks.append(make_record(row, f"urn:uuid:rec-{pid}-{n}"))
                 n += 1
         if gzip_records:
             data = b"".join(
@@ -315,6 +329,50 @@ def export_warc(pages: DataFrame, out_dir: str | Path,
              "n_bytes": [len(data)]})
 
     return src.mapInArrow(fn, mschema)
+
+
+def export_warc(pages: DataFrame, out_dir: str | Path,
+                gzip_records: bool = True) -> DataFrame:
+    """Distributed WARC sink over (url, warc_ts, html): one
+    ``part-<partition>.warc[.gz]`` per task plus a lazy manifest row
+    ``(warc_file, n_records, n_bytes)`` — see ``_export_sink`` for the
+    scale contract. Roundtrip with ``read_warc`` is byte-identical per
+    page (tested)."""
+    return _export_sink(
+        pages.select("url", "warc_ts", "html"), out_dir, ".warc",
+        gzip_records,
+        lambda row, rid: _page_record_bytes(
+            row.url, row.warc_ts, row.html, rid))
+
+
+def export_wet(pages: DataFrame, out_dir: str | Path,
+               text_col: str = "text",
+               gzip_records: bool = True) -> DataFrame:
+    """Distributed WET sink: the Common-Crawl extracted-text layout —
+    one ``conversion`` record per page (``Content-Type: text/plain``,
+    UTF-8 payload) in ``part-<partition>.warc.wet[.gz]`` files, lazy
+    manifest as in ``export_warc``. This is the publishing format for
+    a text corpus the crawl extracted: downstream consumers that read
+    CC WET files read these. Null text exports as an empty record
+    (the CC convention for pages whose extraction yielded nothing).
+    Roundtrip: ``wet_text(read_warc(...))`` recovers (url, warc_ts,
+    text) exactly (tested)."""
+    return _export_sink(
+        pages.select("url", "warc_ts", text_col), out_dir, ".warc.wet",
+        gzip_records,
+        lambda row, rid: _text_record_bytes(
+            row.url, row.warc_ts, getattr(row, text_col), rid))
+
+
+def wet_text(records: DataFrame) -> DataFrame:
+    """Conversion records (a read-back WET file) -> (url, warc_ts,
+    text). Pure map over the reader stream — Catalyst fuses the
+    filter/projection into the ``read_warc`` stage; the UTF-8 decode
+    is the native ``F.decode`` expression."""
+    return (records.where((F.col("record_type") == "conversion")
+                          & F.col("url").isNotNull())
+            .select("url", "warc_ts",
+                    F.decode(F.col("payload"), "UTF-8").alias("text")))
 
 
 def write_warc_pages(pages: pd.DataFrame, path: str | Path,

@@ -183,3 +183,46 @@ def test_reader_plan_no_exchange(spark, tmp_path):
     plan = (warc_pages(read_warc(spark, str(tmp_path)))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def _text_pdf() -> pd.DataFrame:
+    rows = [
+        ("https://host0.example.com/a.html",
+         pd.Timestamp("2026-08-01 12:00:00"), "alpha éé text\nline two"),
+        ("https://host1.example.com/b.html",
+         pd.Timestamp("2026-08-02 00:30:05"), "beta"),
+        ("https://host1.example.com/c.html",
+         pd.Timestamp("2026-08-03 23:59:59"), None),  # empty extraction
+    ]
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+
+
+def test_export_wet_roundtrip(spark, tmp_path):
+    """WET conversion records roundtrip (url, warc_ts, text) exactly;
+    null text exports as an empty record and reads back as ""."""
+    from data_crawler_spark.sources.warc import export_wet, wet_text
+    pdf = _text_pdf()
+    pages = spark.createDataFrame(
+        pdf, "url string, warc_ts timestamp, text string").repartition(2)
+    manifest = export_wet(pages, tmp_path / "wet").collect()
+    assert sum(r["n_records"] for r in manifest) == len(pdf)
+    assert all(r["warc_file"].endswith(".warc.wet.gz") for r in manifest)
+
+    recs = read_warc(spark, str(tmp_path / "wet"))
+    assert {r["record_type"] for r in recs.select("record_type")
+            .distinct().collect()} == {"warcinfo", "conversion"}
+    got = wet_text(recs).orderBy("url").toPandas()
+    exp = pdf.sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(exp["url"])
+    for i in range(len(exp)):
+        assert got["text"][i] == (exp["text"][i] or "")
+        assert got["warc_ts"][i] == exp["warc_ts"][i]
+
+
+def test_export_wet_plan_no_shuffle(spark, tmp_path):
+    from data_crawler_spark.sources.warc import export_wet
+    pages = spark.createDataFrame(
+        _text_pdf(), "url string, warc_ts timestamp, text string")
+    plan = (export_wet(pages, tmp_path / "o")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
