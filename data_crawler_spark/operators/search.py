@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 from data_crawler_spark.operators.text import token_count_col, tokens_col
 
-__all__ = ["term_postings", "bm25_topk"]
+__all__ = ["term_postings", "bm25_topk", "positional_postings",
+           "phrase_matches"]
 
 
 def term_postings(corpus: DataFrame, id_col: str = "doc_id",
@@ -44,6 +45,59 @@ def term_postings(corpus: DataFrame, id_col: str = "doc_id",
     return (toks.groupBy("term", "doc_id")
             .agg(F.count("*").alias("tf"),
                  F.min("doc_len").alias("doc_len")))
+
+
+def positional_postings(corpus: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Corpus -> positional postings ``(term, doc_id, pos)`` — one row
+    per token occurrence, ``pos`` the 0-based token index. The
+    phrase-query building block (and the shape a positional inverted
+    index serializes from). Pure explode: no shuffle is added here;
+    consumers aggregate on their own keys."""
+    return corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_matches(corpus: DataFrame, phrases: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   query_id_col: str = "query_id",
+                   phrase_col: str = "phrase") -> DataFrame:
+    """Exact token-phrase search: ``(query_id, doc_id, n_matches,
+    first_pos)`` — one row per document containing each query phrase
+    as CONSECUTIVE tokens (tokens_col tokenization on both sides),
+    n_matches the occurrence count, first_pos the earliest start.
+
+    Diagonal-anchor formulation: phrase term i at document position p
+    votes for anchor ``p - i``; an anchor where all m offsets voted is
+    a match. The corpus side is pruned to the phrase vocabulary by a
+    BROADCAST join before any aggregation, so at 100 TB the shuffle
+    carries only (query, doc, anchor, offset) rows for documents
+    containing phrase terms — never the corpus. Empty phrases are
+    rejected; a one-term phrase degenerates to term lookup."""
+    toks = tokens_col(F.col(phrase_col))
+    if phrases.filter(F.size(toks) == 0).limit(1).count():
+        raise ValueError("phrase_matches: phrase with no tokens")
+    q = phrases.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(toks).alias("offset", "term"),
+        F.size(toks).alias("m"))
+
+    hits = (positional_postings(corpus, id_col, text_col)
+            .join(F.broadcast(q), "term")
+            .select("query_id", "doc_id", "m",
+                    (F.col("pos") - F.col("offset")).alias("anchor"),
+                    "offset"))
+    anchors = (hits.groupBy("query_id", "doc_id", "anchor", "m")
+               # a position can vote the same offset only once, so
+               # count(*) == countDistinct(offset) — keep the cheap one
+               .agg(F.count("*").alias("n_offsets"))
+               .where((F.col("n_offsets") == F.col("m"))
+                      & (F.col("anchor") >= 0)))
+    return (anchors.groupBy("query_id", "doc_id")
+            .agg(F.count("*").alias("n_matches"),
+                 F.min("anchor").alias("first_pos")))
 
 
 def bm25_topk(corpus: DataFrame, queries: DataFrame,

@@ -84,3 +84,73 @@ def test_bm25_empty_corpus(spark, queries):
     empty = spark.createDataFrame([], "doc_id string, text string")
     with pytest.raises(ValueError, match="empty corpus"):
         bm25_topk(empty, queries)
+
+
+# --------------------------------------------------------------------------
+# phrase search
+# --------------------------------------------------------------------------
+
+PHRASE_DOCS = [
+    ("d1", "the marathon route climbs the old hill before the finish"),
+    ("d2", "Route climbs, THE OLD hill -- route climbs the old hill."),
+    ("d3", "a a a a b"),
+    ("d4", "hill old the climbs route"),   # reversed: no phrase hit
+    ("d5", None),
+]
+PHRASE_QUERIES = [
+    ("p1", "climbs the old hill"),
+    ("p2", "a a"),                         # overlapping occurrences
+    ("p3", "finish"),                      # single term
+    ("p4", "missing entirely phrase"),
+]
+
+
+def _phrase_mirror():
+    out = {}
+    for qid, ph in PHRASE_QUERIES:
+        pt = re.findall(r"[A-Za-z0-9]+", ph.lower())
+        for did, text in PHRASE_DOCS:
+            toks = re.findall(r"[A-Za-z0-9]+", (text or "").lower())
+            starts = [i for i in range(len(toks) - len(pt) + 1)
+                      if toks[i:i + len(pt)] == pt]
+            if starts:
+                out[(qid, did)] = (len(starts), starts[0])
+    return out
+
+
+def test_phrase_matches_mirror(spark):
+    from data_crawler_spark.operators.search import phrase_matches
+    corpus = spark.createDataFrame(PHRASE_DOCS, "doc_id string, text string")
+    phrases = spark.createDataFrame(PHRASE_QUERIES,
+                                    "query_id string, phrase string")
+    got = {(r["query_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+           for r in phrase_matches(corpus, phrases).collect()}
+    assert got == _phrase_mirror()
+    # spot-check the interesting rows against hand counts
+    assert got[("p1", "d2")] == (2, 1)     # punctuation/case folded
+    assert got[("p2", "d3")] == (3, 0)     # overlapping "a a" x3
+    assert ("p1", "d4") not in got         # order matters
+    assert ("p4", "d1") not in got
+
+
+def test_phrase_matches_empty_phrase_rejected(spark):
+    from data_crawler_spark.operators.search import phrase_matches
+    corpus = spark.createDataFrame(PHRASE_DOCS, "doc_id string, text string")
+    bad = spark.createDataFrame([("p0", "--- !!")],
+                                "query_id string, phrase string")
+    with pytest.raises(ValueError, match="no tokens"):
+        phrase_matches(corpus, bad)
+
+
+def test_phrase_matches_plan_broadcasts_queries(spark):
+    from data_crawler_spark.operators.search import phrase_matches
+    corpus = spark.createDataFrame(PHRASE_DOCS, "doc_id string, text string")
+    phrases = spark.createDataFrame(PHRASE_QUERIES,
+                                    "query_id string, phrase string")
+    plan = (phrase_matches(corpus, phrases)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    # the corpus text never rides an exchange — only the compact
+    # (query, doc, anchor, offset) rows shuffle
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "text" not in m.group(0)
