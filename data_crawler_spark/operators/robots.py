@@ -139,6 +139,28 @@ def parse_robots_txt(robots: DataFrame, host_col: str = "host",
                     F.col("r.prefix").alias("path_prefix")))
 
 
+def parse_sitemap_directives(robots: DataFrame, host_col: str = "host",
+                             text_col: str = "robots_txt") -> DataFrame:
+    """Extract ``Sitemap:`` directive URLs from per-host robots.txt
+    text -> ``(host, sitemap_url)`` — the discovery seam that chains
+    robots fetching into the sitemap seed source (links.sitemap_urls
+    parses the fetched files). Per the sitemaps protocol the directive
+    is GLOBAL (not user-agent-group scoped), so this is a pure
+    split + explode + regexp filter — no group fold, zero Exchange,
+    zero Python. URLs are canonicalized with the frontier's own
+    canonicalize_col and non-http(s) values drop; one row per
+    directive, duplicates preserved (callers distinct() when seeding)."""
+    from data_crawler_spark.operators.links import (canonicalize_col,
+                                                    is_http_col)
+    line = F.explode(F.split(F.col(text_col), "\r?\n")).alias("line")
+    src = robots.select(F.col(host_col).alias("host"), line)
+    stripped = F.trim(F.regexp_replace(F.col("line"), "#.*", ""))
+    raw = F.trim(F.regexp_replace(stripped, r"(?i)^sitemap\s*:\s*", ""))
+    return (src.where(F.lower(stripped).rlike(r"^sitemap\s*:"))
+            .select("host", canonicalize_col(raw).alias("sitemap_url"))
+            .where(is_http_col(F.col("sitemap_url"))))
+
+
 def parse_crawl_delay(robots: DataFrame, host_col: str = "host",
                       text_col: str = "robots_txt",
                       user_agent: str = "*") -> DataFrame:

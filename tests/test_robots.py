@@ -187,3 +187,36 @@ def test_parse_crawl_delay(spark):
     plan = (parse_crawl_delay(df)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_parse_sitemap_directives(spark):
+    from data_crawler_spark.operators.robots import parse_sitemap_directives
+
+    txt_a = ("User-agent: *\r\n"
+             "Disallow: /private\r\n"
+             "Sitemap: https://a.example.com/sitemap.xml  # comment\r\n"
+             "SITEMAP:HTTP://A.example.com/other/sitemap.xml\r\n"
+             "sitemap: ftp://a.example.com/nope.xml\n"
+             "NotASitemap: https://a.example.com/x.xml\n")
+    txt_b = "User-agent: x\nDisallow: /\n"     # no directive -> no row
+    df = spark.createDataFrame([("a.example.com", txt_a),
+                                ("b.example.com", txt_b)],
+                               "host string, robots_txt string")
+    got = sorted((r["host"], r["sitemap_url"])
+                 for r in parse_sitemap_directives(df).collect())
+    # uppercase scheme/host canonicalize like every frontier URL;
+    # ftp and non-directive lines drop
+    assert got == [
+        ("a.example.com", "http://a.example.com/other/sitemap.xml"),
+        ("a.example.com", "https://a.example.com/sitemap.xml"),
+    ]
+
+
+def test_parse_sitemap_directives_plan_native(spark):
+    from data_crawler_spark.operators.robots import parse_sitemap_directives
+    df = spark.createDataFrame([("h", "Sitemap: https://h/s.xml")],
+                               "host string, robots_txt string")
+    plan = (parse_sitemap_directives(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
