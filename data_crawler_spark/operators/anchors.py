@@ -21,13 +21,19 @@ hash exchanges and no window.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
+import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_crawler_spark.functions.extract import extract_anchors_series
+from data_crawler_spark.functions.extract import (
+    _TAG_RX,
+    decode_html_series,
+    extract_anchors_series,
+)
 from data_crawler_spark.operators.links import (
     canonicalize_col,
     resolve_href_col,
@@ -39,9 +45,37 @@ _RAW_SCHEMA = ("url string, "
                "anchors array<struct<href:string, anchor:string>>")
 _PAIR_TYPE = pa.list_(pa.struct(
     [("href", pa.string()), ("anchor", pa.string())]))
+_RAW_SCHEMA_NF = ("url string, anchors array<struct<href:string, "
+                  "anchor:string, nofollow:boolean>>")
+_TRIPLE_TYPE = pa.list_(pa.struct(
+    [("href", pa.string()), ("anchor", pa.string()),
+     ("nofollow", pa.bool_())]))
+
+# SAME occurrence structure as extract.ANCHOR_RE, with the attribute
+# tail captured so rel can be inspected per occurrence — keeps the
+# nofollow stream aligned 1:1 with extract_anchors_series' matches
+_A_ATTRS_RX = re.compile(r'(?s)<a href="([^"]*)"([^>]*)>(.*?)</a>')
+_NOFOLLOW_RX = re.compile(r'(?i)\brel\s*=\s*"[^"]*\bnofollow\b[^"]*"')
 
 
-def page_anchors(pages: DataFrame) -> DataFrame:
+def _anchor_triples_series(html: pd.Series) -> pd.Series:
+    """Like extract_anchors_series, plus a per-occurrence ``nofollow``
+    flag (rel="...nofollow..." on the tag, any attribute order after
+    href). PageRank/HITS pipelines drop nofollow edges — the publisher
+    explicitly declined to endorse the target."""
+    h = decode_html_series(html)
+
+    def one(s):
+        if not isinstance(s, str):
+            return None
+        return [(href, " ".join(_TAG_RX.sub(" ", body).split()),
+                 _NOFOLLOW_RX.search(attrs) is not None)
+                for href, attrs, body in _A_ATTRS_RX.findall(s)]
+
+    return h.apply(one)
+
+
+def page_anchors(pages: DataFrame, with_nofollow: bool = False) -> DataFrame:
     """PAGES (url, html, ...) -> edge stream
     ``(src_url, target_url, anchor)``, one row per <a> tag, document
     order not preserved (the aggregate does not need it).
@@ -49,25 +83,36 @@ def page_anchors(pages: DataFrame) -> DataFrame:
     target_url is resolved against the source page and canonicalized
     (op 05), so the same page reached by relative and absolute hrefs
     aggregates under one key. Pages with no/undecodable html emit
-    nothing."""
+    nothing. ``with_nofollow=True`` appends a per-occurrence
+    ``nofollow`` boolean (rel="nofollow" on the tag) so link-analysis
+    callers can drop non-endorsing edges before PageRank/HITS:
+    ``page_anchors(p, True).where(~F.col("nofollow"))``."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
-            pairs = extract_anchors_series(b.column("html").to_pandas())
+            html = b.column("html").to_pandas()
+            if with_nofollow:
+                vals = pa.array(list(_anchor_triples_series(html)),
+                                _TRIPLE_TYPE)
+            else:
+                vals = pa.array(list(extract_anchors_series(html)),
+                                _PAIR_TYPE)
             yield pa.RecordBatch.from_arrays(
-                [b.column("url"), pa.array(list(pairs), _PAIR_TYPE)],
-                ["url", "anchors"],
-            )
+                [b.column("url"), vals], ["url", "anchors"])
 
-    raw = pages.select("url", "html").mapInArrow(fn, _RAW_SCHEMA)
+    raw = pages.select("url", "html").mapInArrow(
+        fn, _RAW_SCHEMA_NF if with_nofollow else _RAW_SCHEMA)
     a = raw.select("url", F.explode("anchors").alias("a"))
     target = canonicalize_col(
         resolve_href_col(F.col("url"), F.col("a.href")))
-    return a.select(
+    cols = [
         F.col("url").alias("src_url"),
         target.alias("target_url"),
         F.col("a.anchor").alias("anchor"),
-    )
+    ]
+    if with_nofollow:
+        cols.append(F.col("a.nofollow").alias("nofollow"))
+    return a.select(*cols)
 
 
 def anchor_summary(anchors: DataFrame, top_k: int = 3) -> DataFrame:

@@ -66,3 +66,29 @@ def test_anchor_summary_two_exchanges(edges):
     assert plan.count("Exchange hashpartitioning") == 2
     # skew pre-agg is map-side combinable
     assert "partial_count" in plan
+
+
+def test_page_anchors_nofollow(spark):
+    html = (
+        '<html><p>x</p>'
+        '<a href="https://a.com/good">endorsed</a>'
+        '<a href="https://a.com/spam" rel="nofollow">spam link</a>'
+        '<a href="https://a.com/ugc" rel="ugc nofollow noopener">ugc</a>'
+        '<a href="https://a.com/follow" rel="noopener">fine</a>'
+        '<a href="https://a.com/good" rel="nofollow">same href, '
+        'this occurrence declined</a></html>').encode()
+    pages = spark.createDataFrame([("https://s.com/p", html)],
+                                  "url string, html binary")
+    got = {(r["target_url"], r["anchor"]): r["nofollow"]
+           for r in page_anchors(pages, with_nofollow=True).collect()}
+    assert got == {
+        ("https://a.com/good", "endorsed"): False,
+        ("https://a.com/spam", "spam link"): True,
+        ("https://a.com/ugc", "ugc"): True,
+        ("https://a.com/follow", "fine"): False,
+        ("https://a.com/good", "same href, this occurrence declined"): True,
+    }
+    # default shape is unchanged (no nofollow column), same edges
+    base = page_anchors(pages)
+    assert base.columns == ["src_url", "target_url", "anchor"]
+    assert base.count() == 5
