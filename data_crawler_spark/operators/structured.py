@@ -1,0 +1,91 @@
+"""Structured-data mining from HTML: JSON-LD blocks and <meta> tags.
+
+Web pages carry machine-readable payloads besides their prose —
+schema.org JSON-LD in ``<script type="application/ld+json">`` and
+OpenGraph/Twitter-card ``<meta>`` tags. Corpus pipelines mine both:
+JSON-LD yields typed records (products, events, articles — the
+reference crawler's race-event extraction is exactly this shape done
+by hand), and og:/twitter: tags give curated titles/descriptions that
+double as quality and topicality signals.
+
+Scale shape: everything here is NATIVE expressions (regexp extraction
++ higher-order array functions + from_json) — zero Python, zero
+Exchange; whole plans fuse into the page scan (plan-tested). The html
+column is consumed inside the map and never rides a shuffle.
+
+Input contract: pages with valid-UTF-8 html (the engine's PAGES shape;
+run hygiene.decode_pages first on raw fetched bytes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["jsonld_col", "jsonld_objects", "meta_entries_col",
+           "page_meta"]
+
+_JSONLD_RE = (r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json'
+              r'["\'][^>]*>(.*?)</script>')
+_META_TAG_RE = r"(?is)<meta\b[^>]*>"
+_KEY_RE = r'(?is)\b(?:name|property)\s*=\s*"([^"]*)"'
+_CONTENT_RE = r'(?is)\bcontent\s*=\s*"([^"]*)"'
+
+
+def jsonld_col(html: Column) -> Column:
+    """html (string or valid-UTF-8 binary) -> array<string> of raw
+    JSON-LD payloads, document order, whitespace-trimmed."""
+    s = html.cast("string")
+    # regex trim: SQL trim() strips only ' ', and blocks are usually
+    # newline-wrapped inside their <script> tag
+    return F.transform(
+        F.regexp_extract_all(s, F.lit(_JSONLD_RE), 1),
+        lambda b: F.regexp_replace(b, r"^\s+|\s+$", ""))
+
+
+def jsonld_objects(pages: DataFrame, schema: str,
+                   url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """Explode every JSON-LD block into a typed row:
+    ``(url, block_idx, obj: schema)`` — ``schema`` is a DDL string for
+    ``from_json`` (unparseable blocks yield a null ``obj``; callers
+    filter). Pure map + explode over the page scan.
+
+    ``from_json`` alone cannot signal failure (PERMISSIVE mode fills
+    an all-null struct — indistinguishable from valid JSON missing
+    every schema field), so validity is gated on the native
+    ``try_parse_json`` (null iff the block is not JSON)."""
+    return (pages
+            .select(F.col(url_col).alias("url"),
+                    F.posexplode(jsonld_col(F.col(html_col)))
+                    .alias("block_idx", "raw"))
+            .select("url", "block_idx",
+                    F.when(F.try_parse_json(F.col("raw")).isNotNull(),
+                           F.from_json(F.col("raw"), schema))
+                    .alias("obj")))
+
+
+def meta_entries_col(html: Column) -> Column:
+    """html -> array<struct<key,value>> of ``<meta name|property=...
+    content=...>`` pairs, document order, attribute order free (content
+    may precede name). Tags missing either attribute are skipped."""
+    s = html.cast("string")
+    tags = F.regexp_extract_all(s, F.lit(_META_TAG_RE), 0)
+    entry = lambda t: F.struct(  # noqa: E731
+        F.lower(F.regexp_extract(t, _KEY_RE, 1)).alias("key"),
+        F.regexp_extract(t, _CONTENT_RE, 1).alias("value"))
+    return F.filter(F.transform(tags, entry),
+                    lambda e: (e["key"] != "") & (e["value"] != ""))
+
+
+def page_meta(pages: DataFrame, url_col: str = "url",
+              html_col: str = "html") -> DataFrame:
+    """PAGES -> exploded ``(url, key, value)`` meta-tag rows — the
+    join-friendly shape (no map-type dedup semantics to trip on when
+    a page repeats a property; duplicates are preserved in document
+    order). Pure map + explode, zero Exchange, zero Python."""
+    return (pages
+            .select(F.col(url_col).alias("url"),
+                    F.explode(meta_entries_col(F.col(html_col)))
+                    .alias("e"))
+            .select("url", F.col("e.key").alias("key"),
+                    F.col("e.value").alias("value")))

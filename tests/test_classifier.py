@@ -1,0 +1,125 @@
+"""Hashed-BoW multinomial Naive Bayes (operators/classifier.py):
+train/score/predict pinned against a bit-exact pure-Python mirror
+over the shared xxhash64 feature space."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from data_crawler_spark.functions.hashing import to_signed64, xxhash64_bytes
+from data_crawler_spark.operators.classifier import (
+    nb_predict,
+    nb_score,
+    train_nb,
+)
+
+N_BUCKETS = 512
+
+LABELED = [
+    (1, "wiki", "the battle of hastings occurred in the year and the "
+        "kingdom passed to a new line of rulers of it"),
+    (2, "wiki", "a treaty of alliance is signed in the capital and it "
+        "is the start of a long peace in the region"),
+    (3, "spam", "buy cheap pills now best price buy now click here "
+        "free offer buy cheap now"),
+    (4, "spam", "winner winner claim your free prize now click now "
+        "limited offer best deal"),
+    (5, "wiki", "the river flows north to the sea and the delta is "
+        "home to a population of rare birds of it"),
+]
+CORPUS = [
+    (10, "the kingdom and the treaty of peace in the region of it"),
+    (11, "buy now free prize click here best offer"),
+    (12, "completely novel vocabulary zzz qqq xyzzy"),
+    (13, ""),                     # token-less: priors only
+]
+
+
+def _buckets(text, ngram_sizes=(1, 2)):
+    toks = re.findall(r"[A-Za-z0-9]+", text.lower())
+    out = {}
+    for n in ngram_sizes:
+        for i in range(len(toks) - n + 1):
+            b = to_signed64(xxhash64_bytes(
+                " ".join(toks[i:i + n]).encode())) % N_BUCKETS
+            out[b] = out.get(b, 0) + 1
+    return out
+
+
+def _mirror_scores(alpha=1.0):
+    by_class, totals, n_docs = {}, {}, {}
+    for _, lab, text in LABELED:
+        n_docs[lab] = n_docs.get(lab, 0) + 1
+        for b, c in _buckets(text).items():
+            by_class[(lab, b)] = by_class.get((lab, b), 0) + c
+            totals[lab] = totals.get(lab, 0) + c
+    n_total = sum(n_docs.values())
+    scores = {}
+    for did, text in CORPUS:
+        f = _buckets(text)
+        for lab in n_docs:
+            denom = totals[lab] + alpha * N_BUCKETS
+            s = math.log(n_docs[lab] / n_total)
+            for b, c in f.items():
+                s += c * math.log((by_class.get((lab, b), 0) + alpha)
+                                  / denom)
+            scores[(did, lab)] = s
+    return scores
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    labeled = spark.createDataFrame(
+        LABELED, "doc_id long, label string, text string")
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    model, classes = train_nb(labeled, n_buckets=N_BUCKETS)
+    scores = nb_score(corpus, model.localCheckpoint(),
+                      classes.localCheckpoint(), n_buckets=N_BUCKETS)
+    return scores
+
+
+def test_nb_scores_match_mirror(frames):
+    got = {(r["doc_id"], r["label"]): r["score"] for r in frames.collect()}
+    want = _mirror_scores()
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_nb_predict(frames):
+    pred = {r["doc_id"]: (r["label"], r["margin"])
+            for r in nb_predict(frames).collect()}
+    want = _mirror_scores()
+    assert pred[10][0] == "wiki" and pred[11][0] == "spam"
+    for did in (10, 11, 12, 13):
+        s = {lab: want[(did, lab)] for lab in ("wiki", "spam")}
+        top = max(s, key=lambda lab: (s[lab], ))
+        assert pred[did][0] == top or s["wiki"] == s["spam"]
+        assert pred[did][1] == pytest.approx(
+            abs(s["wiki"] - s["spam"]), rel=1e-9)
+
+
+def test_nb_model_shapes_and_validation(spark):
+    labeled = spark.createDataFrame(
+        LABELED, "doc_id long, label string, text string")
+    model, classes = train_nb(labeled, n_buckets=N_BUCKETS)
+    assert classes.count() == 2
+    assert model.count() <= 2 * N_BUCKETS
+    # delta is logp - floor: strictly positive for seen buckets
+    assert model.where("delta <= 0").count() == 0
+    with pytest.raises(ValueError, match="alpha"):
+        train_nb(labeled, alpha=0.0)
+    empty = spark.createDataFrame([], "doc_id long, label string, "
+                                      "text string")
+    with pytest.raises(ValueError, match="empty"):
+        train_nb(empty)
+
+
+def test_nb_score_plan_broadcasts_model(spark, frames):
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "text" not in m.group(0)
