@@ -33,9 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_crawler_spark.operators.sampling import hashed_ngram_counts
+from data_crawler_spark.operators.sampling import (hashed_ngram_counts,
+                                                   uniform_hash_col)
 
-__all__ = ["train_nb", "nb_score", "nb_predict"]
+__all__ = ["train_nb", "nb_score", "nb_predict", "nb_posterior",
+           "pareto_quality_filter"]
 
 
 def train_nb(labeled: DataFrame, label_col: str = "label",
@@ -122,3 +124,46 @@ def nb_predict(scores: DataFrame, id_col: str = "doc_id") -> DataFrame:
             .select(id_col, "label", "score",
                     F.coalesce(F.col("score") - F.col("_next"),
                                F.lit(float("inf"))).alias("margin")))
+
+
+def nb_posterior(scores: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-class log joints -> (id, label, prob): the softmax over each
+    document's class scores, log-sum-exp stabilized. Both window
+    aggregates share ONE hash exchange on the id — no join, no
+    groupBy; rows stay (id, label, double)."""
+    w = Window.partitionBy(id_col)
+    m = F.max("score").over(w)
+    z = F.sum(F.exp(F.col("score") - m)).over(w)
+    return scores.select(id_col, "label",
+                         (F.exp(F.col("score") - m) / z).alias("prob"))
+
+
+def pareto_quality_filter(corpus: DataFrame, model: DataFrame,
+                          classes: DataFrame, positive_label: str,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n_buckets: int = 10_000,
+                          ngram_sizes: tuple[int, ...] = (1, 2),
+                          pareto_shape: float = 9.0,
+                          seed: int = 0) -> DataFrame:
+    """The GPT-3 Appendix-A quality-classifier gate (Brown et al.
+    2020): score every document with the trained classifier and keep
+    it iff ``pareto(shape) > 1 - P(positive)`` — high-quality docs
+    survive outright, low-quality docs survive with a heavy-tailed
+    small probability, preserving tail diversity instead of a hard
+    threshold.
+
+    The Pareto draw is DETERMINISTIC in (id, seed): the Lomax inverse
+    CDF ``(1-u)^(-1/shape) - 1`` over the same xxhash64-folded uniform
+    the mixture sampler uses — partitioning-invariant and replayable.
+    The keep-id set is corpus-scale, so the semi-join back carries no
+    broadcast hint (AQE decides)."""
+    if pareto_shape <= 0:
+        raise ValueError(f"pareto_shape must be > 0, got {pareto_shape}")
+    probs = (nb_posterior(
+                 nb_score(corpus, model, classes, id_col, text_col,
+                          n_buckets, ngram_sizes), id_col)
+             .where(F.col("label") == positive_label))
+    u = uniform_hash_col(F.col(id_col), seed)
+    draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / pareto_shape)) - F.lit(1.0)
+    keep = probs.where(draw > F.lit(1.0) - F.col("prob")).select(id_col)
+    return corpus.join(keep, id_col, "left_semi")

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.classifier import pareto_quality_filter, train_nb
 from ..operators.dedup import (connected_components, decontaminate,
                                exact_dedup, minhash_near_dups,
                                paragraph_dedup)
@@ -55,6 +56,10 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                  min_paragraph_survival: float = 0.5,
                  exact: bool = True, near_dup_threshold: float | None = 0.7,
                  decontam_n: int = 13,
+                 clf_labeled: DataFrame | None = None,
+                 clf_positive: str = "good", clf_label_col: str = "label",
+                 clf_n_buckets: int = 10_000,
+                 clf_pareto_shape: float = 9.0,
                  lm_ref: DataFrame | None = None, lm_n: int = 3,
                  lm_min_count: int = 1,
                  lm_keep_buckets: tuple[str, ...] = ("head", "middle"),
@@ -94,6 +99,12 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
       boilerplate it strips would otherwise mask near-dup signals);
       docs whose surviving-paragraph fraction falls below
       ``min_paragraph_survival`` are dropped as hollowed-out.
+    - ``clf_labeled`` (docs with a ``clf_label_col`` class column)
+      trains the hashed-BoW Naive Bayes quality classifier and gates
+      the deduped+decontaminated survivors with the GPT-3 Pareto
+      acceptance rule on ``P(clf_positive)`` (deterministic in
+      (id, seed)). Runs after dedup so each surviving doc is scored
+      once — the cheaper order at corpus scale.
     - ``lm_ref`` (a clean reference corpus, CCNet uses Wikipedia)
       trains an order-``lm_n`` Stupid Backoff LM, scores the deduped
       survivors, and keeps ``lm_keep_buckets`` of the head/middle/tail
@@ -169,6 +180,19 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
 
     if eval_df is not None:
         out = decontaminate(out, eval_df, id_col, text_col, decontam_n)
+
+    if clf_labeled is not None:
+        # GPT-3's quality-classifier gate, placed after dedup /
+        # decontamination so each surviving doc is scored exactly
+        # once. The model/class frames are vocabulary-sized;
+        # localCheckpoint materializes training once for both
+        # broadcast reads inside the scoring plan.
+        model, classes = train_nb(clf_labeled, clf_label_col, id_col,
+                                  text_col, clf_n_buckets)
+        out = pareto_quality_filter(
+            out, model.localCheckpoint(), classes.localCheckpoint(),
+            clf_positive, id_col, text_col, clf_n_buckets,
+            pareto_shape=clf_pareto_shape, seed=seed + 2)
 
     if lm_ref is not None:
         # CCNet's LM stage: train on the clean reference, score the

@@ -11,8 +11,10 @@ import pytest
 
 from data_crawler_spark.functions.hashing import to_signed64, xxhash64_bytes
 from data_crawler_spark.operators.classifier import (
+    nb_posterior,
     nb_predict,
     nb_score,
+    pareto_quality_filter,
     train_nb,
 )
 
@@ -116,6 +118,79 @@ def test_nb_model_shapes_and_validation(spark):
                                       "text string")
     with pytest.raises(ValueError, match="empty"):
         train_nb(empty)
+
+
+def _mirror_posteriors():
+    want = _mirror_scores()
+    out = {}
+    for did, _ in CORPUS:
+        s = {lab: want[(did, lab)] for lab in ("wiki", "spam")}
+        m = max(s.values())
+        z = sum(math.exp(v - m) for v in s.values())
+        for lab, v in s.items():
+            out[(did, lab)] = math.exp(v - m) / z
+    return out
+
+
+def test_nb_posterior_softmax_mirror(frames):
+    got = {(r["doc_id"], r["label"]): r["prob"]
+           for r in nb_posterior(frames).collect()}
+    want = _mirror_posteriors()
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+    by_doc = {}
+    for (did, _), p in got.items():
+        by_doc[did] = by_doc.get(did, 0.0) + p
+    for did, tot in by_doc.items():
+        assert tot == pytest.approx(1.0, rel=1e-12), did
+
+
+def test_pareto_quality_filter_matches_mirror(spark):
+    """Exact kept-set equality with the pure-Python GPT-3 acceptance
+    rule (same posterior, same xxhash64-folded Lomax draw)."""
+    seed, shape = 3, 9.0
+    labeled = spark.createDataFrame(
+        LABELED, "doc_id long, label string, text string")
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    model, classes = train_nb(labeled, n_buckets=N_BUCKETS)
+    kept = {r["doc_id"] for r in pareto_quality_filter(
+        corpus, model, classes, "wiki", n_buckets=N_BUCKETS,
+        pareto_shape=shape, seed=seed).collect()}
+    probs = _mirror_posteriors()
+    want = set()
+    for did, _ in CORPUS:
+        u = to_signed64(xxhash64_bytes(f"{did}:{seed}".encode())) \
+            / 2.0 ** 64 + 0.5
+        draw = (1.0 - u) ** (-1.0 / shape) - 1.0
+        if draw > 1.0 - probs[(did, "wiki")]:
+            want.add(did)
+    assert kept == want
+    # wiki-looking doc has prob ~1 -> must survive any draw
+    assert 10 in kept
+    with pytest.raises(ValueError, match="pareto_shape"):
+        pareto_quality_filter(corpus, model, classes, "wiki",
+                              pareto_shape=0.0)
+
+
+def test_clean_corpus_classifier_stage(spark):
+    """clean_corpus(clf_labeled=...) equals the direct train +
+    pareto_quality_filter composition (pipeline uses seed+2)."""
+    from data_crawler_spark.plans.corpus_pipeline import clean_corpus
+    labeled = spark.createDataFrame(
+        LABELED, "doc_id long, label string, text string")
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in CORPUS if t], "doc_id long, text string")
+    out = clean_corpus(corpus, quality=False, repetition=False,
+                       exact=False, near_dup_threshold=None,
+                       clf_labeled=labeled, clf_positive="wiki",
+                       clf_n_buckets=N_BUCKETS, seed=5)
+    model, classes = train_nb(labeled, n_buckets=N_BUCKETS)
+    want = {r["doc_id"] for r in pareto_quality_filter(
+        corpus, model, classes, "wiki", n_buckets=N_BUCKETS,
+        seed=7).collect()}
+    assert {r["doc_id"] for r in out.collect()} == want
+    assert set(out.columns) == {"doc_id", "text", "n_tokens"}
 
 
 def test_nb_score_plan_broadcasts_model(spark, frames):
