@@ -133,6 +133,38 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     return df.withColumn("split", split)
 
 
+def cap_per_group(df: DataFrame, group_col: str, k: int,
+                  order_by: list | None = None,
+                  id_col: str = "doc_id",
+                  n_salts: int = 16) -> DataFrame:
+    """Keep at most ``k`` rows per ``group_col`` value — the per-domain
+    diversity cap published pipelines apply after dedup (C4 caps pages
+    per host; Dolma caps per registered domain). ``order_by`` is a
+    list of sort Columns deciding WHICH k survive (e.g.
+    ``[F.desc("quality")]``); ``id_col`` ASC is always appended so the
+    order is total and the survivor set deterministic under any
+    partitioning.
+
+    Exact salted two-phase (the scheduler's op-15 shape): phase 1 ranks
+    within (group, pmod(xxhash64(id), S)) and keeps k per salt — the
+    true per-group top-k is necessarily among those S*k rows — phase 2
+    re-ranks k*S rows per group. A Zipf-head domain's millions of docs
+    never pass through one window task."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    from pyspark.sql import Window
+    order = list(order_by or []) + [F.asc(id_col)]
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                  F.lit(int(n_salts)))
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(*order)
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (df.withColumn("_salt", salt)
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k).drop("_salt", "_rn")
+            .withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
 # ---------------------------------------------------------------------------
 # DSIR — Data Selection with Importance Resampling (Xie et al. 2023)
 # ---------------------------------------------------------------------------

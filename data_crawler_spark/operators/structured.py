@@ -21,8 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_crawler_spark.operators.links import (canonicalize_col,
+                                                resolve_href_col)
+
 __all__ = ["jsonld_col", "jsonld_objects", "meta_entries_col",
-           "page_meta"]
+           "page_meta", "canonical_url_col", "canonical_dedup"]
 
 _JSONLD_RE = (r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json'
               r'["\'][^>]*>(.*?)</script>')
@@ -89,3 +92,50 @@ def page_meta(pages: DataFrame, url_col: str = "url",
                     .alias("e"))
             .select("url", F.col("e.key").alias("key"),
                     F.col("e.value").alias("value")))
+
+
+_CANON_TAG_RE = (r'(?is)<link\b[^>]*\brel\s*=\s*["\']?canonical\b'
+                 r"[^>]*>")
+_HREF_RE = r'(?is)\bhref\s*=\s*["\']([^"\']+)["\']'
+
+
+def canonical_url_col(page_url: Column, html: Column) -> Column:
+    """First ``<link rel=canonical href=...>`` of the page, resolved
+    against the page URL and run through the frontier's canonicalizer
+    — null when the page declares none. Native regex chain, pure map."""
+    tag = F.regexp_extract(html.cast("string"), _CANON_TAG_RE, 0)
+    href = F.regexp_extract(tag, _HREF_RE, 1)
+    # resolve_href_col's absolute test is case-sensitive by contract
+    # (the link extractor's python-parity path); canonical hrefs in the
+    # wild carry uppercase schemes, which the canonicalizer lowercases,
+    # so absolutes bypass resolution here
+    resolved = F.when(href.rlike(r"(?i)^https?://"), href) \
+        .otherwise(resolve_href_col(page_url, href))
+    return F.when(href != "", canonicalize_col(resolved))
+
+
+def canonical_dedup(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """Collapse URL-level duplicates onto the page's DECLARED canonical
+    (the crawler-side dedup sites ask for: print/mobile/tracking
+    variants all point their rel=canonical at one URL). Key =
+    declared canonical, else the page's own URL; one survivor per key
+    — the page whose url IS the key when captured, else min url (a
+    total order, deterministic under any partitioning).
+
+    Scale shape: one shuffle on the canonical key via the salted
+    two-phase cap (a viral canonical target with millions of variants
+    never funnels through a single window task); the html column rides
+    the shuffle only as far as phase 1's per-salt survivor (one row
+    per (key, salt))."""
+    from data_crawler_spark.operators.sampling import cap_per_group
+
+    keyed = pages.withColumn(
+        "_ckey", F.coalesce(
+            canonical_url_col(F.col(url_col), F.col(html_col)),
+            F.col(url_col)))
+    out = cap_per_group(
+        keyed, "_ckey", 1,
+        order_by=[F.desc(F.col(url_col) == F.col("_ckey"))],
+        id_col=url_col)
+    return out.drop("_ckey")

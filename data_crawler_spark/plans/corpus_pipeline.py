@@ -38,7 +38,8 @@ from ..operators.dedup import (connected_components, decontaminate,
                                exact_dedup, minhash_near_dups,
                                paragraph_dedup)
 from ..operators.lm import lm_score, perplexity_buckets, train_ngram_lm
-from ..operators.sampling import hash_split, sample_corpus_mixture
+from ..operators.sampling import (cap_per_group, hash_split,
+                                  sample_corpus_mixture)
 from ..operators.text import (c4_rules, clean_text_col, compression_ratio,
                               gopher_rules, ngram_repetition_signals,
                               repetition_signals, shard_by_token_budget,
@@ -56,6 +57,7 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                  min_paragraph_survival: float = 0.5,
                  exact: bool = True, near_dup_threshold: float | None = 0.7,
                  decontam_n: int = 13,
+                 group_cap: tuple[str, int] | None = None,
                  clf_labeled: DataFrame | None = None,
                  clf_positive: str = "good", clf_label_col: str = "label",
                  clf_n_buckets: int = 10_000,
@@ -99,6 +101,9 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
       boilerplate it strips would otherwise mask near-dup signals);
       docs whose surviving-paragraph fraction falls below
       ``min_paragraph_survival`` are dropped as hollowed-out.
+    - ``group_cap=(col, k)`` keeps at most k docs per value of ``col``
+      (the C4/Dolma per-domain diversity cap), min-id survivors,
+      after dedup so the cap counts distinct content.
     - ``clf_labeled`` (docs with a ``clf_label_col`` class column)
       trains the hashed-BoW Naive Bayes quality classifier and gates
       the deduped+decontaminated survivors with the GPT-3 Pareto
@@ -180,6 +185,10 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
 
     if eval_df is not None:
         out = decontaminate(out, eval_df, id_col, text_col, decontam_n)
+
+    if group_cap is not None:
+        cap_col, cap_k = group_cap
+        out = cap_per_group(out, cap_col, cap_k, id_col=id_col)
 
     if clf_labeled is not None:
         # GPT-3's quality-classifier gate, placed after dedup /

@@ -262,3 +262,43 @@ def test_dsir_fuzz_random_corpus(spark):
         got_w = {r.doc_id: r.dsir_logw for r in sel}
         for i in want:
             assert got_w[i] == pytest.approx(ref[i][0], rel=1e-9, abs=1e-12)
+
+
+def test_cap_per_group_salted_exact(spark):
+    """Salted two-phase == the obvious single-window reference, every
+    salt width, quality-ordered survivors, partitioning-invariant."""
+    import random
+
+    from pyspark.sql import Window
+
+    from data_crawler_spark.operators.sampling import cap_per_group
+
+    rng = random.Random(5)
+    # Zipf-ish: one giant group, several small ones, quality scores
+    # with deliberate ties (the id tie-break must decide)
+    rows = [(i, "big.test" if i < 160 else f"d{i % 7}.test",
+             float(rng.randint(0, 9))) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, domain string, quality double")
+
+    def ref(k):
+        w = Window.partitionBy("domain").orderBy(
+            F.desc("quality"), F.asc("doc_id"))
+        return {r.doc_id for r in
+                df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k).collect()}
+
+    for k in (1, 3, 8):
+        want = ref(k)
+        for n_salts in (1, 4, 16):
+            got = {r.doc_id for r in cap_per_group(
+                df.repartition(9), "domain", k,
+                order_by=[F.desc("quality")],
+                n_salts=n_salts).collect()}
+            assert got == want, (k, n_salts)
+    # default order: min-id survivors
+    got = {r.doc_id for r in
+           cap_per_group(df, "domain", 2).collect()}
+    assert got == {0, 1} | {r for r in range(160, 174)}
+    with pytest.raises(ValueError, match="k must be"):
+        cap_per_group(df, "domain", 0)

@@ -111,3 +111,70 @@ def test_structured_plans_pure_map(pages):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "PythonUDF" not in plan and "EvalPython" not in plan
+
+
+def test_canonical_url_col_variants(spark):
+    from data_crawler_spark.operators.structured import canonical_url_col
+    rows = [
+        # absolute href, extra attrs, rel after href
+        ("http://a.test/page?utm=x",
+         '<html><head><link href="HTTP://A.test/page" rel="canonical">'
+         "</head></html>"),
+        # relative href resolves against the page, unquoted rel
+        ("http://b.test/dir/page2",
+         '<link rel=canonical href="../canon">'),
+        # root-relative
+        ("http://c.test/x/y", '<link rel="canonical" href="/top">'),
+        # no canonical declared -> null
+        ("http://d.test/p", '<link rel="stylesheet" href="/s.css">'),
+        # rel list containing canonical still matches the word boundary
+        ("http://e.test/p",
+         '<link rel="canonical alternate" href="/e">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r["url"]: r["c"] for r in df.select(
+        "url", canonical_url_col(F.col("url"), F.col("html"))
+        .alias("c")).collect()}
+    assert got["http://a.test/page?utm=x"] == "http://a.test/page"
+    assert got["http://b.test/dir/page2"] == "http://b.test/canon"
+    assert got["http://c.test/x/y"] == "http://c.test/top"
+    assert got["http://d.test/p"] is None
+    assert got["http://e.test/p"] == "http://e.test/e"
+
+
+def test_canonical_dedup_keep_rules(spark):
+    from data_crawler_spark.operators.structured import canonical_dedup
+    canon = '<link rel="canonical" href="http://s.test/article">'
+    rows = [
+        # three variants + the canonical page itself: the canonical
+        # page must be the survivor
+        ("http://s.test/article", canon + "A"),
+        ("http://s.test/article?utm=1", canon + "B"),
+        ("http://s.test/article/print", canon + "C"),
+        # variants whose canonical target was never captured:
+        # min-url survivor among the variants
+        ("http://t.test/p?b=2",
+         '<link rel="canonical" href="http://t.test/gone">'),
+        ("http://t.test/p?a=1",
+         '<link rel="canonical" href="http://t.test/gone">'),
+        # no declaration: survives on its own url
+        ("http://u.test/solo", "<html>no links</html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = canonical_dedup(df.repartition(5))
+    got = {r["url"] for r in out.collect()}
+    assert got == {"http://s.test/article", "http://t.test/p?a=1",
+                   "http://u.test/solo"}
+    assert set(out.columns) == {"url", "html"}
+
+
+def test_clean_corpus_group_cap_stage(spark):
+    from data_crawler_spark.plans.corpus_pipeline import clean_corpus
+    rows = [(i, "dom-a" if i < 6 else "dom-b",
+             f"document number {i} with plenty of distinct words")
+            for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, "
+                                     "text string")
+    out = clean_corpus(df, quality=False, repetition=False, exact=False,
+                       near_dup_threshold=None, group_cap=("domain", 2))
+    assert {r["doc_id"] for r in out.collect()} == {0, 1, 6, 7}
