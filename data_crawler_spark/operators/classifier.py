@@ -37,7 +37,7 @@ from data_crawler_spark.operators.sampling import (hashed_ngram_counts,
                                                    uniform_hash_col)
 
 __all__ = ["train_nb", "nb_score", "nb_predict", "nb_posterior",
-           "pareto_quality_filter"]
+           "pareto_quality_filter", "focused_priority"]
 
 
 def train_nb(labeled: DataFrame, label_col: str = "label",
@@ -167,3 +167,32 @@ def pareto_quality_filter(corpus: DataFrame, model: DataFrame,
     draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / pareto_shape)) - F.lit(1.0)
     keep = probs.where(draw > F.lit(1.0) - F.col("prob")).select(id_col)
     return corpus.join(keep, id_col, "left_semi")
+
+
+def focused_priority(anchors: DataFrame, model: DataFrame,
+                     classes: DataFrame, positive_label: str,
+                     top_k: int = 3, n_buckets: int = 10_000,
+                     ngram_sizes: tuple[int, ...] = (1, 2)) -> DataFrame:
+    """Focused-crawl frontier prioritization (the shark-search family,
+    Hersovici et al. 1998; classifier-guided crawling per Chakrabarti
+    et al. 1999): score each candidate URL's ANCHOR TEXT with the
+    trained topic/quality classifier and emit ``(target_url,
+    priority)`` with priority = P(positive) — drop-in as
+    ``schedule_per_host``'s priority column, so the frontier fetches
+    on-topic pages first.
+
+    Scale shape: anchor texts pool through ``anchor_summary``'s
+    bounded top-k (a viral target's million inlinks reduce map-side;
+    at most k strings concatenate per target), then one classifier
+    scoring pass — broadcast model join, (id, label, double) shuffles
+    only."""
+    from data_crawler_spark.operators.anchors import anchor_summary
+
+    docs = (anchor_summary(anchors, top_k)
+            .select("target_url",
+                    F.array_join("top_anchors", " ").alias("_atext")))
+    scores = nb_score(docs, model, classes, "target_url", "_atext",
+                      n_buckets, ngram_sizes)
+    return (nb_posterior(scores, "target_url")
+            .where(F.col("label") == positive_label)
+            .select("target_url", F.col("prob").alias("priority")))

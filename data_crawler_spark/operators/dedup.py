@@ -578,7 +578,8 @@ def decontaminate(docs: DataFrame, eval_df: DataFrame,
 
 def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", sep: str = "\n",
-                    keep: str = "first") -> DataFrame:
+                    keep: str = "first",
+                    scope_col: str | None = None) -> DataFrame:
     """CCNet-style corpus-WIDE paragraph deduplication (Wenzek et al.
     2020 dedup step): split every document on ``sep``, hash each
     trimmed paragraph, and drop repeated paragraphs across the whole
@@ -597,6 +598,12 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     xxhash64 of the trimmed text (2^-64-per-pair collision merges two
     distinct paragraphs — the trade every hash-keyed dedup here makes).
 
+    ``scope_col`` narrows the dedup universe to groups of that column
+    (e.g. the page HOST: per-site boilerplate — nav bars, footers —
+    dedups away while legitimate cross-site repeats like quotations
+    survive, the RefinedWeb line-dedup scoping). None keeps the
+    corpus-wide CCNet rule.
+
     100 TB shape: the decision pipeline shuffles only ~20-byte
     (id, pos, hash) rows — paragraph TEXT never rides a shuffle. One
     map-side-partial groupBy(hash) finds counts + first occurrences;
@@ -609,23 +616,25 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     paras = F.split(F.col(text_col), sep)
-    rows = (df.select(F.col(id_col),
+    scope = [scope_col] if scope_col is not None else []
+    keys = scope + ["h"]
+    rows = (df.select(F.col(id_col), *scope,
                       F.posexplode(paras).alias("pos", "para"))
             .filter(F.trim(F.col("para")) != "")
-            .select(id_col, "pos",
+            .select(id_col, *scope, "pos",
                     F.xxhash64(F.trim(F.col("para"))).alias("h")))
-    occ = rows.groupBy("h").agg(
+    occ = rows.groupBy(*keys).agg(
         F.count("*").alias("cnt"),
         F.min(F.struct(F.col(id_col).alias("i"),
                        F.col("pos").alias("p"))).alias("first_occ"))
     dup = occ.filter(F.col("cnt") >= 2)
     if keep == "first":
-        drops = (rows.join(dup, "h")
+        drops = (rows.join(dup, keys)
                  .filter(~((F.col(id_col) == F.col("first_occ.i"))
                            & (F.col("pos") == F.col("first_occ.p"))))
                  .select(id_col, "pos"))
     else:
-        drops = (rows.join(dup.select("h"), "h", "left_semi")
+        drops = (rows.join(dup.select(*keys), keys, "left_semi")
                  .select(id_col, "pos"))
     drop_lists = drops.groupBy(id_col).agg(
         F.array_sort(F.collect_list("pos")).alias("_drop_pos"))

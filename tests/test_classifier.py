@@ -198,3 +198,23 @@ def test_nb_score_plan_broadcasts_model(spark, frames):
     assert "BroadcastHashJoin" in plan
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
         assert "text" not in m.group(0)
+
+
+def test_focused_priority_orders_topical_targets(spark):
+    from data_crawler_spark.operators.classifier import focused_priority
+    labeled = spark.createDataFrame(
+        LABELED, "doc_id long, label string, text string")
+    model, classes = train_nb(labeled, n_buckets=N_BUCKETS)
+    anchors = spark.createDataFrame(
+        [("http://x.test/s", "http://on.test/a", "treaty of the kingdom"),
+         ("http://y.test/s", "http://on.test/a", "peace in the region"),
+         ("http://x.test/s", "http://off.test/b", "buy cheap pills now"),
+         ("http://y.test/s", "http://off.test/b", "free prize click here")],
+        "source_url string, target_url string, anchor string")
+    pri = {r["target_url"]: r["priority"] for r in focused_priority(
+        anchors, model, classes, "wiki", n_buckets=N_BUCKETS).collect()}
+    assert set(pri) == {"http://on.test/a", "http://off.test/b"}
+    assert pri["http://on.test/a"] > 0.5 > pri["http://off.test/b"]
+    # posterior is a probability
+    for v in pri.values():
+        assert 0.0 <= v <= 1.0

@@ -407,3 +407,34 @@ def test_paragraph_dedup_keep_first_survivor_and_invariance(spark):
     relaid = {r.doc_id: r.text
               for r in paragraph_dedup(df.repartition(7), keep="first").collect()}
     assert relaid == texts
+
+
+def test_paragraph_dedup_scoped_by_host(spark):
+    """scope_col narrows dedup to within-group: the same footer on two
+    hosts dedups within each host but never across; scoped equals
+    running the corpus-wide op per group."""
+    from data_crawler_spark.operators.dedup import paragraph_dedup
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, "a.test", f"alpha article one\n{footer}"),
+        (2, "a.test", f"alpha article two\n{footer}"),
+        (3, "b.test", f"beta article one\n{footer}"),
+        (4, "b.test", "beta article two\nunique closing line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, "
+                                     "text string")
+    scoped = {r.doc_id: r.text for r in paragraph_dedup(
+        df.repartition(3), scope_col="host").collect()}
+    # first occurrence per HOST keeps the footer: docs 1 and 3
+    assert scoped[1].endswith(footer) and scoped[3].endswith(footer)
+    assert scoped[2] == "alpha article two"
+    assert scoped[4] == "beta article two\nunique closing line"
+    # corpus-wide: only doc 1 keeps it
+    wide = {r.doc_id: r.text for r in paragraph_dedup(df).collect()}
+    assert wide[3] == "beta article one"
+    # scoped == per-group corpus-wide runs
+    for host in ("a.test", "b.test"):
+        part = {r.doc_id: r.text for r in paragraph_dedup(
+            df.where(F.col("host") == host)).collect()}
+        for did, text in part.items():
+            assert scoped[did] == text, (host, did)
