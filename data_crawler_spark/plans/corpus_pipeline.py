@@ -243,22 +243,37 @@ def write_training_shards(out: DataFrame, path: str,
                           partition_by: tuple[str, ...] = ("split",
                                                            "shard_id"),
                           mode: str = "overwrite",
-                          sort_in_shard: str | None = "doc_id") -> None:
+                          sort_in_shard: str | None = "doc_id",
+                          fmt: str = "parquet",
+                          compression: str | None = None) -> None:
     """The pipeline's sink: lay the cleaned corpus out as the training
-    job reads it — parquet partitioned by the split/shard columns
-    clean_corpus appended, one directory per (split, shard), rows
-    inside a shard sorted by ``sort_in_shard`` so every rewrite of the
-    same corpus is byte-stable. ``sortWithinPartitions`` keeps the
-    sort shuffle-free (each shard's rows sort inside their task);
-    dynamic partition overwrite semantics are parquet-native, so a
-    re-run replaces only the partitions it writes."""
+    job reads it — partitioned by the split/shard columns clean_corpus
+    appended, one directory per (split, shard), rows inside a shard
+    sorted by ``sort_in_shard`` so every rewrite of the same corpus is
+    byte-stable. ``sortWithinPartitions`` keeps the sort shuffle-free
+    (each shard's rows sort inside their task); dynamic partition
+    overwrite semantics are format-native, so a re-run replaces only
+    the partitions it writes.
+
+    ``fmt="parquet"`` (default) for analytic re-reads; ``fmt="jsonl"``
+    emits newline-delimited JSON (Spark's ``json`` source IS jsonl) —
+    the layout most training loaders stream — with ``compression``
+    (e.g. "gzip") when set."""
     missing = [c for c in partition_by if c not in out.columns]
     if missing:
         raise ValueError(
             f"partition columns not in frame (run clean_corpus with the "
             f"matching stages): {missing}")
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
     w = out
     if sort_in_shard is not None:
         w = w.repartition(*[F.col(c) for c in partition_by]) \
              .sortWithinPartitions(sort_in_shard)
-    (w.write.mode(mode).partitionBy(*partition_by).parquet(path))
+    writer = w.write.mode(mode).partitionBy(*partition_by)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    if fmt == "parquet":
+        writer.parquet(path)
+    else:
+        writer.json(path)

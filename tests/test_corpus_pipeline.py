@@ -260,3 +260,35 @@ def test_clean_corpus_compression_stage(spark):
               compression_ratio(docs, "text")
               .filter(f"compression_ratio between {lo} and 0.9").collect()}
     assert direct == {1}
+
+
+def test_write_training_shards_jsonl(spark, tmp_path):
+    import gzip
+    import json as _json
+    import os
+
+    from data_crawler_spark.plans.corpus_pipeline import \
+        write_training_shards
+
+    rows = [(i, f"{BASE} doc {i}") for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(df, quality=False, repetition=False,
+                       near_dup_threshold=None,
+                       split_fractions={"train": 1.0}, shard_budget=150)
+    dest = str(tmp_path / "jsonl")
+    write_training_shards(out, dest, fmt="jsonl", compression="gzip")
+    back = spark.read.json(dest)
+    assert ({(r.doc_id, r.split, int(r.shard_id)) for r in back.collect()}
+            == {(r.doc_id, r.split, r.shard_id) for r in out.collect()})
+    # physically newline-delimited JSON, gzip members, in-shard sort
+    shard0 = os.path.join(dest, "split=train", "shard_id=0")
+    parts = [p for p in os.listdir(shard0) if p.endswith(".json.gz")]
+    assert parts
+    docs = []
+    for p in sorted(parts):
+        with gzip.open(os.path.join(shard0, p), "rt") as fh:
+            docs += [_json.loads(line)["doc_id"]
+                     for line in fh if line.strip()]
+    assert docs == sorted(docs)
+    with pytest.raises(ValueError, match="fmt"):
+        write_training_shards(out, dest, fmt="csv")
