@@ -52,7 +52,9 @@ def train_nb(labeled: DataFrame, label_col: str = "label",
     classes: (label, log_prior, floor) — one row per class.
 
     Both frames are broadcast-sized; persist/localCheckpoint them when
-    scoring repeatedly. alpha is the Laplace/Lidstone smoothing."""
+    scoring repeatedly. alpha is the Laplace/Lidstone smoothing.
+    Contract: one row per ``id_col`` (a duplicated id double-counts its
+    features through the label join — dropDuplicates upstream)."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     feats = hashed_ngram_counts(labeled, id_col, text_col, n_buckets,

@@ -602,7 +602,9 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     (e.g. the page HOST: per-site boilerplate — nav bars, footers —
     dedups away while legitimate cross-site repeats like quotations
     survive, the RefinedWeb line-dedup scoping). None keeps the
-    corpus-wide CCNet rule.
+    corpus-wide CCNet rule. Null scope values form NO group (equi-join
+    semantics): such docs pass through undeduped — coalesce a scope
+    upstream if null hosts must participate.
 
     100 TB shape: the decision pipeline shuffles only ~20-byte
     (id, pos, hash) rows — paragraph TEXT never rides a shuffle. One

@@ -114,3 +114,25 @@ def recrawl_priority(rates: DataFrame, now,
     )
     p = F.lit(1.0) - F.exp(-lam * F.greatest(age, F.lit(0.0)))
     return rates.withColumn("p_changed", p)
+
+
+def sitemap_staleness(entries: DataFrame, captures: DataFrame,
+                      url_col: str = "url",
+                      ts_col: str = "warc_ts") -> DataFrame:
+    """``links.sitemap_entries`` output × captured pages → per-url
+    ``(url, lastmod, last_capture, stale)``: the publisher-declared
+    freshness signal. ``stale`` = we never captured the url, or its
+    sitemap ``lastmod`` postdates our latest capture — the rows a
+    recrawl should fetch first (feed as a scheduler priority term
+    next to ``p_changed``; lastmod is a claim, p_changed a
+    measurement). One map-side-partial max per url + one equi-join;
+    urls the sitemap stamps with no/invalid lastmod are stale only if
+    uncaptured (no claim, no boost)."""
+    last = captures.groupBy(F.col(url_col).alias("url")).agg(
+        F.max(ts_col).alias("last_capture"))
+    e = entries.select(F.col(url_col).alias("url"), "lastmod") \
+        .join(last, "url", "left")
+    stale = (F.col("last_capture").isNull()
+             | (F.col("lastmod").isNotNull()
+                & (F.col("lastmod") > F.col("last_capture"))))
+    return e.withColumn("stale", stale)

@@ -216,3 +216,35 @@ def parse_crawl_delay(robots: DataFrame, host_col: str = "host",
     return (robots.select(F.col(host_col).alias("host"),
                           delay.alias("crawl_delay"))
             .filter(F.col("crawl_delay").isNotNull()))
+
+
+def apply_crawl_delay(hosts: DataFrame, delays: DataFrame,
+                      round_seconds: float = 60.0) -> DataFrame:
+    """Fold per-host ``Crawl-delay`` (parse_crawl_delay's output) into
+    the hosts table's ``budget_per_round``: a host asking d seconds
+    between fetches gets at most floor(round_seconds / d) fetches in a
+    politeness round. The delay only ever REDUCES a host's budget
+    (least with the existing value — robots.txt can't grant more than
+    the crawl's own allocation); a delay longer than the round floors
+    at 1 fetch/round (the coarsest politeness a round-granular
+    scheduler can express — stretching delays across rounds would need
+    per-host round skipping, which the round loop does not model).
+    Broadcast join: delays is one row per opting-in host, dimension-
+    sized next to the frontier."""
+    if round_seconds <= 0:
+        raise ValueError(f"round_seconds must be > 0, got {round_seconds}")
+    # private join name: the engine's hosts table carries its OWN
+    # crawl_delay column (sources/web.py) which must pass through
+    # untouched
+    d = F.broadcast(delays.select(
+        "host", F.col("crawl_delay").alias("_robots_delay")))
+    allowed = F.greatest(
+        F.floor(F.lit(float(round_seconds)) / F.col("_robots_delay")),
+        F.lit(1)).cast("long")
+    newb = F.when(
+        F.col("_robots_delay").isNotNull() & (F.col("_robots_delay") > 0),
+        F.least(F.col("budget_per_round").cast("long"), allowed)
+    ).otherwise(F.col("budget_per_round"))
+    return (hosts.join(d, "host", "left")
+            .withColumn("budget_per_round", newb)
+            .drop("_robots_delay"))

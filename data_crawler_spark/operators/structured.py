@@ -30,8 +30,14 @@ __all__ = ["jsonld_col", "jsonld_objects", "meta_entries_col",
 _JSONLD_RE = (r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json'
               r'["\'][^>]*>(.*?)</script>')
 _META_TAG_RE = r"(?is)<meta\b[^>]*>"
-_KEY_RE = r'(?is)\b(?:name|property)\s*=\s*"([^"]*)"'
-_CONTENT_RE = r'(?is)\bcontent\s*=\s*"([^"]*)"'
+
+
+def _attr(tag: Column, name_re: str) -> Column:
+    """First ``name="..."`` / ``name='...'`` attribute value on a tag
+    fragment — both quote styles (real-world meta tags mix them)."""
+    dq = F.regexp_extract(tag, rf'(?is)\b(?:{name_re})\s*=\s*"([^"]*)"', 1)
+    sq = F.regexp_extract(tag, rf"(?is)\b(?:{name_re})\s*=\s*'([^']*)'", 1)
+    return F.when(dq != "", dq).otherwise(sq)
 
 
 def jsonld_col(html: Column) -> Column:
@@ -74,8 +80,8 @@ def meta_entries_col(html: Column) -> Column:
     s = html.cast("string")
     tags = F.regexp_extract_all(s, F.lit(_META_TAG_RE), 0)
     entry = lambda t: F.struct(  # noqa: E731
-        F.lower(F.regexp_extract(t, _KEY_RE, 1)).alias("key"),
-        F.regexp_extract(t, _CONTENT_RE, 1).alias("value"))
+        F.lower(_attr(t, "name|property")).alias("key"),
+        _attr(t, "content").alias("value"))
     return F.filter(F.transform(tags, entry),
                     lambda e: (e["key"] != "") & (e["value"] != ""))
 
@@ -96,7 +102,6 @@ def page_meta(pages: DataFrame, url_col: str = "url",
 
 _CANON_TAG_RE = (r'(?is)<link\b[^>]*\brel\s*=\s*["\']?canonical\b'
                  r"[^>]*>")
-_HREF_RE = r'(?is)\bhref\s*=\s*["\']([^"\']+)["\']'
 
 
 def canonical_url_col(page_url: Column, html: Column) -> Column:
@@ -104,7 +109,10 @@ def canonical_url_col(page_url: Column, html: Column) -> Column:
     against the page URL and run through the frontier's canonicalizer
     — null when the page declares none. Native regex chain, pure map."""
     tag = F.regexp_extract(html.cast("string"), _CANON_TAG_RE, 0)
-    href = F.regexp_extract(tag, _HREF_RE, 1)
+    quoted = _attr(tag, "href")
+    unquoted = F.regexp_extract(
+        tag, r"(?is)\bhref\s*=\s*([^\s\"'>]+)", 1)
+    href = F.when(quoted != "", quoted).otherwise(unquoted)
     # resolve_href_col's absolute test is case-sensitive by contract
     # (the link extractor's python-parity path); canonical hrefs in the
     # wild carry uppercase schemes, which the canonicalizer lowercases,

@@ -9,6 +9,7 @@ import math
 from datetime import datetime, timedelta
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_crawler_spark.operators.cdx import cdx_index
 from data_crawler_spark.operators.freshness import (
@@ -115,3 +116,27 @@ def test_change_rate_single_exchange(idx):
     plan = (change_rate(idx)._jdf.queryExecution()
             .executedPlan().toString())
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sitemap_staleness(spark):
+    from data_crawler_spark.operators.freshness import sitemap_staleness
+    entries = spark.createDataFrame(
+        [("http://a.test/new", "2026-05-01 00:00:00"),
+         ("http://a.test/old", "2026-01-01 00:00:00"),
+         ("http://a.test/unseen", "2026-01-01 00:00:00"),
+         ("http://a.test/noclaim", None)],
+        "url string, lastmod string").withColumn(
+        "lastmod", F.col("lastmod").cast("timestamp"))
+    captures = spark.createDataFrame(
+        [("http://a.test/new", "2026-03-01 00:00:00"),
+         ("http://a.test/new", "2026-02-01 00:00:00"),
+         ("http://a.test/old", "2026-03-01 00:00:00"),
+         ("http://a.test/noclaim", "2026-03-01 00:00:00")],
+        "url string, warc_ts string").withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp"))
+    got = {r.url: r.stale
+           for r in sitemap_staleness(entries, captures).collect()}
+    assert got == {"http://a.test/new": True,      # lastmod > capture
+                   "http://a.test/old": False,     # captured after claim
+                   "http://a.test/unseen": True,   # never captured
+                   "http://a.test/noclaim": False}  # no claim, captured

@@ -187,3 +187,16 @@ def test_hits_hub_vs_authority_roles(spark):
     assert got["dir"].authority == pytest.approx(0.0)
     assert all(got[f"p{i}"].authority == pytest.approx(0.5)
                for i in range(4))
+
+
+def test_domain_graph_collapse(spark):
+    from data_crawler_spark.operators.graph import domain_graph
+    edges = spark.createDataFrame(
+        [("http://a.x.test/1", "http://b.test/p"),
+         ("http://a.x.test/2", "http://b.test/q"),
+         ("http://x.test/3", "http://x.test/4"),      # intra: dropped
+         ("http://b.test/p", "http://docs.x.test/z"),
+         ("not a url", "http://b.test/p")],           # unparsable: out
+        "src string, dst string")
+    got = {(r.src, r.dst): r.n_links for r in domain_graph(edges).collect()}
+    assert got == {("x.test", "b.test"): 2, ("b.test", "x.test"): 1}

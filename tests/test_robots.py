@@ -220,3 +220,38 @@ def test_parse_sitemap_directives_plan_native(spark):
             .executedPlan().toString())
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_apply_crawl_delay_budgets(spark):
+    from data_crawler_spark.operators.robots import apply_crawl_delay
+    hosts = spark.createDataFrame(
+        [("a.test", 50), ("b.test", 50), ("c.test", 50), ("d.test", 3)],
+        "host string, budget_per_round long")
+    delays = spark.createDataFrame(
+        [("a.test", 5.0),     # 60/5 = 12 < 50 -> reduced
+         ("c.test", 600.0),   # longer than the round -> floor at 1
+         ("d.test", 5.0)],    # 12 > existing 3 -> existing wins
+        "host string, crawl_delay double")
+    got = {r.host: r.budget_per_round
+           for r in apply_crawl_delay(hosts, delays, 60.0).collect()}
+    assert got == {"a.test": 12, "b.test": 50, "c.test": 1, "d.test": 3}
+    assert "crawl_delay" not in apply_crawl_delay(hosts, delays).columns
+    import pytest as _pt
+    with _pt.raises(ValueError, match="round_seconds"):
+        apply_crawl_delay(hosts, delays, 0)
+
+
+def test_apply_crawl_delay_preserves_host_table_delay_col(spark):
+    """The engine's hosts table carries its own crawl_delay column —
+    it must pass through untouched and not collide with the robots
+    delays frame."""
+    from data_crawler_spark.operators.robots import apply_crawl_delay
+    hosts = spark.createDataFrame(
+        [("a.test", 50, 2), ("b.test", 50, 2)],
+        "host string, budget_per_round long, crawl_delay long")
+    delays = spark.createDataFrame([("a.test", 10.0)],
+                                   "host string, crawl_delay double")
+    out = apply_crawl_delay(hosts, delays, 60.0)
+    got = {r.host: (r.budget_per_round, r.crawl_delay)
+           for r in out.collect()}
+    assert got == {"a.test": (6, 2), "b.test": (50, 2)}

@@ -178,3 +178,21 @@ def test_clean_corpus_group_cap_stage(spark):
     out = clean_corpus(df, quality=False, repetition=False, exact=False,
                        near_dup_threshold=None, group_cap=("domain", 2))
     assert {r["doc_id"] for r in out.collect()} == {0, 1, 6, 7}
+
+
+def test_meta_and_canonical_quote_styles(spark):
+    from data_crawler_spark.operators.structured import (
+        canonical_url_col, meta_entries_col)
+    rows = [
+        ("http://q.test/p",
+         "<meta name='author' content='Ada L'>"
+         '<meta name="mixed" content=\'single content\'>'
+         "<link rel=canonical href=http://q.test/canon>")]
+    df = spark.createDataFrame(rows, "url string, html string")
+    [r] = df.select(
+        meta_entries_col(F.col("html")).alias("m"),
+        canonical_url_col(F.col("url"), F.col("html")).alias("c")
+    ).collect()
+    assert [(e["key"], e["value"]) for e in r["m"]] == [
+        ("author", "Ada L"), ("mixed", "single content")]
+    assert r["c"] == "http://q.test/canon"

@@ -193,3 +193,39 @@ def test_sitemap_entity_order_and_uppercase_scheme(spark):
                                 "url string, sitemap_xml string")
     out = sitemap_urls(df2).collect()
     assert len(out) == 1 and out[0].url.startswith("http://a.com/")
+
+
+def test_sitemap_entries_metadata(spark):
+    from pyspark.sql import functions as F
+
+    from data_crawler_spark.operators.links import sitemap_entries
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> http://a.test/p1 </loc>"
+        "<lastmod>2026-03-01T12:30:00+00:00</lastmod>"
+        "<changefreq>Daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>http://a.test/p2&amp;x=1</loc>"
+        "<lastmod>2026-04-02</lastmod></url>"
+        "<url><loc>http://a.test/bad</loc><lastmod>soonish</lastmod>"
+        "<priority>high</priority></url>"
+        "<url><loc>ftp://a.test/skip</loc></url>"
+        "</urlset>")
+    df = spark.createDataFrame([("http://a.test/sitemap.xml", xml)],
+                               "url string, sitemap_xml string")
+    rows = {r.url: r for r in sitemap_entries(df).collect()}
+    assert set(rows) == {"http://a.test/p1", "http://a.test/p2&x=1",
+                         "http://a.test/bad"}
+    r1 = rows["http://a.test/p1"]
+    assert str(r1.lastmod).startswith("2026-03-01 12:30:00")
+    assert r1.changefreq == "daily" and r1.priority == 0.8
+    r2 = rows["http://a.test/p2&x=1"]
+    assert r2.lastmod is not None and r2.changefreq is None
+    bad = rows["http://a.test/bad"]
+    assert bad.lastmod is None and bad.priority is None
+    # pure map: no Exchange, no Python
+    plan = sitemap_entries(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    assert rows["http://a.test/p1"].sitemap_url \
+        == "http://a.test/sitemap.xml"
+    _ = F  # imported for parity with module conventions
