@@ -36,7 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["capture_intervals", "change_rate", "recrawl_priority"]
+__all__ = ["capture_intervals", "change_rate", "recrawl_priority",
+           "sitemap_staleness", "conditional_fetch_plan"]
 
 
 def capture_intervals(index: DataFrame) -> DataFrame:
@@ -136,3 +137,45 @@ def sitemap_staleness(entries: DataFrame, captures: DataFrame,
              | (F.col("lastmod").isNotNull()
                 & (F.col("lastmod") > F.col("last_capture"))))
     return e.withColumn("stale", stale)
+
+
+def conditional_fetch_plan(captures: DataFrame,
+                           url_col: str = "url",
+                           ts_col: str = "warc_ts",
+                           etag_col: str | None = None,
+                           last_modified_col: str | None = None
+                           ) -> DataFrame:
+    """Per-URL conditional-revalidation plan from capture history:
+    ``(url, last_capture, if_none_match, if_modified_since)`` — the
+    headers a polite recrawl sends so an unchanged page costs a 304
+    instead of a re-download (at recrawl scale, MOST pages are
+    unchanged, so this is the big bandwidth lever next to λ-driven
+    scheduling).
+
+    ``if_none_match`` carries the LATEST capture's ETag when the
+    capture table recorded one (``etag_col``); ``if_modified_since``
+    prefers the server's own Last-Modified claim
+    (``last_modified_col``) and falls back to our capture time — a
+    server that stamps responses should be asked about ITS timestamp,
+    not ours (clock skew). Both stay typed (string / timestamp); the
+    fetcher formats RFC 9110 IMF-fixdate at send time.
+
+    One map-side-partial ``max_by`` aggregate keyed on the url —
+    O(urls) output, no window, no join."""
+    etag = F.col(etag_col) if etag_col else F.lit(None).cast("string")
+    lm = (F.col(last_modified_col) if last_modified_col
+          else F.lit(None).cast("timestamp"))
+    # tie-break same-ts captures on the values themselves (null lowest)
+    # so the picked validators are layout-independent, change_rate's
+    # max_by convention
+    picked = F.max_by(
+        F.struct(etag.alias("etag"), lm.alias("lm")),
+        F.struct(F.col(ts_col), etag, lm))
+    return (captures
+            .groupBy(F.col(url_col).alias("url"))
+            .agg(F.max(ts_col).alias("last_capture"),
+                 picked.alias("_p"))
+            .select("url", "last_capture",
+                    F.col("_p.etag").alias("if_none_match"),
+                    F.coalesce(F.col("_p.lm"), F.col("last_capture"))
+                    .alias("if_modified_since")))

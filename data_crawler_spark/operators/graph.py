@@ -212,3 +212,209 @@ def domain_graph(edges: DataFrame, src_col: str = "src",
                     & (F.col("src") != F.col("dst")))
             .groupBy("src", "dst")
             .agg(F.count("*").alias("n_links")))
+
+
+def harmonic_centrality(edges: DataFrame, max_radius: int = 10,
+                        lg_config_k: int = 12,
+                        src_col: str = "src", dst_col: str = "dst",
+                        num_partitions: int | None = None,
+                        nodes: DataFrame | None = None) -> DataFrame:
+    """Harmonic centrality ``H(x) = Σ_{y≠x} 1/d(y,x)`` for every node
+    — the signal Common Crawl publishes next to PageRank for its
+    host/domain ranks (spam-resistant: it counts how CLOSE the rest of
+    the web is to you, not how much rank flows in). Exact computation
+    is all-pairs BFS; the published scale algorithm is HyperBall
+    (Boldi & Vigna, "In-Core Computation of Geometric Centralities
+    with HyperBall", 2013): every node keeps a HyperLogLog sketch of
+    its in-distance ball, and radius r+1's ball is the HLL union of
+    the node's own ball with its in-neighbors' balls — set union
+    becomes a mergeable-sketch aggregate, so the whole thing is r
+    rounds of join + groupBy.
+
+    This implementation is HyperBall AS a DataFrame plan on Spark's
+    native DataSketches HLL expressions (``hll_sketch_agg`` /
+    ``hll_union_agg`` / ``hll_sketch_estimate`` — JVM-side, no
+    Python): per radius, ONE equi-join ships in-neighbor sketches to
+    their targets and ONE map-side-partial union-agg merges them;
+    ``H`` accumulates ``(|B_r| − |B_{r−1}|)/r``. Returns ``(node,
+    harmonic, reach)`` where ``reach`` is the final ball-size estimate
+    (the neighborhood-function value, itself useful as a
+    connectivity/spam feature).
+
+    100 TB shape: the deduped edge list is hash-partitioned by ``src``
+    once and persisted (pagerank's layout); each round shuffles only
+    (node, sketch) rows — a sketch is ≤ 2^lg_config_k bytes-ish and
+    EXACT below ~2^(lg_config_k−5) members, so small-ball nodes carry
+    tiny sparse sketches. The state frame localCheckpoints per round
+    (flat lineage); rounds stop early when the global ball mass stops
+    growing (one 1-row driver action per round — a data property, not
+    a layout property, so early stop is deterministic). Accuracy is
+    the HLL trade: relative ±~1.04/√2^lg_config_k on BIG balls, exact
+    on small ones — centrality RANKINGS at web scale tolerate this by
+    design (the paper's entire point).
+
+    Like pagerank: parallel edges count once; ``nodes`` unions extra
+    isolated vertices (harmonic 0, reach 1)."""
+    if max_radius < 0:
+        raise ValueError(f"max_radius must be >= 0, got {max_radius}")
+    spark = edges.sparkSession
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num_partitions = spark.sparkContext.defaultParallelism
+
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct()
+         .repartition(num_partitions, "src")
+         .persist())
+    try:
+        node_set = (e.select(F.col("src").alias("node"))
+                    .union(e.select(F.col("dst").alias("node"))))
+        if nodes is not None:
+            extra = nodes.select(F.col(nodes.columns[0]).alias("node"))
+            node_set = node_set.union(
+                extra.filter(F.col("node").isNotNull()))
+        node_set = (node_set.distinct()
+                    .repartition(num_partitions, "node"))
+        if node_set.isEmpty():
+            return spark.createDataFrame(
+                [], "node string, harmonic double, reach long")
+
+        # radius 0: every ball is {node} itself
+        state = (node_set.groupBy("node")
+                 .agg(F.hll_sketch_agg("node", F.lit(lg_config_k))
+                      .alias("sk"))
+                 .select("node", "sk",
+                         F.hll_sketch_estimate("sk").alias("est"),
+                         F.lit(0.0).alias("h"))
+                 .localCheckpoint())
+        total = state.agg(F.sum("est")).collect()[0][0]
+
+        for r in range(1, max_radius + 1):
+            contrib = (e.join(state.select(F.col("node").alias("src"),
+                                           "sk"), "src")
+                       .select(F.col("dst").alias("node"), "sk"))
+            unioned = (contrib.union(state.select("node", "sk"))
+                       .groupBy("node")
+                       .agg(F.hll_union_agg("sk").alias("sk_new")))
+            state = (state.drop("sk").join(unioned, "node")
+                     .withColumn("est_new",
+                                 F.hll_sketch_estimate("sk_new"))
+                     .select("node",
+                             F.col("sk_new").alias("sk"),
+                             F.col("est_new").alias("est"),
+                             (F.col("h")
+                              + (F.col("est_new") - F.col("est"))
+                              / F.lit(float(r))).alias("h"))
+                     .localCheckpoint())
+            new_total = state.agg(F.sum("est")).collect()[0][0]
+            if new_total == total:  # every ball saturated
+                break
+            total = new_total
+
+        return state.select("node", F.col("h").alias("harmonic"),
+                            F.col("est").alias("reach"))
+    finally:
+        e.unpersist()
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 10,
+                      src_col: str = "src", dst_col: str = "dst",
+                      num_partitions: int | None = None,
+                      nodes: DataFrame | None = None) -> DataFrame:
+    """Community detection by label propagation (Raghavan et al. 2007)
+    over the (symmetrized) link graph: every node starts as its own
+    community and repeatedly adopts the most frequent label among its
+    neighbors. Near-linear time, no parameter to tune — the standard
+    first-pass community signal for link-spam farms (dense mutual-link
+    neighborhoods collapse to one label) and corpus diversity audits
+    (how many distinct link communities feed the corpus). Returns
+    ``(node, community)``.
+
+    Determinism: synchronous updates with the tie-break made total —
+    max vote count, then MIN label — so the result is a function of
+    the graph alone, not partition layout (tested). Each node's OWN
+    current label votes once alongside its neighbors (the retention
+    variant): plain synchronous LPA oscillates forever on
+    bipartite/star shapes, retention damps the flip. A FIXED
+    ``max_iter`` still bounds the loop, and it stops early the first
+    round no label changes (one count action per round, a data
+    property, layout-independent).
+
+    100 TB shape: pagerank's exact iteration layout — symmetrized
+    deduped edges hash-partitioned by src once and persisted, each
+    round ONE join ships (node, label) rows to neighbors, ONE
+    map-side-partial count + min_by picks the mode, localCheckpoint
+    keeps lineage flat. Labels are node ids (strings): shuffle rows
+    stay ~2 id widths."""
+    if max_iter < 0:
+        raise ValueError(f"max_iter must be >= 0, got {max_iter}")
+    spark = edges.sparkSession
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num_partitions = spark.sparkContext.defaultParallelism
+
+    fwd = edges.select(F.col(src_col).alias("src"),
+                       F.col(dst_col).alias("dst"))
+    rev = edges.select(F.col(dst_col).alias("src"),
+                       F.col(src_col).alias("dst"))
+    e = (fwd.union(rev)
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                 & (F.col("src") != F.col("dst")))
+         .distinct()
+         .repartition(num_partitions, "src")
+         .persist())
+    try:
+        node_set = e.select(F.col("src").alias("node"))
+        if nodes is not None:
+            extra = nodes.select(F.col(nodes.columns[0]).alias("node"))
+            node_set = node_set.union(
+                extra.filter(F.col("node").isNotNull()))
+        node_set = (node_set.distinct()
+                    .repartition(num_partitions, "node"))
+        if node_set.isEmpty():
+            return spark.createDataFrame(
+                [], "node string, community string")
+
+        labels = (node_set.select("node", F.col("node").alias("community"))
+                  .localCheckpoint())
+        for _ in range(max_iter):
+            nb = (e.join(labels.withColumnsRenamed(
+                       {"node": "src", "community": "nb_label"}), "src")
+                  .select(F.col("dst").alias("node"), "nb_label"))
+            # own label votes once: the retention variant that stops
+            # the synchronous-update oscillation on bipartite/star
+            # shapes (plain sync LPA flips a<->b forever on a path)
+            nb = nb.union(labels.select(
+                "node", F.col("community").alias("nb_label")))
+            counts = nb.groupBy("node", "nb_label").agg(
+                F.count("*").alias("cnt"))
+            # mode with a TOTAL tie-break: max cnt, then min label
+            mode = (counts.groupBy("node")
+                    .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                                        F.col("nb_label").alias("lbl")))
+                         .alias("m"))
+                    .select("node", F.col("m.lbl").alias("new_label")))
+            new_labels = (labels.join(mode, "node", "left")
+                          .select("node",
+                                  F.coalesce("new_label", "community")
+                                  .alias("community"))
+                          .localCheckpoint())
+            n_changed = (new_labels.alias("n")
+                         .join(labels.alias("o"), "node")
+                         .filter(F.col("n.community")
+                                 != F.col("o.community"))
+                         .count())
+            labels = new_labels
+            if n_changed == 0:
+                break
+        return labels
+    finally:
+        e.unpersist()

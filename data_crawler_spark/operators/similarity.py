@@ -400,3 +400,36 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
         return out.localCheckpoint()
     finally:
         assigned.unpersist()
+
+
+def cluster_corpus(df: DataFrame, n_clusters: int = 16,
+                   sample_n: int = 2000, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Topic-cluster a corpus in embedding space: every input row plus
+    ``cluster_id`` (int) and ``centroid_sim`` (cosine to its centroid)
+    — the curation primitive behind cluster-balanced data mixes
+    (DataComp-LM-style topic diversity) and per-topic inspection.
+    Compose downstream with the existing samplers, e.g.
+    ``sampling.sample_corpus_mixture(out, group_col="cluster_id",
+    temperature=T)`` to flatten topic skew, or
+    ``sampling.cap_per_group(out, "cluster_id", k)`` for a hard
+    per-topic cap.
+
+    Same machinery as ivf_topk/semantic_dedup: the quantizer trains on
+    a deterministic, partition-layout-independent driver-side sample
+    (_fit_quantizer), assignment is ONE vectorized Arrow pass over the
+    corpus — no shuffle at all (the result is a pure map of the input;
+    plan-tested). ``cluster_id`` is stable for a given (corpus,
+    n_clusters, sample_n) regardless of layout. Empty corpus returns
+    typed null columns."""
+    cent = _fit_quantizer(df, n_clusters, sample_n, id_col, vec_col)
+    if cent is None:
+        return (df.withColumn("cluster_id", F.lit(None).cast("int"))
+                .withColumn("centroid_sim", F.lit(None).cast("double")))
+    assign = ivf_assign_sim_udf(cent)
+    a = assign(F.col(vec_col))
+    return (df.withColumn("_a", a)
+            .select(*df.columns,
+                    F.col("_a.list_id").alias("cluster_id"),
+                    F.round(F.col("_a.centroid_sim"), 6)
+                    .alias("centroid_sim")))

@@ -25,7 +25,9 @@ from data_crawler_spark.operators.links import (canonicalize_col,
                                                 resolve_href_col)
 
 __all__ = ["jsonld_col", "jsonld_objects", "meta_entries_col",
-           "page_meta", "canonical_url_col", "canonical_dedup"]
+           "page_meta", "canonical_url_col", "canonical_dedup",
+           "robots_directives_col", "noindex_filter",
+           "apply_meta_nofollow"]
 
 _JSONLD_RE = (r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json'
               r'["\'][^>]*>(.*?)</script>')
@@ -147,3 +149,59 @@ def canonical_dedup(pages: DataFrame, url_col: str = "url",
         order_by=[F.desc(F.col(url_col) == F.col("_ckey"))],
         id_col=url_col)
     return out.drop("_ckey")
+
+
+_ROBOTS_META_RE = (r'(?is)<meta\b[^>]*\bname\s*=\s*["\']?robots\b'
+                   r"[^>]*>")
+
+
+def robots_directives_col(html: Column) -> Column:
+    """Page-level robots ``<meta name=robots content="...">``
+    directives -> ``struct<noindex:boolean, nofollow:boolean>``.
+
+    Publishers gate indexing/link-following per PAGE this way (the
+    REP's HTML half next to the per-HOST robots.txt); corpus pipelines
+    honor ``noindex`` as "do not keep this content" and ``nofollow``
+    as "discard this page's outlinks". Semantics per the de-facto
+    spec: directives are comma-separated and case-insensitive,
+    ``none`` == ``noindex, nofollow``, MULTIPLE robots meta tags
+    combine most-restrictive-wins (any tag asserting a directive sets
+    it). Native regex + higher-order exists — pure map, the html never
+    leaves the scan."""
+    s = html.cast("string")
+    tags = F.regexp_extract_all(s, F.lit(_ROBOTS_META_RE), 0)
+    toks = F.flatten(F.transform(
+        tags,
+        lambda t: F.split(F.lower(_attr(t, "content")), r"\s*,\s*")))
+    has = lambda d: F.exists(toks, lambda x: F.trim(x) == d)  # noqa: E731
+    none = has("none")
+    return F.struct(
+        (has("noindex") | none).alias("noindex"),
+        (has("nofollow") | none).alias("nofollow"))
+
+
+def noindex_filter(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Drop pages whose robots meta asserts ``noindex`` (or ``none``)
+    — the publisher opt-out a webtext pipeline must honor before any
+    content lands in a training corpus. Pure map over the page scan
+    (zero Exchange / zero Python, plan-tested)."""
+    return pages.filter(
+        ~robots_directives_col(F.col(html_col))["noindex"])
+
+
+def apply_meta_nofollow(edges: DataFrame, pages: DataFrame,
+                        src_col: str = "src",
+                        url_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """Drop every outlink whose SOURCE page asserts page-level
+    ``nofollow`` (``<meta name=robots>``) — the page-granular
+    complement to ``anchors.page_anchors``' per-occurrence
+    ``rel=nofollow`` flag. The nofollow page set is tiny next to the
+    corpus (most pages carry no robots meta), so the shape is a
+    left-anti join of the edge stream against the FILTERED page urls:
+    the html never leaves the page scan, the edge stream shuffles only
+    if AQE declines to broadcast the nofollow set."""
+    nf = (pages
+          .filter(robots_directives_col(F.col(html_col))["nofollow"])
+          .select(F.col(url_col).alias("_nf_src")))
+    return (edges.join(nf, edges[src_col] == nf["_nf_src"], "left_anti"))

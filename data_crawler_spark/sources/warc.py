@@ -35,7 +35,7 @@ from typing import Iterator
 
 import pandas as pd
 import pyarrow as pa
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CRLF = b"\r\n"
@@ -396,3 +396,104 @@ def write_warc_pages(pages: pd.DataFrame, path: str | Path,
         data = b"".join(chunks)
     path.write_bytes(data)
     return path
+
+
+# ---------------------------------------------------------------------------
+# WAT: per-page metadata sidecar records (the third CC artifact next to
+# WARC captures and WET extracted text)
+# ---------------------------------------------------------------------------
+
+def _metadata_record_bytes(url: str, ts, wat_json, rec_id: str) -> bytes:
+    """One WARC ``metadata`` record carrying a JSON payload — the WAT
+    record framing."""
+    if isinstance(ts, pd.Timestamp):
+        ts = ts.to_pydatetime()
+    date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            if ts is not None else "2026-01-01T00:00:00Z")
+    payload = (wat_json or "").encode("utf-8")
+    return warc_record_bytes(
+        {"WARC-Type": "metadata",
+         "WARC-Record-ID": f"<{rec_id}>",
+         "WARC-Date": date,
+         "WARC-Target-URI": url,
+         "Content-Type": "application/json"},
+        payload)
+
+
+def page_wat(pages: DataFrame, url_col: str = "url",
+             ts_col: str = "warc_ts",
+             html_col: str = "html") -> DataFrame:
+    """Pages -> ``(url, warc_ts, wat_json)``: the WAT metadata envelope
+    (Common Crawl's per-page JSON sidecar) with the HTML head title,
+    the <meta> name/property pairs, and the page's raw quoted hrefs —
+    the summary downstream consumers read INSTEAD of parsing 100 TB of
+    HTML themselves (link-graph builds, title indexes, meta-tag mining
+    all run off WAT at a ~10x byte discount).
+
+    All native expressions (title/href regex + the structured-data
+    meta extractor + ``to_json``): pure map over the page scan, zero
+    Exchange / zero Python, the html column never leaves the scan.
+    Unquoted hrefs are omitted by design — the engine's canonical link
+    path is the Arrow extractor (operators/links.py); WAT mirrors the
+    quoted forms, which is what its consumers key on."""
+    from data_crawler_spark.operators.structured import meta_entries_col
+
+    s = F.col(html_col).cast("string")
+    title = F.regexp_extract(s, r"(?is)<title[^>]*>\s*(.*?)\s*</title>", 1)
+    # document order: pull the <a> tags first, then the href per tag
+    # (meta_entries_col's shape) — a single-pass alternation regex
+    # can't keep one capture group across both quote styles
+    tags = F.regexp_extract_all(s, F.lit(r"(?is)<a\b[^>]*>"), 0)
+
+    def _href(t: Column) -> Column:
+        dq = F.regexp_extract(t, r'(?is)\bhref\s*=\s*"([^"]*)"', 1)
+        sq = F.regexp_extract(t, r"(?is)\bhref\s*=\s*'([^']*)'", 1)
+        return F.when(dq != "", dq).otherwise(sq)
+
+    links = F.filter(F.transform(tags, _href), lambda u: u != "")
+    env = F.struct(
+        F.struct(
+            F.col(url_col).alias("WARC-Target-URI"),
+        ).alias("WARC-Header-Metadata"),
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.when(title != "", title).alias("Title"),
+                    meta_entries_col(F.col(html_col)).alias("Metas"),
+                ).alias("Head"),
+                F.transform(
+                    links, lambda u: F.struct(u.alias("url"))
+                ).alias("Links"),
+            ).alias("HTML-Metadata"),
+        ).alias("Payload-Metadata"),
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        F.to_json(F.struct(env.alias("Envelope")),
+                  {"ignoreNullFields": "false"}).alias("wat_json"))
+
+
+def export_wat(wat: DataFrame, out_dir: str | Path,
+               json_col: str = "wat_json",
+               gzip_records: bool = True) -> DataFrame:
+    """Distributed WAT sink: one WARC ``metadata`` record per page
+    (``Content-Type: application/json``, the ``page_wat`` envelope as
+    payload) in ``part-<partition>.warc.wat[.gz]`` files, lazy
+    manifest as in ``export_warc`` — same embarrassingly-parallel
+    sink, no added shuffle. Roundtrip: ``wat_entries(read_warc(...))``
+    recovers (url, warc_ts, wat_json) exactly (tested)."""
+    return _export_sink(
+        wat.select("url", "warc_ts", json_col), out_dir, ".warc.wat",
+        gzip_records,
+        lambda row, rid: _metadata_record_bytes(
+            row.url, row.warc_ts, getattr(row, json_col), rid))
+
+
+def wat_entries(records: DataFrame) -> DataFrame:
+    """Metadata records (a read-back WAT file) -> (url, warc_ts,
+    wat_json). Pure map over the reader stream, like ``wet_text``."""
+    return (records.where((F.col("record_type") == "metadata")
+                          & F.col("url").isNotNull())
+            .select("url", "warc_ts",
+                    F.decode(F.col("payload"), "UTF-8").alias("wat_json")))

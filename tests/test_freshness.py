@@ -140,3 +140,60 @@ def test_sitemap_staleness(spark):
                    "http://a.test/old": False,     # captured after claim
                    "http://a.test/unseen": True,   # never captured
                    "http://a.test/noclaim": False}  # no claim, captured
+
+
+def test_conditional_fetch_plan(spark):
+    from datetime import datetime, timezone
+
+    from data_crawler_spark.operators.freshness import (
+        conditional_fetch_plan)
+
+    def ts(s):
+        return datetime.strptime(s, "%Y-%m-%d %H:%M").replace(
+            tzinfo=timezone.utc)
+
+    rows = [
+        # url A: two captures; latest carries etag + server claim
+        ("http://a.test/", ts("2026-01-01 00:00"), None, None),
+        ("http://a.test/", ts("2026-02-01 00:00"), '"v2"',
+         ts("2026-01-31 12:00")),
+        # url B: latest capture has NO validators -> fall back to
+        # capture ts, null etag
+        ("http://b.test/", ts("2026-01-10 00:00"), '"old"',
+         ts("2026-01-09 00:00")),
+        ("http://b.test/", ts("2026-03-01 00:00"), None, None),
+        # url C: single capture
+        ("http://c.test/", ts("2026-02-15 08:30"), None, None),
+    ]
+    caps = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, etag string, "
+              "last_modified timestamp")
+    got = {r["url"]: r for r in conditional_fetch_plan(
+        caps, etag_col="etag", last_modified_col="last_modified")
+        .collect()}
+    assert len(got) == 3
+    a = got["http://a.test/"]
+    assert a["last_capture"] == ts("2026-02-01 00:00").replace(tzinfo=None)
+    assert a["if_none_match"] == '"v2"'
+    assert a["if_modified_since"] == ts("2026-01-31 12:00").replace(
+        tzinfo=None)
+    b = got["http://b.test/"]
+    assert b["if_none_match"] is None
+    # server claim missing on the LATEST capture -> our capture time
+    assert b["if_modified_since"] == b["last_capture"] == ts(
+        "2026-03-01 00:00").replace(tzinfo=None)
+    c = got["http://c.test/"]
+    assert c["if_modified_since"] == ts("2026-02-15 08:30").replace(
+        tzinfo=None)
+
+    # validator-less capture table: optional columns default off
+    bare = conditional_fetch_plan(caps.select("url", "warc_ts"))
+    r = {x["url"]: x for x in bare.collect()}["http://a.test/"]
+    assert r["if_none_match"] is None
+    assert r["if_modified_since"] == r["last_capture"]
+
+    # layout invariance (ties + partitioning)
+    re = {x["url"]: x for x in conditional_fetch_plan(
+        caps.repartition(7), etag_col="etag",
+        last_modified_col="last_modified").collect()}
+    assert re == got

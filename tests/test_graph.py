@@ -200,3 +200,110 @@ def test_domain_graph_collapse(spark):
         "src string, dst string")
     got = {(r.src, r.dst): r.n_links for r in domain_graph(edges).collect()}
     assert got == {("x.test", "b.test"): 2, ("b.test", "x.test"): 1}
+
+
+def _exact_harmonic(edges, nodes=None):
+    """All-pairs BFS reference: H(x) = sum over y!=x of 1/d(y, x)."""
+    from collections import deque
+    adj = {}
+    ns = set(nodes or [])
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+        ns.add(s)
+        ns.add(d)
+    h = {n: 0.0 for n in ns}
+    reach = {n: 1 for n in ns}
+    for y in ns:  # BFS forward from y contributes 1/d to each target
+        dist = {y: 0}
+        q = deque([y])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for x, d in dist.items():
+            if d > 0:
+                h[x] += 1.0 / d
+                reach[x] += 1
+    return h, reach
+
+
+@pytest.mark.parametrize("edges,nodes", [
+    # chain a->b->c->d
+    ([("a", "b"), ("b", "c"), ("c", "d")], None),
+    # star hub: leaves point at hub
+    ([(f"l{i}", "hub") for i in range(6)], None),
+    # cycle + tail + parallel dup + isolated node via nodes=
+    ([("a", "b"), ("b", "c"), ("c", "a"), ("a", "b"), ("t", "a")],
+     ["iso"]),
+])
+def test_harmonic_centrality_exact_small(spark, edges, nodes):
+    """HLL sketches are exact at these ball sizes, so HyperBall must
+    reproduce all-pairs BFS harmonic centrality exactly."""
+    from data_crawler_spark.operators.graph import harmonic_centrality
+    e = spark.createDataFrame(edges, "src string, dst string")
+    n = (spark.createDataFrame([(x,) for x in nodes], "node string")
+         if nodes else None)
+    got = {r["node"]: (r["harmonic"], r["reach"])
+           for r in harmonic_centrality(e, max_radius=10,
+                                        nodes=n).collect()}
+    exp_h, exp_reach = _exact_harmonic(edges, nodes)
+    assert set(got) == set(exp_h)
+    for x in exp_h:
+        assert abs(got[x][0] - exp_h[x]) < 1e-9, (x, got[x], exp_h[x])
+        assert got[x][1] == exp_reach[x]
+
+
+def test_harmonic_centrality_layout_invariant_and_radius_cap(spark):
+    from data_crawler_spark.operators.graph import harmonic_centrality
+    edges = [(f"n{i}", f"n{i+1}") for i in range(12)]  # a 13-node path
+    e = spark.createDataFrame(edges, "src string, dst string")
+    a = {r["node"]: (r["harmonic"], r["reach"])
+         for r in harmonic_centrality(e, max_radius=20).collect()}
+    b = {r["node"]: (r["harmonic"], r["reach"])
+         for r in harmonic_centrality(e.repartition(7), max_radius=20,
+                                      num_partitions=3).collect()}
+    assert a == b
+    # truncated horizon: radius 2 sees only the first two upstream hops
+    c = {r["node"]: r["harmonic"]
+         for r in harmonic_centrality(e, max_radius=2).collect()}
+    assert abs(c["n12"] - (1.0 + 0.5)) < 1e-9
+    assert abs(a["n12"][0] - sum(1.0 / k for k in range(1, 13))) < 1e-9
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge resolve to exactly two
+    communities, one per clique, deterministically."""
+    from itertools import combinations
+
+    from data_crawler_spark.operators.graph import label_propagation
+    c1 = [f"a{i}" for i in range(4)]
+    c2 = [f"b{i}" for i in range(4)]
+    edges = ([(x, y) for x, y in combinations(c1, 2)]
+             + [(x, y) for x, y in combinations(c2, 2)]
+             + [("a0", "b0")])
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(e, max_iter=10).collect()}
+    assert len({got[x] for x in c1}) == 1
+    assert len({got[x] for x in c2}) == 1
+    assert got["a0"] != got["b0"]
+
+    # layout invariance
+    re = {r["node"]: r["community"]
+          for r in label_propagation(e.repartition(5), max_iter=10,
+                                     num_partitions=3).collect()}
+    assert re == got
+
+
+def test_label_propagation_isolated_and_direction(spark):
+    from data_crawler_spark.operators.graph import label_propagation
+    # direction must not matter (symmetrized): a->b, c->b one community
+    e = spark.createDataFrame(
+        [("a", "b"), ("c", "b")], "src string, dst string")
+    n = spark.createDataFrame([("iso",)], "node string")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(e, max_iter=5, nodes=n).collect()}
+    assert got["a"] == got["b"] == got["c"]
+    assert got["iso"] == "iso"  # keeps its own label

@@ -211,3 +211,78 @@ def test_semantic_dedup_empty(spark):
     assert out.count() == 0
     assert set(out.columns) == {"vec_id", "list_id", "centroid_sim",
                                 "dup_group", "semdedup_keep"}
+
+
+def test_cluster_corpus_basic_and_layout_invariant(spark, emb):
+    from data_crawler_spark.operators.similarity import cluster_corpus
+
+    out = cluster_corpus(emb, n_clusters=8)
+    rows = out.select("vec_id", "cluster_id", "centroid_sim").collect()
+    assert len(rows) == emb.count()
+    by_id = {r["vec_id"]: (r["cluster_id"], r["centroid_sim"])
+             for r in rows}
+    assert all(0 <= c < 8 for c, _ in by_id.values())
+    assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for _, s in by_id.values())
+    assert len({c for c, _ in by_id.values()}) > 1  # actually clusters
+
+    # identical assignment under a different partition layout
+    re = {r["vec_id"]: (r["cluster_id"], r["centroid_sim"])
+          for r in cluster_corpus(emb.repartition(13), n_clusters=8)
+          .select("vec_id", "cluster_id", "centroid_sim").collect()}
+    assert re == by_id
+
+
+def test_cluster_corpus_identical_vectors_colocate(spark):
+    import numpy as np
+    from data_crawler_spark.operators.similarity import cluster_corpus
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 8))
+    rows = []
+    for g in range(4):
+        for i in range(5):
+            rows.append((g * 10 + i, [float(x) for x in base[g]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cluster_corpus(df, n_clusters=4, sample_n=20)
+    groups = {}
+    for r in got.collect():
+        groups.setdefault(r["vec_id"] // 10, set()).add(r["cluster_id"])
+    # identical vectors can never split across clusters
+    assert all(len(s) == 1 for s in groups.values())
+
+
+def test_cluster_corpus_balanced_mixture_composition(spark):
+    import numpy as np
+    from data_crawler_spark.operators.sampling import (
+        sample_corpus_mixture)
+    from data_crawler_spark.operators.similarity import cluster_corpus
+
+    # 2 well-separated topics with a 10:1 skew
+    rng = np.random.default_rng(3)
+    a, b = np.eye(8)[0], np.eye(8)[1]
+    rows = [(i, [float(x) for x in (a + rng.normal(scale=0.01, size=8))])
+            for i in range(200)]
+    rows += [(1000 + i,
+              [float(x) for x in (b + rng.normal(scale=0.01, size=8))])
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    clustered = cluster_corpus(df, n_clusters=2, sample_n=220)
+    picked = sample_corpus_mixture(
+        clustered, group_col="cluster_id", id_col="vec_id",
+        temperature=100.0, seed=11)
+    counts = {r["cluster_id"]: r["n"] for r in
+              picked.groupBy("cluster_id").agg(F.count("*").alias("n"))
+              .collect()}
+    # near-uniform temperature: the minority topic keeps ~everything,
+    # the majority is downsampled toward it
+    assert len(counts) == 2
+    hi, lo = max(counts.values()), min(counts.values())
+    assert hi < 200  # majority actually downsampled
+    assert lo >= 15  # minority retained
+
+
+def test_cluster_corpus_empty(spark, emb):
+    from data_crawler_spark.operators.similarity import cluster_corpus
+    out = cluster_corpus(emb.filter(F.lit(False)))
+    assert out.count() == 0
+    assert dict(out.dtypes)["cluster_id"] == "int"

@@ -196,3 +196,76 @@ def test_meta_and_canonical_quote_styles(spark):
     assert [(e["key"], e["value"]) for e in r["m"]] == [
         ("author", "Ada L"), ("mixed", "single content")]
     assert r["c"] == "http://q.test/canon"
+
+
+ROBOTS_PAGES = [
+    # plain noindex
+    ("http://r.test/p1",
+     '<html><meta name="robots" content="noindex"><body>x</body></html>'),
+    # nofollow only, single quotes + mixed case name
+    ("http://r.test/p2",
+     "<html><meta name='ROBOTS' content='NOFOLLOW'></html>"),
+    # none == noindex,nofollow; unquoted name attr
+    ("http://r.test/p3", "<html><meta name=robots content='none'></html>"),
+    # spaced comma list, attribute order reversed
+    ("http://r.test/p4",
+     '<html><meta content=" noindex ,  nofollow " name="robots"></html>'),
+    # multiple tags combine most-restrictive-wins
+    ("http://r.test/p5",
+     '<html><meta name="robots" content="index, follow">'
+     '<meta name="robots" content="nofollow"></html>'),
+    # description meta is NOT a robots tag; no robots meta at all
+    ("http://r.test/p6",
+     '<html><meta name="description" content="noindex"></html>'),
+    ("http://r.test/p7", "<html><body>no meta</body></html>"),
+]
+
+
+@pytest.fixture(scope="module")
+def robots_pages(spark):
+    from data_crawler_spark.operators.structured import (
+        robots_directives_col)
+    df = spark.createDataFrame(ROBOTS_PAGES, "url string, html string")
+    return df, {r["url"]: (r["d"]["noindex"], r["d"]["nofollow"])
+                for r in df.select(
+                    "url", robots_directives_col(F.col("html"))
+                    .alias("d")).collect()}
+
+
+def test_robots_directives_forms(robots_pages):
+    _, d = robots_pages
+    assert d["http://r.test/p1"] == (True, False)
+    assert d["http://r.test/p2"] == (False, True)
+    assert d["http://r.test/p3"] == (True, True)   # none
+    assert d["http://r.test/p4"] == (True, True)   # spaced list
+    assert d["http://r.test/p5"] == (False, True)  # tags combine
+    assert d["http://r.test/p6"] == (False, False)  # not a robots tag
+    assert d["http://r.test/p7"] == (False, False)
+
+
+def test_noindex_filter_and_plan(robots_pages):
+    from data_crawler_spark.operators.structured import noindex_filter
+    df, _ = robots_pages
+    kept = noindex_filter(df)
+    assert {r["url"] for r in kept.select("url").collect()} == {
+        "http://r.test/p2", "http://r.test/p5",
+        "http://r.test/p6", "http://r.test/p7"}
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "EvalPython" not in plan
+
+
+def test_apply_meta_nofollow_drops_source_edges(spark, robots_pages):
+    from data_crawler_spark.operators.structured import apply_meta_nofollow
+    df, _ = robots_pages
+    edges = spark.createDataFrame(
+        [(u, f"http://t.test/{i}") for i, (u, _) in enumerate(ROBOTS_PAGES)]
+        + [("http://r.test/p2", "http://t.test/extra")],
+        "src string, dst string")
+    out = apply_meta_nofollow(edges, df)
+    srcs = {r["src"] for r in out.select("src").collect()}
+    # nofollow sources (p2, p3, p4, p5) lose ALL their outlinks
+    assert srcs == {"http://r.test/p1", "http://r.test/p6",
+                    "http://r.test/p7"}
+    # edge count: one edge per remaining src
+    assert out.count() == 3

@@ -226,3 +226,64 @@ def test_export_wet_plan_no_shuffle(spark, tmp_path):
     plan = (export_wet(pages, tmp_path / "o")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_page_wat_envelope_and_plan(spark):
+    """WAT JSON carries title/metas/links in document order; the
+    builder is a pure map (no Exchange, no Python)."""
+    import json as _json
+
+    from datetime import datetime
+
+    from data_crawler_spark.sources.warc import page_wat
+    rows = [
+        ("http://a.test/p1", datetime(2026, 1, 2, 3, 4, 5),
+         "<html><head><title> Hi there </title>"
+         '<meta name="description" content="d1"></head>'
+         "<body><a href='/x'>x</a><a href=\"http://b.test/\">b</a>"
+         "<a href=unquoted>skipped</a><a name=anchor>no href</a>"
+         "</body></html>"),
+        ("http://a.test/p2", datetime(2026, 1, 2, 3, 4, 6),
+         "<html>no head</html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "html string")
+    wat = page_wat(df)
+    got = {r["url"]: _json.loads(r["wat_json"]) for r in wat.collect()}
+    h1 = got["http://a.test/p1"]["Envelope"]["Payload-Metadata"][
+        "HTML-Metadata"]
+    assert h1["Head"]["Title"] == "Hi there"
+    assert h1["Head"]["Metas"] == [
+        {"key": "description", "value": "d1"}]
+    # document order across mixed quote styles; unquoted/absent skipped
+    assert [x["url"] for x in h1["Links"]] == ["/x", "http://b.test/"]
+    h2 = got["http://a.test/p2"]["Envelope"]["Payload-Metadata"][
+        "HTML-Metadata"]
+    assert h2["Head"]["Title"] is None
+    assert h2["Links"] == []
+    assert got["http://a.test/p1"]["Envelope"]["WARC-Header-Metadata"][
+        "WARC-Target-URI"] == "http://a.test/p1"
+
+    plan = wat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "EvalPython" not in plan
+
+
+def test_export_wat_roundtrip(spark, tmp_path):
+    """WAT metadata records roundtrip (url, warc_ts, wat_json)
+    exactly through the distributed sink and the WARC reader."""
+    from data_crawler_spark.sources.warc import (export_wat, page_wat,
+                                                 read_warc, wat_entries)
+    pdf = _pages_pdf()
+    pages = spark.createDataFrame(
+        pdf, "url string, warc_ts timestamp, html binary").repartition(2)
+    wat = page_wat(pages)
+    exp = {r["url"]: (r["warc_ts"], r["wat_json"]) for r in wat.collect()}
+    manifest = export_wat(wat, tmp_path / "wat").collect()
+    assert len(manifest) == 2
+    assert sum(r["n_records"] for r in manifest) == len(pdf)
+    files = sorted((tmp_path / "wat").glob("part-*.warc.wat.gz"))
+    assert len(files) == 2
+
+    back = wat_entries(read_warc(spark, str(tmp_path / "wat"))).collect()
+    assert {r["url"]: (r["warc_ts"], r["wat_json"]) for r in back} == exp
