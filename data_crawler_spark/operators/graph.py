@@ -301,9 +301,15 @@ def harmonic_centrality(edges: DataFrame, max_radius: int = 10,
             unioned = (contrib.union(state.select("node", "sk"))
                        .groupBy("node")
                        .agg(F.hll_union_agg("sk").alias("sk_new")))
+            # clamp the estimate monotone: the SKETCH only grows, but
+            # the composite estimator can dip a hair across its
+            # mode transitions — a raw dip would add a negative
+            # harmonic increment now and re-count the same mass later
             state = (state.drop("sk").join(unioned, "node")
                      .withColumn("est_new",
-                                 F.hll_sketch_estimate("sk_new"))
+                                 F.greatest(
+                                     F.hll_sketch_estimate("sk_new"),
+                                     F.col("est")))
                      .select("node",
                              F.col("sk_new").alias("sk"),
                              F.col("est_new").alias("est"),

@@ -35,11 +35,15 @@ _META_TAG_RE = r"(?is)<meta\b[^>]*>"
 
 
 def _attr(tag: Column, name_re: str) -> Column:
-    """First ``name="..."`` / ``name='...'`` attribute value on a tag
-    fragment — both quote styles (real-world meta tags mix them)."""
+    """First ``name="..."`` / ``name='...'`` / unquoted ``name=...``
+    attribute value on a tag fragment — real-world meta tags mix all
+    three forms (unquoted is legal HTML for space-free values)."""
     dq = F.regexp_extract(tag, rf'(?is)\b(?:{name_re})\s*=\s*"([^"]*)"', 1)
     sq = F.regexp_extract(tag, rf"(?is)\b(?:{name_re})\s*=\s*'([^']*)'", 1)
-    return F.when(dq != "", dq).otherwise(sq)
+    uq = F.regexp_extract(
+        tag, rf"(?is)\b(?:{name_re})\s*=\s*([^\s\"'>][^\s>]*)", 1)
+    return F.when(dq != "", dq).otherwise(F.when(sq != "", sq)
+                                          .otherwise(uq))
 
 
 def jsonld_col(html: Column) -> Column:

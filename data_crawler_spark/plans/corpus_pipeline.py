@@ -277,3 +277,78 @@ def write_training_shards(out: DataFrame, path: str,
         writer.parquet(path)
     else:
         writer.json(path)
+
+
+def prepare_pages(pages: DataFrame, *,
+                  url_col: str = "url", html_col: str = "html",
+                  blocklist=None, traps: DataFrame | None = None,
+                  decode: bool = True,
+                  respect_robots_meta: bool = True,
+                  canonical: bool = True,
+                  extract_main: bool = True,
+                  soft404: bool = True,
+                  **main_text_params) -> DataFrame:
+    """The PAGE-level pre-pipeline: captured pages -> clean_corpus-ready
+    docs ``(doc_id, url, text, + passthrough)``. This is the seam
+    between the crawl/WARC side and the text side — a user holding raw
+    captures runs ``prepare_pages`` then ``clean_corpus`` and has the
+    full published-pipeline composition.
+
+    Stages, cheapest first so each drops rows before the next pays:
+
+    1. ``links.host_blocklist_filter`` — URL-only, pure map (literal
+       list) or broadcast semi-join (DataFrame list). Optional.
+    2. ``links.trap_filter`` — drop mined spider-trap templates
+       (broadcast anti-join). Optional (pass the mined frame).
+    3. ``hygiene.decode_pages`` — charset sniff + tolerant re-encode
+       to valid UTF-8 (ONE Arrow stage). ``decode=False`` when the
+       capture table already holds clean UTF-8.
+    4. ``structured.noindex_filter`` — the robots-meta publisher
+       opt-out (pure map on the decoded html).
+    5. ``structured.canonical_dedup`` — collapse declared-canonical
+       variants (the pipeline's single page-level shuffle, salted).
+    6. ``boilerplate.main_text`` — jusText-style main-content
+       extraction (ONE Arrow stage) into ``text``; otherwise ``text``
+       is the decoded html as a string.
+    7. ``hygiene.drop_soft404`` — error-pages-served-as-content, on
+       the EXTRACTED text (the published ordering: boilerplate first,
+       then content heuristics) plus the native <title>.
+
+    ``doc_id`` is the page URL (stable, total-ordering-friendly — the
+    dedup/sampling tie-breaks all accept strings). 100 TB shape: html
+    bytes cross exactly the two Arrow stages and the one canonical
+    shuffle (phase-1 salted survivors only); every gate is a map."""
+    from ..operators.boilerplate import main_text
+    from ..operators.hygiene import decode_pages, drop_soft404
+    from ..operators.links import host_blocklist_filter, trap_filter
+    from ..operators.structured import canonical_dedup, noindex_filter
+
+    out = pages
+    if blocklist is not None:
+        out = host_blocklist_filter(out, blocklist, url_col=url_col)
+    if traps is not None:
+        if "host" not in out.columns:
+            from ..operators.links import host_col
+            out = out.withColumn("host", host_col(F.col(url_col)))
+        out = trap_filter(out, traps, url_col=url_col)
+    hcol = html_col
+    if decode:
+        out = decode_pages(out, html_col=html_col, out_col="html_utf8")
+        hcol = "html_utf8"
+    if respect_robots_meta:
+        out = noindex_filter(out, html_col=hcol)
+    if canonical:
+        out = canonical_dedup(out, url_col=url_col, html_col=hcol)
+    if extract_main:
+        out = main_text(out, html_col=hcol, out_col="text",
+                        **main_text_params)
+    else:
+        out = out.withColumn("text", F.col(hcol).cast("string"))
+    if soft404:
+        title = F.regexp_extract(
+            F.col(hcol).cast("string"),
+            r"(?is)<title[^>]*>\s*(.*?)\s*</title>", 1)
+        out = out.withColumn("_title", title)
+        out = drop_soft404(out, text_col="text", title_col="_title")
+        out = out.drop("_title")
+    return out.withColumn("doc_id", F.col(url_col))

@@ -292,3 +292,72 @@ def test_write_training_shards_jsonl(spark, tmp_path):
     assert docs == sorted(docs)
     with pytest.raises(ValueError, match="fmt"):
         write_training_shards(out, dest, fmt="csv")
+
+
+def test_prepare_pages_end_to_end(spark):
+    """Raw captures -> corpus-ready docs: blocklist, decode, robots
+    meta, canonical collapse, main-text extraction, soft-404 drop."""
+    from data_crawler_spark.plans.corpus_pipeline import prepare_pages
+
+    nav = "<div><a href='/a'>nav</a> <a href='/b'>bar</a></div>"
+    prose = ("<p>" + " ".join(
+        "the fish is in the net and it is a part of the story to tell"
+        .split() * 6) + " so the block is long enough to be kept.</p>")
+
+    def page(body, head=""):
+        return f"<html><head>{head}</head><body>{body}</body></html>"
+
+    rows = [
+        # survives: prose page with boilerplate nav (cp1252 bytes)
+        ("http://good.test/a",
+         page(nav + prose.replace("fish", "caf\xe9 fish"))
+         .encode("windows-1252")),
+        # blocklisted host
+        ("http://spam.test/x", page(prose).encode()),
+        # robots noindex opt-out
+        ("http://good.test/noidx",
+         page(prose, '<meta name="robots" content="noindex">').encode()),
+        # canonical variant of /a -> collapses onto /a
+        ("http://good.test/a?utm=1",
+         page(nav + prose,
+              '<link rel="canonical" href="http://good.test/a">')
+         .encode()),
+        # soft 404
+        ("http://good.test/gone",
+         page("<p>Page not found</p>",
+              "<title>404 Not Found</title>").encode()),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = prepare_pages(pages, blocklist=["spam.test"])
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {"http://good.test/a"}
+    text = got["http://good.test/a"]
+    assert "café fish" in text         # charset decoded
+    assert "nav" not in text           # boilerplate stripped
+    assert out.columns[-1] == "doc_id"
+
+    # toggles: no canonical collapse keeps the utm variant; no soft404
+    # keeps the error page; no robots-meta keeps the opt-out
+    lax = prepare_pages(pages, blocklist=["spam.test"], canonical=False,
+                        soft404=False, respect_robots_meta=False)
+    assert lax.count() == 4
+
+
+def test_prepare_pages_feeds_clean_corpus(spark):
+    """The two halves compose: prepare_pages output runs through
+    clean_corpus unchanged."""
+    from data_crawler_spark.plans.corpus_pipeline import (clean_corpus,
+                                                          prepare_pages)
+
+    prose = ("<p>" + " ".join(
+        "the fish is in the net and it is a part of the story to tell"
+        .split() * 8) + " and that is the whole of the story.</p>")
+    rows = [(f"http://h{i}.test/p", f"<html><body>{prose}</body></html>"
+             .encode()) for i in range(4)]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    docs = prepare_pages(pages)
+    out = clean_corpus(docs, quality=False, repetition=False,
+                       near_dup_threshold=None)
+    # identical bodies -> exact dedup keeps exactly one
+    assert out.count() == 1
+    assert "n_tokens" in out.columns

@@ -269,3 +269,25 @@ def test_apply_meta_nofollow_drops_source_edges(spark, robots_pages):
                     "http://r.test/p7"}
     # edge count: one edge per remaining src
     assert out.count() == 3
+
+
+def test_unquoted_attr_values(spark):
+    """Unquoted attribute values (legal HTML for space-free tokens)
+    parse in meta entries, robots directives, and canonical hrefs."""
+    from data_crawler_spark.operators.structured import (
+        canonical_url_col, meta_entries_col, robots_directives_col)
+    df = spark.createDataFrame(
+        [("http://u.test/p",
+          "<html><meta name=viewport content=width=device-width>"
+          "<meta name=robots content=noindex,nofollow>"
+          "<link rel=canonical href=http://u.test/canon></html>")],
+        "url string, html string")
+    [r] = df.select(
+        meta_entries_col(F.col("html")).alias("m"),
+        robots_directives_col(F.col("html")).alias("d"),
+        canonical_url_col(F.col("url"), F.col("html")).alias("c"),
+    ).collect()
+    pairs = [(e["key"], e["value"]) for e in r["m"]]
+    assert ("viewport", "width=device-width") in pairs
+    assert (r["d"]["noindex"], r["d"]["nofollow"]) == (True, True)
+    assert r["c"] == "http://u.test/canon"
