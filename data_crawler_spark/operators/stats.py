@@ -79,3 +79,33 @@ def gate_pass_rates(flagged: DataFrame,
             F.avg(F.col(c).cast("double")), 4).alias(f"{c}_pass_rate"))
     return (flagged.groupBy(*group_cols).agg(*aggs) if group_cols
             else flagged.agg(*aggs))
+
+
+def split_leakage(splits: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id",
+                  split_col: str = "split",
+                  id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Audit a train/val/test assignment against a near-duplicate pair
+    list: returns the pairs whose two members landed in DIFFERENT
+    splits — ``(id_a, id_b, split_a, split_b)``. Empty means the split
+    is leakage-free at the given pair relation; that is the property
+    ``hosts.domain_split`` claims by construction, and this op is the
+    trust-but-verify check for it (run it over the minhash/semdedup
+    pair output before publishing a benchmark split — eval
+    contamination via near-dups is exactly how test leakage happens
+    in practice).
+
+    Scale shape: two equi-joins of the ~16-byte pair rows against the
+    (id, split) projection — the pair list is the output of the
+    near-dup pipeline (candidates only, corpus-sublinear) and the
+    split frame is two small columns, so both joins are
+    AQE-broadcastable; nothing corpus-sized shuffles."""
+    s = splits.select(F.col(id_col).alias("_id"),
+                      F.col(split_col).alias("_split"))
+    out = (pairs
+           .join(s.withColumnsRenamed(
+               {"_id": id_a, "_split": "split_a"}), id_a)
+           .join(s.withColumnsRenamed(
+               {"_id": id_b, "_split": "split_b"}), id_b)
+           .filter(F.col("split_a") != F.col("split_b")))
+    return out.select(id_a, id_b, "split_a", "split_b")

@@ -87,3 +87,41 @@ def test_stats_plan_is_single_pass(spark, corpus):
             .executedPlan().toString())
     # one partial+final aggregate pair, no Python, no join
     assert "Python" not in plan and "Join" not in plan
+
+def test_split_leakage(spark):
+    from data_crawler_spark.operators.stats import split_leakage
+    splits = spark.createDataFrame(
+        [("d1", "train"), ("d2", "train"), ("d3", "val"),
+         ("d4", "test"), ("d5", "val")],
+        "doc_id string, split string")
+    pairs = spark.createDataFrame(
+        [("d1", "d2"),   # same split: clean
+         ("d2", "d3"),   # train/val leak
+         ("d4", "d5"),   # test/val leak
+         ("d3", "d5")],  # same split: clean
+        "id_a string, id_b string")
+    got = {(r["id_a"], r["id_b"], r["split_a"], r["split_b"])
+           for r in split_leakage(splits, pairs).collect()}
+    assert got == {("d2", "d3", "train", "val"),
+                   ("d4", "d5", "test", "val")}
+
+
+def test_split_leakage_domain_split_clean(spark):
+    """domain_split's construction claim: near-dup pairs inside one
+    registered domain can never straddle splits."""
+    from data_crawler_spark.operators.hosts import domain_split
+    from data_crawler_spark.operators.stats import split_leakage
+    docs = spark.createDataFrame(
+        [(f"http://site{i % 7}.test/p{j}",) for i in range(7)
+         for j in range(4)], "url string")
+    split = domain_split(docs, fractions={"train": 0.6, "val": 0.2,
+                                          "test": 0.2})
+    # same-domain pairs (the ones a near-dup pass would emit for
+    # template pages)
+    pairs = spark.createDataFrame(
+        [(f"http://site{i}.test/p0", f"http://site{i}.test/p{j}")
+         for i in range(7) for j in range(1, 4)],
+        "id_a string, id_b string")
+    leak = split_leakage(split.withColumnRenamed("url", "doc_id"),
+                         pairs)
+    assert leak.count() == 0

@@ -112,3 +112,108 @@ def test_max_words_cap_is_deterministic(spark):
         train_bpe(word_freqs(df), -1)
     with pytest.raises(ValueError):
         train_bpe(word_freqs(df), 1, max_words=0)
+
+
+def _ref_viterbi(word, logp, unk):
+    """Independent DP mirror (forward enumeration over all split
+    points, explicit tie rule: longer last piece wins)."""
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for j in range(1, n + 1):
+        for i in range(j - 1, -1, -1):
+            piece = word[i:j]
+            lp = logp.get(piece, unk if j - i == 1 else None)
+            if lp is None:
+                continue
+            s = best[i] + lp
+            if s > best[j] or (s == best[j] and i < back[j]):
+                best[j], back[j] = s, i
+    out, j = [], n
+    while j > 0:
+        out.append(word[back[j]:j])
+        j = back[j]
+    return out[::-1]
+
+
+def test_unigram_train_and_encode(spark):
+    from data_crawler_spark.operators.tokenizer import (train_unigram,
+                                                        unigram_encode,
+                                                        word_freqs)
+    docs = spark.createDataFrame(
+        [("low low low lower lowest newest newest widest",)], "text string")
+    freqs = word_freqs(docs)
+    vocab = train_unigram(freqs, vocab_size=15, seed_max_piece_len=5)
+    pieces = [p for p, _ in vocab]
+    assert len(pieces) == len(set(pieces))
+    assert len(pieces) <= 15
+    # every training char survives
+    chars = set("lowerstnwid")
+    assert chars <= {p for p in pieces if len(p) == 1}
+    # log-probs normalized-ish and sorted desc
+    import math
+    assert abs(sum(math.exp(lp) for _, lp in vocab) - 1.0) < 1e-6
+    lps = [lp for _, lp in vocab]
+    assert lps == sorted(lps, reverse=True)
+
+    enc = unigram_encode(docs, vocab).collect()[0]["unigram_tokens"]
+    # round trip: concatenating pieces rebuilds the words
+    assert "".join(enc) == "lowlowlowlowerlowestnewestnewestwidest"
+    # frequent whole word becomes a single piece
+    assert "low" in pieces
+    logp = dict(vocab)
+    unk = min(logp.values()) - 10.0
+    # matches the independent mirror word-by-word
+    out = []
+    for w in "low low low lower lowest newest newest widest".split():
+        out.extend(_ref_viterbi(w, logp, unk))
+    assert enc == out
+
+
+def test_unigram_unseen_chars_and_determinism(spark):
+    from data_crawler_spark.operators.tokenizer import (train_unigram,
+                                                        unigram_encode,
+                                                        word_freqs)
+    train = spark.createDataFrame(
+        [("the cat sat on the mat the cat",)], "text string")
+    vocab = train_unigram(word_freqs(train), vocab_size=12)
+    # unseen chars segment as single-char pieces, coverage total
+    probe = spark.createDataFrame([("cat zyx",)], "text string")
+    toks = unigram_encode(probe, vocab).collect()[0]["unigram_tokens"]
+    assert "".join(toks) == "catzyx"
+    assert all(len(t) == 1 for t in toks if set(t) & set("zyx"))
+
+    # training is a function of the freqs alone, not partition layout
+    v2 = train_unigram(word_freqs(train.repartition(6)), vocab_size=12)
+    assert v2 == vocab
+
+    # distributed encode == driver-side viterbi on a bigger corpus
+    docs = spark.createDataFrame(
+        [(f"the cat sat {i} times on the mat",) for i in range(20)],
+        "text string").repartition(5)
+    got = unigram_encode(docs, vocab).collect()
+    import re
+
+    from data_crawler_spark.operators.text import WORD_RE
+    from data_crawler_spark.operators.tokenizer import _viterbi
+    logp = dict(vocab)
+    unk = min(logp.values()) - 10.0
+    wre = re.compile(WORD_RE)
+    for r in got:
+        want = []
+        for w in wre.findall(r["text"].lower()):
+            want.extend(_viterbi(w, logp, unk))
+        assert r["unigram_tokens"] == want
+
+
+def test_unigram_vocab_size_validation(spark):
+    import pytest as _pytest
+
+    from data_crawler_spark.operators.tokenizer import (train_unigram,
+                                                        word_freqs)
+    docs = spark.createDataFrame([("a b",)], "text string")
+    with _pytest.raises(ValueError):
+        train_unigram(word_freqs(docs), vocab_size=0)
+    # empty corpus
+    empty = spark.createDataFrame([], "text string")
+    assert train_unigram(word_freqs(empty), vocab_size=5) == []
