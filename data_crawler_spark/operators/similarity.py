@@ -356,9 +356,10 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     cent = _fit_quantizer(df, n_lists, sample_n, id_col, vec_col)
     spark = df.sparkSession
     if cent is None:
+        id_t = df.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"{id_col} long, list_id int, centroid_sim double, "
-                f"dup_group long, semdedup_keep boolean")
+            [], f"{id_col} {id_t}, list_id int, centroid_sim double, "
+                f"dup_group {id_t}, semdedup_keep boolean")
     assign = ivf_assign_sim_udf(cent)
     assigned = df.select(
         F.col(id_col), F.col(vec_col),

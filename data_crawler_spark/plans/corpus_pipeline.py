@@ -56,6 +56,8 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                  paragraph_dedup_keep: str | None = None,
                  min_paragraph_survival: float = 0.5,
                  exact: bool = True, near_dup_threshold: float | None = 0.7,
+                 semantic_threshold: float | None = None,
+                 vec_col: str = "embedding", semantic_n_lists: int = 16,
                  decontam_n: int = 13,
                  group_cap: tuple[str, int] | None = None,
                  clf_labeled: DataFrame | None = None,
@@ -101,6 +103,11 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
       boilerplate it strips would otherwise mask near-dup signals);
       docs whose surviving-paragraph fraction falls below
       ``min_paragraph_survival`` are dropped as hollowed-out.
+    - ``semantic_threshold`` (docs must carry ``vec_col``
+      embeddings) runs SemDeDup after the text-side dedups: within-
+      cluster cosine duplicate groups keep their farthest-from-
+      centroid member (the D4 ordering — fuzzy text dedup first,
+      semantic dedup on the survivors).
     - ``group_cap=(col, k)`` keeps at most k docs per value of ``col``
       (the C4/Dolma per-domain diversity cap), min-id survivors,
       after dedup so the cap counts distinct content.
@@ -182,6 +189,18 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
         drop = (comps.filter(F.col(id_col) != F.col("cluster_id"))
                 .select(id_col))
         out = out.join(drop, id_col, "left_anti")
+
+    if semantic_threshold is not None:
+        # SemDeDup on the text-dedup survivors (the D4 composition):
+        # only (id, embedding) enters the clustering; survivors come
+        # back as a semi-join on the id
+        from ..operators.similarity import semantic_dedup
+        sd = semantic_dedup(out.select(id_col, vec_col),
+                            threshold=semantic_threshold,
+                            id_col=id_col, vec_col=vec_col,
+                            n_lists=semantic_n_lists)
+        out = out.join(sd.filter("semdedup_keep").select(id_col),
+                       id_col, "left_semi")
 
     if eval_df is not None:
         out = decontaminate(out, eval_df, id_col, text_col, decontam_n)

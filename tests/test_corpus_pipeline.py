@@ -361,3 +361,44 @@ def test_prepare_pages_feeds_clean_corpus(spark):
     # identical bodies -> exact dedup keeps exactly one
     assert out.count() == 1
     assert "n_tokens" in out.columns
+
+
+def test_clean_corpus_semantic_stage(spark):
+    """SemDeDup stage: embedding-duplicate docs (different TEXT, so
+    text dedup keeps both) collapse to one survivor; stage equals the
+    direct op composition."""
+    from data_crawler_spark.operators.similarity import semantic_dedup
+    from data_crawler_spark.plans.corpus_pipeline import clean_corpus
+
+    base = [float(x) for x in range(8)]
+    other = [float(8 - x) for x in range(8)]
+    rows = [
+        ("d1", "the cat sat on the mat and it is a fine day", base),
+        ("d2", "a totally different sentence about the sea is here",
+         base),  # same embedding as d1 -> semantic dup
+        ("d3", "the third doc is about something else entirely",
+         other),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, text string, embedding array<double>")
+    out = clean_corpus(docs, quality=False, repetition=False,
+                       exact=True, near_dup_threshold=None,
+                       semantic_threshold=0.99, semantic_n_lists=2)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    direct = semantic_dedup(docs.select("doc_id", "embedding"),
+                            threshold=0.99, id_col="doc_id",
+                            n_lists=2)
+    want = {r["doc_id"] for r in direct.filter("semdedup_keep")
+            .collect()}
+    assert kept == want
+    assert "d3" in kept
+    assert len(kept & {"d1", "d2"}) == 1
+
+
+def test_semantic_dedup_empty_string_ids(spark):
+    from data_crawler_spark.operators.similarity import semantic_dedup
+    empty = spark.createDataFrame(
+        [], "doc_id string, embedding array<double>")
+    out = semantic_dedup(empty, id_col="doc_id")
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == "string"
