@@ -371,3 +371,139 @@ def prepare_pages(pages: DataFrame, *,
         out = drop_soft404(out, text_col="text", title_col="_title")
         out = out.drop("_title")
     return out.withColumn("doc_id", F.col(url_col))
+
+
+class IncrementalCorpusCleaner:
+    """O(delta) nightly cleaning: run each new crawl snapshot through
+    the map gates and BOTH dedups against the corpus-so-far without
+    ever reprocessing the corpus — the workflow a 100 TB pipeline
+    actually runs after day one (the batch ``clean_corpus`` is the
+    bootstrap; this is every day after).
+
+    State (under one ``state_dir``, both tables snapshot-versioned,
+    crash-safe, time-travelable — plans/snapshots.py):
+
+    - ``content_hashes``: (id, content_hash) of every doc that survived
+      the exact stage — the exact-dedup memory.
+    - the ``IncrementalMinHashIndex`` signature table — the near-dup
+      memory. Both indexes keep entries for docs LATER dropped by
+      near-dup: conservative by design, so a future copy of a dropped
+      near-duplicate is still recognized as seen.
+
+    ``clean(delta)`` = map gates (delta-only) -> within-delta exact
+    dedup (min id per hash) -> anti-join vs stored hashes -> commit
+    survivor hashes -> ``index.add`` (O(delta) signaturing + banded
+    delta-vs-corpus join) -> drop delta members paired with the corpus
+    (the corpus is canonical: it is already published/trained on) ->
+    connected components over the remaining delta-delta pairs, keep
+    the min id. Returns the surviving delta rows (+ ``n_tokens``).
+
+    Shuffle story: gates are maps; the exact stage shuffles ~50-byte
+    (id, hash) rows once; the hash anti-join and the banded join are
+    the two delta-vs-corpus probes, both O(delta + matches); corpus
+    text is never re-read. Contract: ``id_col`` is int64, ids unique
+    within a delta and NEVER re-added (the index's append-only guard
+    raises otherwise, and ``clean`` rolls BOTH tables back to their
+    entry versions on any failure, so a failed call never leaves the
+    two indexes disagreeing). Corpus-wide publish stages (group caps,
+    mixtures, splits, shard packing) are deliberately rejected from
+    ``gates`` — they need the whole corpus and belong to the publish
+    step, not the delta path."""
+
+    _FORBIDDEN_GATES = frozenset({
+        "exact", "near_dup_threshold", "semantic_threshold",
+        "group_cap", "mixture_group_col", "mixture_weights",
+        "mixture_temperature", "split_fractions", "shard_budget"})
+
+    def __init__(self, spark, state_dir, *, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 near_dup_threshold: float = 0.7,
+                 n_hashes: int = 64, n_bands: int = 16,
+                 shingle_n: int = 3,
+                 gates: dict | None = None):
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+
+        from ..operators.dedup import IncrementalMinHashIndex
+        from .snapshots import SnapshotTable
+
+        bad = self._FORBIDDEN_GATES & set(gates or {})
+        if bad:
+            raise ValueError(
+                f"corpus-wide stages {sorted(bad)} are not delta-safe; "
+                "run them at publish time over the accumulated corpus")
+        self.id_col, self.text_col = id_col, text_col
+        self.threshold = near_dup_threshold
+        self.gates = dict(gates or {})
+        self.hashes = SnapshotTable(
+            spark, state_dir, "content_hashes",
+            StructType([StructField(id_col, LongType(), False),
+                        StructField("content_hash", StringType(), True)]))
+        self.index = IncrementalMinHashIndex(
+            spark, state_dir, id_col=id_col, n_hashes=n_hashes,
+            n_bands=n_bands, shingle_n=shingle_n)
+
+    def versions(self) -> tuple[int, int]:
+        return (self.hashes.current_version(),
+                self.index.table.current_version())
+
+    def rollback(self, versions: tuple[int, int]) -> None:
+        self.hashes.rollback(versions[0])
+        self.index.table.rollback(versions[1])
+
+    def clean(self, delta: DataFrame) -> DataFrame:
+        from ..operators.dedup import connected_components
+        from ..operators.text import fingerprint_col
+
+        id_col, text_col = self.id_col, self.text_col
+        v0 = self.versions()
+        try:
+            gated = clean_corpus(delta, id_col=id_col, text_col=text_col,
+                                 exact=False, near_dup_threshold=None,
+                                 **self.gates)
+            hashed = gated.withColumn(
+                "_ch", fingerprint_col(F.col(text_col)))
+            within = (hashed.groupBy("_ch")
+                      .agg(F.min(id_col).alias(id_col))
+                      .select(id_col))
+            seen = self.hashes.read().select("content_hash")
+            # one materialization feeds the hash commit, the signature
+            # pass, and the final result
+            fresh = (hashed.join(within, id_col, "left_semi")
+                     .join(seen.withColumnRenamed("content_hash", "_ch"),
+                           "_ch", "left_anti")
+                     .localCheckpoint())
+
+            self.hashes.write(
+                fresh.select(id_col, F.col("_ch").alias("content_hash")),
+                mode="append")
+            pairs = self.index.add(fresh.select(id_col, text_col),
+                                   text_col=text_col,
+                                   threshold=self.threshold)
+
+            ids = fresh.select(id_col)
+            flagged = (
+                pairs
+                .join(ids.withColumnRenamed(id_col, "id_a")
+                      .withColumn("_in_a", F.lit(True)), "id_a", "left")
+                .join(ids.withColumnRenamed(id_col, "id_b")
+                      .withColumn("_in_b", F.lit(True)), "id_b", "left"))
+            in_a = F.coalesce("_in_a", F.lit(False))
+            in_b = F.coalesce("_in_b", F.lit(False))
+            # delta member paired with a corpus doc: the corpus wins
+            drop_vs_corpus = (
+                flagged.filter(in_a & ~in_b).select(F.col("id_a")
+                                                    .alias(id_col))
+                .union(flagged.filter(in_b & ~in_a)
+                       .select(F.col("id_b").alias(id_col))))
+            dd_pairs = flagged.filter(in_a & in_b).select("id_a", "id_b")
+            comps = connected_components(ids, dd_pairs, id_col=id_col)
+            drop_dd = (comps.filter(F.col(id_col) != F.col("cluster_id"))
+                       .select(id_col))
+            return (fresh
+                    .join(drop_vs_corpus.union(drop_dd), id_col,
+                          "left_anti")
+                    .drop("_ch"))
+        except Exception:
+            self.rollback(v0)
+            raise

@@ -402,3 +402,65 @@ def test_semantic_dedup_empty_string_ids(spark):
     out = semantic_dedup(empty, id_col="doc_id")
     assert out.count() == 0
     assert dict(out.dtypes)["doc_id"] == "string"
+
+
+def test_incremental_corpus_cleaner(spark, tmp_path):
+    """Two nightly deltas through the O(delta) cleaner: exact and
+    near-dup memory both persist across calls; failures roll back
+    both index tables."""
+    from data_crawler_spark.plans.corpus_pipeline import (
+        IncrementalCorpusCleaner)
+
+    A = ("the fish is in the net and it is a part of the story to "
+         "tell today for sure")
+    B = ("a completely different document about the mountain trail "
+         "and the weather up there")
+    B_near = B + " indeed"
+    C = "the third subject matter is entirely new content here"
+
+    ic = IncrementalCorpusCleaner(
+        spark, tmp_path / "state", near_dup_threshold=0.5,
+        gates={"quality": False, "repetition": False})
+
+    d1 = spark.createDataFrame(
+        [(1, A), (2, A), (3, B)], "doc_id long, text string")
+    out1 = {r["doc_id"] for r in ic.clean(d1).collect()}
+    assert out1 == {1, 3}  # exact dup 2 dropped within the delta
+
+    d2 = spark.createDataFrame(
+        [(4, A),        # exact dup of corpus -> dropped by hash memory
+         (5, B_near),   # near-dup of corpus doc 3 -> corpus wins
+         (6, C),        # novel
+         (7, B_near + " x"), (8, B_near + " x")],  # exact dups of each
+        "doc_id long, text string")
+    out2 = {r["doc_id"] for r in ic.clean(d2).collect()}
+    assert 4 not in out2 and 5 not in out2
+    assert 6 in out2
+    # 7/8 exact-collapse to 7; 7 is a near-dup of corpus doc 3 too
+    assert 8 not in out2
+    assert out2 <= {6, 7}
+
+    # failure rolls BOTH tables back: re-adding id 6 with new text
+    # trips the index guard AFTER the hash commit
+    v = ic.versions()
+    d_bad = spark.createDataFrame(
+        [(6, "some new text for a reused id which is forbidden")],
+        "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ic.clean(d_bad)
+    assert ic.versions() == v
+    # and the state still works after the rollback
+    d3 = spark.createDataFrame(
+        [(9, A)], "doc_id long, text string")  # still remembered
+    assert ic.clean(d3).count() == 0
+
+
+def test_incremental_cleaner_rejects_corpus_stages(spark, tmp_path):
+    from data_crawler_spark.plans.corpus_pipeline import (
+        IncrementalCorpusCleaner)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        IncrementalCorpusCleaner(spark, tmp_path / "s",
+                                 gates={"split_fractions":
+                                        {"train": 1.0}})
