@@ -424,3 +424,117 @@ def label_propagation(edges: DataFrame, max_iter: int = 10,
         return labels
     finally:
         e.unpersist()
+
+
+def trustrank(edges: DataFrame, seeds: DataFrame, damping: float = 0.85,
+              max_iter: int = 20, src_col: str = "src",
+              dst_col: str = "dst",
+              num_partitions: int | None = None,
+              nodes: DataFrame | None = None) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    PageRank personalized to a hand-curated SEED set of trusted pages
+    — teleportation (and dangling mass) returns to the seeds instead
+    of spreading uniformly, so trust decays with link distance from
+    the seeds and spam farms that pump ordinary PageRank through
+    self-referential link mass receive (almost) none. The published
+    anti-spam companion to ``pagerank``: rank with both, and a high
+    pagerank / low trustrank gap IS the spam-mass signal (their §6).
+
+    Spec: node set and edge dedup as in ``pagerank``; t(v) = 1/|S| for
+    seed nodes else 0; per iteration
+
+        trust'(v) = (1−d)·t(v) + d·(Σ_{u→v} trust(u)/outdeg(u) + D·t(v))
+
+    with D = Σ trust(dangling) — Σ trust = 1 exactly every iteration.
+    Seeds not present in the graph still teleport (they join the node
+    set); an empty seed intersection raises (trust must enter
+    somewhere). Fixed ``max_iter`` for cross-layout determinism.
+
+    100 TB shape: identical to pagerank — edges persisted once
+    partitioned by src, per-iteration shuffles carry (node, trust)
+    rows only, the seed membership rides the checkpointed base frame,
+    one 1-row dangling action per iteration."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if max_iter < 0:
+        raise ValueError(f"max_iter must be >= 0, got {max_iter}")
+    spark = edges.sparkSession
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num_partitions = spark.sparkContext.defaultParallelism
+
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct()
+         .repartition(num_partitions, "src")
+         .persist())
+    try:
+        seed_set = (seeds.select(F.col(seeds.columns[0]).alias("node"))
+                    .filter(F.col("node").isNotNull()).distinct())
+        node_set = (e.select(F.col("src").alias("node"))
+                    .union(e.select(F.col("dst").alias("node")))
+                    .union(seed_set))
+        if nodes is not None:
+            extra = nodes.select(F.col(nodes.columns[0]).alias("node"))
+            node_set = node_set.union(
+                extra.filter(F.col("node").isNotNull()))
+        node_set = (node_set.distinct()
+                    .repartition(num_partitions, "node"))
+
+        n_seeds = seed_set.count()
+        if n_seeds == 0:
+            raise ValueError("trustrank needs a non-empty seed set")
+
+        outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        base = (node_set
+                .join(outdeg.withColumnRenamed("src", "node"),
+                      "node", "left")
+                .join(seed_set.withColumn("_seed", F.lit(True)),
+                      "node", "left")
+                .withColumn("t", F.when(F.coalesce("_seed", F.lit(False)),
+                                        F.lit(1.0 / n_seeds))
+                            .otherwise(F.lit(0.0)))
+                .drop("_seed")
+                .localCheckpoint())
+
+        trust = base.select("node", "deg", "t",
+                            F.col("t").alias("trust"))
+        for _ in range(max_iter):
+            dangling = (trust.filter(F.col("deg").isNull())
+                        .agg(F.sum("trust")).first()[0]) or 0.0
+            contrib = (e.join(trust.select(F.col("node").alias("src"),
+                                           (F.col("trust") / F.col("deg"))
+                                           .alias("c")), "src")
+                       .groupBy(F.col("dst").alias("node"))
+                       .agg(F.sum("c").alias("inflow")))
+            trust = (base.join(contrib, "node", "left")
+                     .select("node", "deg", "t",
+                             (F.lit(1.0 - damping) * F.col("t")
+                              + F.lit(damping)
+                              * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                                 + F.lit(dangling) * F.col("t")))
+                             .alias("trust"))
+                     .localCheckpoint())
+        return trust.select("node", "trust")
+    finally:
+        e.unpersist()
+
+
+def spam_mass(ranks: DataFrame, trust: DataFrame) -> DataFrame:
+    """Relative spam mass (Gyöngyi et al. 2004 §6): the fraction of a
+    node's PageRank NOT backed by trust, ``(rank − trust)/rank`` —
+    near 1 for farm pages, near/below 0 for seed-adjacent pages. One
+    equi-join of the two O(nodes) rank frames; nodes absent from the
+    trust frame count as untrusted (trust 0)."""
+    return (ranks.join(trust, "node", "left")
+            .select("node", "rank",
+                    F.coalesce("trust", F.lit(0.0)).alias("trust"),
+                    F.when(F.col("rank") > 0,
+                           (F.col("rank")
+                            - F.coalesce("trust", F.lit(0.0)))
+                           / F.col("rank"))
+                    .alias("spam_mass")))

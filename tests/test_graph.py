@@ -307,3 +307,71 @@ def test_label_propagation_isolated_and_direction(spark):
            for r in label_propagation(e, max_iter=5, nodes=n).collect()}
     assert got["a"] == got["b"] == got["c"]
     assert got["iso"] == "iso"  # keeps its own label
+
+
+def _ref_trustrank(edge_list, seeds, d=0.85, iters=20):
+    edges = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges}
+                   | set(seeds))
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    t = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    trust = dict(t)
+    for _ in range(iters):
+        dangling = sum(trust[v] for v in nodes if v not in out)
+        inflow = {v: 0.0 for v in nodes}
+        for u, ts in out.items():
+            for v in ts:
+                inflow[v] += trust[u] / len(ts)
+        trust = {v: (1 - d) * t[v] + d * (inflow[v] + dangling * t[v])
+                 for v in nodes}
+    return trust
+
+
+def test_trustrank_matches_mirror_and_demotes_spam(spark):
+    from data_crawler_spark.operators.graph import pagerank, trustrank
+
+    # trusted cluster a->b->c plus a spam farm: satellites pump
+    # their hub s1 (the Gyöngyi et al. §2 farm shape)
+    edges = ([("a", "b"), ("b", "c"), ("c", "a")]
+             + [("s1", f"sat{i}") for i in range(6)]
+             + [(f"sat{i}", "s1") for i in range(6)])
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["trust"]
+           for r in trustrank(e, seeds, max_iter=20).collect()}
+    want = _ref_trustrank(edges, {"a"})
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9, abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the farm outranks honest pages on PageRank but holds ~zero trust
+    pr = {r["node"]: r["rank"] for r in pagerank(e, max_iter=20).collect()}
+    assert pr["s1"] > pr["b"]          # spam mass fools pagerank
+    assert got["s1"] == pytest.approx(0.0, abs=1e-12)
+    assert got["b"] > 0.1
+
+    # spam-mass composition: farm pages ~1, trusted pages well below
+    from data_crawler_spark.operators.graph import spam_mass
+    pr_df = pagerank(e, max_iter=20)
+    tr_df = trustrank(e, seeds, max_iter=20)
+    sm = {r["node"]: r["spam_mass"] for r in
+          spam_mass(pr_df, tr_df).collect()}
+    assert sm["s1"] == pytest.approx(1.0, abs=1e-9)
+    assert sm["b"] < 0.5
+
+
+def test_trustrank_seed_outside_graph_and_validation(spark):
+    from data_crawler_spark.operators.graph import trustrank
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    # seed not present in the edge list still teleports (dangling)
+    seeds = spark.createDataFrame([("z",), ("a",)], "node string")
+    got = {r["node"]: r["trust"]
+           for r in trustrank(e, seeds, max_iter=10).collect()}
+    want = _ref_trustrank([("a", "b")], {"z", "a"}, iters=10)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9, abs=1e-12)
+    empty_seeds = spark.createDataFrame([], "node string")
+    with pytest.raises(ValueError):
+        trustrank(e, empty_seeds)
