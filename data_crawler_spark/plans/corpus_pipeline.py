@@ -358,6 +358,11 @@ def prepare_pages(pages: DataFrame, *,
         out = noindex_filter(out, html_col=hcol)
     if canonical:
         out = canonical_dedup(out, url_col=url_col, html_col=hcol)
+    # the crawl's PAGES shape already carries a `text` column (the
+    # extractor's output); prepare_pages REPLACES it — appending a
+    # second one would leave an ambiguous duplicate (drop is a no-op
+    # when absent)
+    out = out.drop("text")
     if extract_main:
         out = main_text(out, html_col=hcol, out_col="text",
                         **main_text_params)

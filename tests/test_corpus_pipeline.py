@@ -464,3 +464,23 @@ def test_incremental_cleaner_rejects_corpus_stages(spark, tmp_path):
         IncrementalCorpusCleaner(spark, tmp_path / "s",
                                  gates={"split_fractions":
                                         {"train": 1.0}})
+
+
+def test_prepare_pages_replaces_existing_text_column(spark):
+    """The crawl's PAGES shape already carries `text`; prepare_pages
+    must REPLACE it, not append an ambiguous duplicate."""
+    from data_crawler_spark.plans.corpus_pipeline import prepare_pages
+    pages = spark.createDataFrame(
+        [("http://h.test/p", "OLD EXTRACT",
+          b"<html><body><p>" +
+          b"the fish is in the net and it is a part of the story. "
+          * 6 + b"</p></body></html>")],
+        "url string, text string, html binary")
+    out = prepare_pages(pages)
+    assert out.columns.count("text") == 1
+    [r] = out.collect()
+    assert r["text"].startswith("the fish")  # replaced, not the old col
+    # raw-text mode replaces too
+    out2 = prepare_pages(pages, extract_main=False)
+    assert out2.columns.count("text") == 1
+    assert "<html" in out2.collect()[0]["text"]
