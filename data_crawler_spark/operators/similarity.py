@@ -434,3 +434,157 @@ def cluster_corpus(df: DataFrame, n_clusters: int = 16,
                     F.col("_a.list_id").alias("cluster_id"),
                     F.round(F.col("_a.centroid_sim"), 6)
                     .alias("centroid_sim")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+# embedding STORAGE scale path: a dim-d float32 vector compresses to
+# n_subspaces uint8-sized codes (d=768 → 32 bytes at m=32: 96x), and
+# top-k runs over the codes with per-query lookup tables (asymmetric
+# distance computation) — the corpus vectors are never decompressed
+# row-by-row, let alone shipped.
+# ---------------------------------------------------------------------------
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic plain k-means (counter-hash seeding, Lloyd) —
+    UNLIKE _ivf_centroids this does not project onto the unit sphere:
+    PQ subvectors are not unit vectors and quantize in raw space."""
+    n = len(sample)
+    sel = (splitmix64_np(np.arange(k, dtype=np.uint64))
+           % np.uint64(n)).astype(np.int64)
+    cent = sample[sel].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def fit_pq(corpus: DataFrame, n_subspaces: int = 8,
+           n_centroids: int = 256, sample_n: int = 2000,
+           id_col: str = "vec_id",
+           vec_col: str = "embedding") -> np.ndarray | None:
+    """Train PQ codebooks on the same deterministic, partition-layout-
+    independent driver-side sample _fit_quantizer uses (hash-filtered,
+    id-ordered). Returns ``(n_subspaces, n_centroids, sub_dim)`` (None
+    on an empty corpus); the embedding dim must divide evenly into
+    ``n_subspaces``. Codebooks are ≤ a few MB — closure-shippable."""
+    n_rows = corpus.count()
+    if n_rows == 0:
+        return None
+    mod = max(1, n_rows // sample_n)
+    rows = (corpus
+            .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+            .orderBy(id_col).limit(sample_n)
+            .select(vec_col).collect())
+    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                       for r in rows])
+    dim = sample.shape[1]
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    k = min(n_centroids, len(sample))
+    return np.stack([
+        _kmeans(np.ascontiguousarray(sample[:, s * sub:(s + 1) * sub]), k)
+        for s in range(n_subspaces)])
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              out_col: str = "pq_code") -> DataFrame:
+    """Append ``out_col`` (array<int>, one centroid id per subspace)
+    plus ``recon_norm`` (the L2 norm of the RECONSTRUCTED vector —
+    the denominator asymmetric cosine needs; storing it costs one
+    float and saves re-deriving it per query). One vectorized Arrow
+    pass, no shuffle; at m subspaces the stored code is m bytes where
+    the input was 4·dim — the 100 TB embedding table becomes
+    cheap enough to broadcast-ship per executor."""
+    cb = codebooks
+    m, k, sub = cb.shape
+
+    @pandas_udf("struct<code:array<int>, recon_norm:double>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((len(X), m), dtype=np.int32)
+        recon = np.empty_like(X)
+        for s in range(m):
+            xs = X[:, s * sub:(s + 1) * sub]
+            d2 = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+            c = d2.argmin(axis=1)
+            codes[:, s] = c
+            recon[:, s * sub:(s + 1) * sub] = cb[s][c]
+        return pd.DataFrame({
+            "code": list(codes),
+            "recon_norm": np.linalg.norm(recon, axis=1)})
+
+    out = df.withColumn("_pq", enc(F.col(vec_col)))
+    return (out.select(*df.columns,
+                       F.col("_pq.code").alias(out_col),
+                       F.round(F.col("_pq.recon_norm"), 9)
+                       .alias("recon_norm")))
+
+
+def pq_topk(codes: DataFrame, queries: DataFrame,
+            codebooks: np.ndarray, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            code_col: str = "pq_code") -> DataFrame:
+    """Approximate cosine top-k over PQ CODES (asymmetric distance:
+    exact query subvectors × quantized corpus): per query, the dot
+    product against every corpus vector collapses to m table lookups —
+    LUT[s][c] = q_s · codebook[s][c], score = Σ_s LUT[s][code_s] —
+    so the scan touches m bytes per corpus row and never reconstructs
+    a vector. Returns (query_id, neighbor_id, adc_cosine, rank), the
+    brute-force output shape with the same total-order tie-break.
+
+    Scale shape: the query LUTs (n_q × m × n_centroids doubles) ride
+    the UDF closure like the LSH hyperplanes; ONE Arrow pass over the
+    code table emits (query, neighbor, score) for all queries, the
+    per-query window takes top-k. Zero-norm reconstructions score 0
+    (the cosine_col convention)."""
+    cb = codebooks
+    m, _, sub = cb.shape
+    q_rows = (queries.select(id_col, vec_col).orderBy(id_col).collect())
+    if not q_rows:
+        return codes.sparkSession.createDataFrame(
+            [], f"query_id long, neighbor_id long, adc_cosine double,"
+                f" rank int")
+    q_ids = [r[id_col] for r in q_rows]
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                  for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    # LUT[q, s, c] = query_q's subvector s dot codebook[s][c]
+    lut = np.stack([
+        Q[:, s * sub:(s + 1) * sub] @ cb[s].T for s in range(m)
+    ], axis=1)
+
+    @pandas_udf("array<double>")
+    def adc(code: pd.Series, rnorm: pd.Series) -> pd.Series:
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in code])
+        n = len(C)
+        dots = np.zeros((n, len(q_ids)))
+        for s in range(m):
+            # lut[:, s, :][:, C[:, s]] -> (n_q, n); transpose to (n, n_q)
+            dots += lut[:, s, :][:, C[:, s]].T
+        denom = np.asarray(rnorm, dtype=np.float64)[:, None] * qn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, dots / denom, 0.0)
+        return pd.Series(list(np.round(cos, 6)))
+
+    scored = (codes
+              .withColumn("_s", adc(F.col(code_col), F.col("recon_norm")))
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.posexplode("_s").alias("_qi", "adc_cosine")))
+    qmap = F.array(*[F.lit(q) for q in q_ids])
+    scored = (scored
+              .withColumn("query_id", qmap[F.col("_qi")])
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id", "adc_cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

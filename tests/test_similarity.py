@@ -286,3 +286,70 @@ def test_cluster_corpus_empty(spark, emb):
     out = cluster_corpus(emb.filter(F.lit(False)))
     assert out.count() == 0
     assert dict(out.dtypes)["cluster_id"] == "int"
+
+
+def test_pq_exact_on_clustered_data(spark):
+    """Vectors drawn exactly FROM a small prototype set: enough
+    centroids make quantization lossless, so PQ top-k must equal
+    brute-force top-k exactly."""
+    import numpy as np
+
+    from data_crawler_spark.operators.similarity import (
+        cosine_topk_bruteforce, fit_pq, pq_encode, pq_topk)
+    rng = np.random.default_rng(5)
+    protos = rng.normal(size=(4, 16))
+    rows = [(i, [float(x) for x in protos[i % 4]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = fit_pq(df, n_subspaces=4, n_centroids=8, sample_n=40)
+    codes = pq_encode(df, cb)
+    # lossless quantization: reconstruction norm == true norm
+    import math
+    true_n = {i: math.sqrt(sum(x * x for x in protos[i % 4]))
+              for i in range(40)}
+    for r in codes.select("vec_id", "recon_norm").collect():
+        assert abs(r["recon_norm"] - true_n[r["vec_id"]]) < 1e-6
+    q = df.filter(F.col("vec_id") < 3)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in pq_topk(codes, q, cb, k=5).collect()}
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in cosine_topk_bruteforce(df, q, k=5).collect()}
+    assert got == want
+
+
+def test_pq_recall_and_compression(spark, emb):
+    """On real embeddings PQ is lossy: assert recall@5 against brute
+    force plus the determinism/layout invariants."""
+    from data_crawler_spark.operators.similarity import (
+        cosine_topk_bruteforce, fit_pq, pq_encode, pq_topk)
+    cb = fit_pq(emb, n_subspaces=16, n_centroids=256)
+    assert cb.shape == (16, 256, 4)  # 64-dim fixtures
+    codes = pq_encode(emb, cb)
+    q = emb.filter(F.col("vec_id") < 20)
+    bf = {(r.query_id, r.neighbor_id)
+          for r in cosine_topk_bruteforce(emb, q, k=5).collect()}
+    pq = {(r.query_id, r.neighbor_id)
+          for r in pq_topk(codes, q, cb, k=5).collect()}
+    recall = len(bf & pq) / len(bf)
+    assert recall >= 0.7, recall  # measured 0.78, fully deterministic
+
+    # codes are a function of the data, not the layout
+    a = {r["vec_id"]: (list(r["pq_code"]), r["recon_norm"])
+         for r in codes.collect()}
+    b = {r["vec_id"]: (list(r["pq_code"]), r["recon_norm"])
+         for r in pq_encode(emb.repartition(13), cb).collect()}
+    assert a == b
+    # m uint8-sized codes per doc vs 64 floats
+    assert all(len(c) == 16 and max(c) < 256 for c, _ in a.values())
+
+
+def test_pq_validation_and_empty(spark, emb):
+    from data_crawler_spark.operators.similarity import fit_pq, pq_topk
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fit_pq(emb, n_subspaces=7)  # 64 % 7 != 0
+    assert fit_pq(emb.filter(F.lit(False)), n_subspaces=8) is None
+    cb = fit_pq(emb.limit(50), n_subspaces=8, n_centroids=16)
+    from data_crawler_spark.operators.similarity import pq_encode
+    codes = pq_encode(emb.limit(50), cb)
+    out = pq_topk(codes, emb.filter(F.lit(False)), cb, k=3)
+    assert out.count() == 0
