@@ -367,3 +367,52 @@ class FrontierStore:
     def prune(self, keep_last: int = 2) -> None:
         for t in (self.base, self.delta, self.removed):
             t.prune(keep_last=keep_last)
+
+
+def frontier_report(store: FrontierStore, top_hosts: int = 10) -> dict:
+    """Operational dashboard for a crawl state dir, as plain
+    driver-side numbers — the answer to "where is this crawl?" without
+    poking parquet by hand:
+
+    ``pending`` / ``discovered`` / ``seen`` counts, the pending DEPTH
+    histogram (is the crawl going broad or deep?), the top-``top_hosts``
+    pending hosts with their best priority (who dominates the queue —
+    the politeness scheduler's pressure points), priority min/mean/max,
+    on-disk base bytes and log segment counts, and the snapshot
+    versions (what a checkpoint rollback would target).
+
+    Every aggregate is map-side-partial with O(depths + hosts-topk)
+    output; the host top-k is a count-then-limit, not a window. This
+    is a handful of small jobs over the pending view — a report, not a
+    round-path operation."""
+    pending = store.read()
+    n_pending = pending.count()
+    n_discovered = store.discovered().count()
+    depth_hist = {r["depth"]: r["n"] for r in
+                  pending.groupBy("depth")
+                  .agg(F.count("*").alias("n")).collect()}
+    hosts = [
+        {"host": r["host"], "pending": r["n"],
+         "best_priority": r["p"]}
+        for r in (pending.groupBy("host")
+                  .agg(F.count("*").alias("n"),
+                       F.max("priority").alias("p"))
+                  .orderBy(F.desc("n"), F.asc("host"))
+                  .limit(top_hosts).collect())]
+    pr = (pending.agg(F.min("priority").alias("lo"),
+                      F.avg("priority").alias("mean"),
+                      F.max("priority").alias("hi")).collect()[0]
+          if n_pending else None)
+    return {
+        "pending": n_pending,
+        "discovered": n_discovered,
+        "seen": n_discovered - n_pending,
+        "depth_histogram": dict(sorted(depth_hist.items())),
+        "top_hosts": hosts,
+        "priority": ({"min": pr["lo"], "mean": pr["mean"],
+                      "max": pr["hi"]} if pr is not None else None),
+        "base_bytes": store.base_bytes(),
+        "delta_segments": store.delta.n_segments(),
+        "tombstone_segments": store.removed.n_segments(),
+        "versions": store.versions(),
+    }

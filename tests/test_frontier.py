@@ -284,3 +284,31 @@ def test_compaction_survives_legacy_null_hash_tombstones(spark, tmp_path):
     s.compact()  # must not raise
     assert _urls(s) == sorted([f"https://h0.x/p{i}" for i in range(1, 4)])
     assert s.removed.n_segments() == 0
+
+
+def test_frontier_report(spark, store):
+    from data_crawler_spark.plans.frontier import frontier_report
+    store.commit_round(_rows(spark, ["https://h1.x/a", "https://h1.x/b",
+                                     "https://h2.x/c"], 1),
+                       _rm(spark, ["https://h0.x/p0", "https://h0.x/p1"]))
+    rep = frontier_report(store, top_hosts=2)
+    assert rep["pending"] == 5
+    assert rep["discovered"] == 7
+    assert rep["seen"] == 2
+    assert rep["depth_histogram"] == {1: 5}
+    assert [h["host"] for h in rep["top_hosts"]] == ["h0.x", "h1.x"]
+    assert rep["top_hosts"][0]["pending"] == 2
+    assert rep["priority"]["max"] == pytest.approx(0.5)
+    assert rep["base_bytes"] > 0
+    assert rep["delta_segments"] == 1
+    assert set(rep["versions"]) >= {"base", "delta", "removed"}
+
+    # empty store: no pending -> null-free report
+    import data_crawler_spark.schemas as schemas_mod
+    from data_crawler_spark.plans.frontier import FrontierStore
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        s2 = FrontierStore(spark, td, schemas_mod.FRONTIER)
+        s2.bootstrap(_rows(spark, [], 0))
+        rep2 = frontier_report(s2)
+        assert rep2["pending"] == 0 and rep2["priority"] is None

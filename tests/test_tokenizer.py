@@ -217,3 +217,64 @@ def test_unigram_vocab_size_validation(spark):
     # empty corpus
     empty = spark.createDataFrame([], "text string")
     assert train_unigram(word_freqs(empty), vocab_size=5) == []
+
+
+def test_viterbi_matches_exhaustive_enumeration():
+    """Seeded fuzz: for short words, enumerate EVERY segmentation and
+    pick the max-score one under the documented tie rule (longer last
+    piece = smaller final split point, applied at every suffix);
+    _viterbi must agree exactly."""
+    import itertools
+    import random
+
+    from data_crawler_spark.operators.tokenizer import _viterbi
+
+    rng = random.Random(42)
+
+    def best_by_enumeration(word, logp, unk):
+        def score(parts):
+            s = 0.0
+            for p in parts:
+                lp = logp.get(p)
+                if lp is None:
+                    if len(p) != 1:
+                        return None
+                    lp = unk
+                s += lp
+            return s
+
+        n = len(word)
+        best = None
+        # iterate cut masks so that for equal scores the DP's choice
+        # (greedy-longest from the right) wins: generate candidates,
+        # tie-break by the reversed cut tuple ascending
+        for mask in itertools.product([0, 1], repeat=n - 1):
+            cuts = [i + 1 for i, b in enumerate(mask) if b]
+            parts, prev = [], 0
+            for c in cuts + [n]:
+                parts.append(word[prev:c])
+                prev = c
+            sc = score(parts)
+            if sc is None:
+                continue
+            # DP tie rule: maximize score; then at each suffix prefer
+            # the longer last piece == lexicographically SMALLER
+            # reversed cut sequence
+            key = (sc, tuple(-c for c in reversed(cuts)))
+            if best is None or key > best[0]:
+                best = (key, parts)
+        return best[1]
+
+    for trial in range(40):
+        alpha = "ab" if trial % 2 else "abc"
+        word = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+        pieces = {word[i:j] for i in range(len(word))
+                  for j in range(i + 1, min(len(word), i + 4) + 1)}
+        vocab = {p for p in pieces if rng.random() < 0.5}
+        vocab |= set(alpha) if rng.random() < 0.7 else set()
+        logp = {p: round(rng.uniform(-5.0, -0.5), 3) for p in vocab}
+        unk = -12.0
+        got = _viterbi(word, logp, unk)
+        want = best_by_enumeration(word, logp, unk)
+        assert "".join(got) == word
+        assert got == want, (word, sorted(logp.items()), got, want)
