@@ -588,3 +588,92 @@ def pq_topk(codes: DataFrame, queries: DataFrame,
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               n_lists: int = 16, n_probe: int = 4,
+               n_subspaces: int = 8, n_centroids: int = 256,
+               sample_n: int = 2000, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ (the FAISS index architecture, Jégou et al. 2011 §V, as
+    a DataFrame plan): coarse-quantize the corpus into inverted lists,
+    PQ-compress every vector to ``n_subspaces`` codes, and answer
+    top-k by scanning ONLY the probed lists' codes with per-query
+    lookup tables. Combines the two scale levers this module ships
+    separately — IVF prunes the scan to n_probe/n_lists of the corpus,
+    PQ shrinks what remains to m bytes/row — which is how
+    billion-vector indexes actually run.
+
+    Distributed shape: list assignment + PQ encoding are ONE Arrow
+    pass each (no shuffle); the probe step broadcast-joins the tiny
+    (list_id, query_idx) pair set against the code table, so a code
+    row is replicated only for the queries actually probing its list;
+    scoring is a vectorized gather ``Σ_s LUT[qidx, s, code_s]`` with a
+    row-varying query index (exact query subvectors × quantized
+    corpus — asymmetric, codes quantize RAW vectors, not residuals: a
+    documented simplification that keeps pq_encode shared). One
+    window takes the per-query top-k with the brute-force tie-break.
+    Accuracy = IVF recall (missed lists) × PQ distortion; both knobs
+    are explicit."""
+    cent = _fit_quantizer(corpus, n_lists, sample_n, id_col, vec_col)
+    if cent is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_cosine double, "
+                "rank int")
+    cb = fit_pq(corpus, n_subspaces, n_centroids, sample_n,
+                id_col, vec_col)
+    m, _, sub = cb.shape
+
+    assign = ivf_assign_udf(cent, 1)
+    codes = pq_encode(
+        corpus.withColumn("_list", assign(F.col(vec_col))[0]),
+        cb, id_col, vec_col)
+
+    q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_cosine double, "
+                "rank int")
+    q_ids = [r[id_col] for r in q_rows]
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                  for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    lut = np.stack([Q[:, s * sub:(s + 1) * sub] @ cb[s].T
+                    for s in range(m)], axis=1)
+    # each query's n_probe nearest lists, as a tiny broadcast frame
+    qunit = Q / qn[:, None]
+    sims = qunit @ cent.T
+    probe = np.argsort(-sims, axis=1)[:, :n_probe]
+    spark = corpus.sparkSession
+    pairs = spark.createDataFrame(
+        [(int(probe[qi, p]), qi) for qi in range(len(q_ids))
+         for p in range(probe.shape[1])],
+        "_list int, _qi int")
+
+    @pandas_udf("double")
+    def adc_one(code: pd.Series, rnorm: pd.Series,
+                qidx: pd.Series) -> pd.Series:
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in code])
+        qi = np.asarray(qidx, dtype=np.int64)
+        dots = np.zeros(len(C))
+        for s in range(m):
+            dots += lut[qi, s, C[:, s]]
+        denom = np.asarray(rnorm, dtype=np.float64) * qn[qi]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(np.round(
+                np.where(denom > 0, dots / denom, 0.0), 6))
+
+    qmap = F.array(*[F.lit(q) for q in q_ids])
+    scored = (codes.join(F.broadcast(pairs), "_list")
+              .withColumn("adc_cosine",
+                          adc_one(F.col("pq_code"), F.col("recon_norm"),
+                                  F.col("_qi")))
+              .withColumn("query_id", qmap[F.col("_qi")])
+              .filter(F.col("query_id") != F.col(id_col))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      "adc_cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -353,3 +353,38 @@ def test_pq_validation_and_empty(spark, emb):
     codes = pq_encode(emb.limit(50), cb)
     out = pq_topk(codes, emb.filter(F.lit(False)), cb, k=3)
     assert out.count() == 0
+
+
+def test_ivfpq_recall_and_determinism(spark, emb):
+    from data_crawler_spark.operators.similarity import (
+        cosine_topk_bruteforce, ivfpq_topk)
+    q = emb.filter(F.col("vec_id") < 20)
+    bf = {(r.query_id, r.neighbor_id)
+          for r in cosine_topk_bruteforce(emb, q, k=5).collect()}
+    got = ivfpq_topk(emb, q, k=5, n_lists=8, n_probe=6,
+                     n_subspaces=16, n_centroids=256)
+    rows = got.collect()
+    pq = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(bf & pq) / len(bf)
+    assert recall >= 0.55, recall
+    # ranks contiguous per query, scores valid cosines
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.adc_cosine))
+    for qid, rs in by_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        assert all(-1.001 <= x[1] <= 1.001 for x in rs)
+
+    # layout invariance
+    re_rows = ivfpq_topk(emb.repartition(13), q, k=5, n_lists=8,
+                         n_probe=6, n_subspaces=16,
+                         n_centroids=256).collect()
+    assert {(r.query_id, r.rank, r.neighbor_id) for r in re_rows} == {
+        (r.query_id, r.rank, r.neighbor_id) for r in rows}
+
+
+def test_ivfpq_empty_inputs(spark, emb):
+    from data_crawler_spark.operators.similarity import ivfpq_topk
+    assert ivfpq_topk(emb.filter(F.lit(False)), emb.limit(2)).count() == 0
+    assert ivfpq_topk(emb.limit(50), emb.filter(F.lit(False))).count() == 0
