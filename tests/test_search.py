@@ -154,3 +154,44 @@ def test_phrase_matches_plan_broadcasts_queries(spark):
     # (query, doc, anchor, offset) rows shuffle
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
         assert "text" not in m.group(0)
+
+
+def test_tfidf_top_terms_matches_mirror(spark):
+    import math
+    import re
+
+    from data_crawler_spark.operators.search import tfidf_top_terms
+    from data_crawler_spark.operators.text import WORD_RE
+
+    docs = [
+        ("d1", "apple apple banana cherry"),
+        ("d2", "banana banana banana date"),
+        ("d3", "cherry date elder apple"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+           for r in tfidf_top_terms(df, k=2).collect()}
+
+    wre = re.compile(WORD_RE)
+    toks = {d: wre.findall(t.lower()) for d, t in docs}
+    dfreq = {}
+    for d in toks:
+        for term in set(toks[d]):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    n = len(docs)
+    want = {}
+    for d in toks:
+        scores = sorted(
+            ((round(toks[d].count(term) / len(toks[d])
+                    * math.log((n + 1) / (dfreq[term] + 1)), 9), term)
+             for term in set(toks[d])),
+            key=lambda x: (-x[0], x[1]))
+        for rank, (sc, term) in enumerate(scores[:2], 1):
+            want[(d, rank)] = (term, sc)
+    assert got == want
+
+    # min_df prunes hapaxes; empty corpus typed
+    pruned = tfidf_top_terms(df, k=3, min_df=2)
+    terms = {r["term"] for r in pruned.collect()}
+    assert "elder" not in terms  # df=1 dropped
+    assert tfidf_top_terms(df.filter(F.lit(False))).count() == 0
