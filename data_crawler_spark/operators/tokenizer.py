@@ -316,3 +316,72 @@ def unigram_encode(df: DataFrame, vocab: list[tuple[str, float]],
         return s.map(doc)
 
     return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def pack_token_sequences(df: DataFrame, seq_len: int,
+                         tokens_col: str = "tokens",
+                         id_col: str = "doc_id",
+                         eos: str | None = None,
+                         num_partitions: int | None = None,
+                         drop_last: bool = False) -> DataFrame:
+    """Fixed-length SEQUENCE PACKING — the step that turns a cleaned,
+    tokenized corpus into what an LM pretraining loader actually
+    consumes: documents concatenated in a deterministic total order
+    (``id_col`` ascending), ``eos`` appended per document when given,
+    the stream cut into ``seq_len``-token rows. Returns ``(seq_id,
+    tokens, n_tokens, n_docs)``; the final partial sequence is kept
+    (``n_tokens < seq_len``) unless ``drop_last``.
+
+    Distributed shape: the doc→offset assignment is the shared
+    two-phase exclusive prefix sum (operators/prefix.py — P longs of
+    driver traffic, no task holds more than ~1/P of the corpus); each
+    doc then EXPLODES into only the sequences it overlaps (a doc of n
+    tokens touches ⌈n/L⌉+1 sequences at most) carrying the exact token
+    slice, and ONE groupBy(seq_id) reassembles slices with an
+    array_sort on the in-sequence offset — deterministic under any
+    partitioning (tested). Token arrays cross the shuffle exactly
+    once, sliced to what each sequence needs."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    from data_crawler_spark.operators.prefix import exclusive_prefix_sum
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num_partitions = spark.sparkContext.defaultParallelism
+
+    toks = (F.concat(F.col(tokens_col), F.array(F.lit(eos)))
+            if eos is not None else F.col(tokens_col))
+    base = (df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+            .withColumn("_n", F.size("_toks").cast("long"))
+            .filter(F.col("_n") > 0))
+    offs = exclusive_prefix_sum(base, [F.col("_id")], F.col("_n"),
+                                "_off", num_partitions)
+    L = F.lit(int(seq_len)).cast("long")
+    first = F.floor(F.col("_off") / L)
+    last = F.floor((F.col("_off") + F.col("_n") - 1) / L)
+    spans = offs.select(
+        "_toks", "_off", "_n",
+        F.explode(F.sequence(first, last)).alias("seq_id"))
+    seq_start = F.col("seq_id") * L
+    lo = F.greatest(seq_start - F.col("_off"), F.lit(0))       # in doc
+    hi = F.least(F.col("_n"), seq_start + L - F.col("_off"))
+    piece = F.slice("_toks", (lo + 1).cast("int"),
+                    (hi - lo).cast("int"))
+    off_in_seq = F.greatest(F.col("_off") - seq_start, F.lit(0))
+    parts = spans.select(
+        "seq_id",
+        F.struct(off_in_seq.alias("o"), piece.alias("p")).alias("part"))
+    out = (parts.groupBy("seq_id")
+           .agg(F.flatten(F.transform(
+                    F.array_sort(F.collect_list("part")),
+                    lambda x: x["p"])).alias("tokens"),
+                F.count("*").alias("n_docs"))
+           .withColumn("n_tokens", F.size("tokens").cast("long"))
+           .select("seq_id", "tokens", "n_tokens", "n_docs"))
+    if drop_last:
+        out = out.filter(F.col("n_tokens") == int(seq_len))
+    return out

@@ -278,3 +278,52 @@ def test_viterbi_matches_exhaustive_enumeration():
         want = best_by_enumeration(word, logp, unk)
         assert "".join(got) == word
         assert got == want, (word, sorted(logp.items()), got, want)
+
+
+def test_pack_token_sequences_exact_and_invariant(spark):
+    from data_crawler_spark.operators.tokenizer import (
+        pack_token_sequences)
+    docs = [(f"d{i:02d}", [f"t{i}_{j}" for j in range(n)])
+            for i, n in enumerate([3, 7, 1, 12, 0, 5])]
+    df = spark.createDataFrame(docs, "doc_id string, tokens array<string>")
+
+    # python mirror: concat in id order with eos, cut into L windows
+    stream = []
+    for d, toks in sorted(docs):
+        if toks or True:  # eos makes every doc at least 1 token
+            stream.extend(toks + ["</s>"])
+    L = 5
+    want = {i: stream[i * L:(i + 1) * L]
+            for i in range((len(stream) + L - 1) // L)}
+
+    got = {r["seq_id"]: list(r["tokens"])
+           for r in pack_token_sequences(df, L, eos="</s>").collect()}
+    assert got == want
+    rows = {r["seq_id"]: (r["n_tokens"], r["n_docs"]) for r in
+            pack_token_sequences(df, L, eos="</s>").collect()}
+    assert all(n == len(want[s]) for s, (n, _) in rows.items())
+
+    # partitioning invariance
+    re = {r["seq_id"]: list(r["tokens"])
+          for r in pack_token_sequences(df.repartition(7), L, eos="</s>",
+                                        num_partitions=3).collect()}
+    assert re == got
+
+    # drop_last removes only the short tail
+    full = pack_token_sequences(df, L, eos="</s>", drop_last=True)
+    assert {r["seq_id"] for r in full.collect()} == {
+        s for s, t in want.items() if len(t) == L}
+
+    # no eos: zero-token docs vanish, others concatenate raw
+    stream2 = []
+    for d, toks in sorted(docs):
+        stream2.extend(toks)
+    want2 = {i: stream2[i * L:(i + 1) * L]
+             for i in range((len(stream2) + L - 1) // L)}
+    got2 = {r["seq_id"]: list(r["tokens"])
+            for r in pack_token_sequences(df, L).collect()}
+    assert got2 == want2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_token_sequences(df, 0)
