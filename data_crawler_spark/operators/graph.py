@@ -538,3 +538,108 @@ def spam_mass(ranks: DataFrame, trust: DataFrame) -> DataFrame:
                             - F.coalesce("trust", F.lit(0.0)))
                            / F.col("rank"))
                     .alias("spam_mass")))
+
+
+def opic(edges: DataFrame, max_iter: int = 20,
+         src_col: str = "src", dst_col: str = "dst",
+         num_partitions: int | None = None,
+         nodes: DataFrame | None = None) -> DataFrame:
+    """On-line Page Importance Computation (Abiteboul, Preda & Cobena,
+    WWW 2003) — the importance estimator designed to run DURING a
+    crawl: unlike PageRank it needs no convergence of a global power
+    iteration before the numbers are usable; cash/history are
+    meaningful after any prefix of reads, so a crawler can re-rank its
+    frontier every round from the running totals.
+
+    Spec (synchronous batch variant — every page is "read" once per
+    iteration, a fair read schedule per the paper's §3 convergence
+    conditions; mirrored bit-for-bit by tests/test_graph.py):
+    a VIRTUAL page V is linked from and to every real page (the
+    paper's device for dangling pages + ergodicity). State: cash C
+    and history H per page, C0 = 1/N uniform over real pages,
+    C0(V) = 0, H0 = 0. Per iteration every real page u distributes
+    C(u)/(outdeg(u)+1) along each real outlink AND to V (dangling
+    pages send everything to V), accruing H(u) += C(u); V
+    simultaneously distributes its cash uniformly, C(V)/N to each
+    real page, accruing H(V) += C(V). Total cash (real + virtual)
+    stays exactly 1. Reported importance is the paper's estimator
+    (H(v) + C(v)) / (G + 1) with G = ΣH over ALL pages incl. V —
+    so Σ importance over real pages = 1 − importance(V) < 1.
+
+    100 TB shape: identical to ``pagerank`` — the deduped edge list is
+    hash-partitioned by src ONCE and persisted, each iteration is one
+    equi-join + one map-side-partial groupBy shuffling only O(nodes)
+    24-byte (node, cash) rows, state localCheckpoints per iteration,
+    and the virtual page's inflow is the iteration's single 1-row
+    driver action. Returns ``(node, cash, history, importance)``;
+    ``importance`` is the scheduler's priority column.
+    """
+    if max_iter < 0:
+        raise ValueError(f"max_iter must be >= 0, got {max_iter}")
+    spark = edges.sparkSession
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num_partitions = spark.sparkContext.defaultParallelism
+
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct()
+         .repartition(num_partitions, "src")
+         .persist())
+    try:
+        node_set = (e.select(F.col("src").alias("node"))
+                    .union(e.select(F.col("dst").alias("node"))))
+        if nodes is not None:
+            extra = nodes.select(F.col(nodes.columns[0]).alias("node"))
+            node_set = node_set.union(
+                extra.filter(F.col("node").isNotNull()))
+        node_set = (node_set.distinct()
+                    .repartition(num_partitions, "node"))
+        n = node_set.count()
+        if n == 0:
+            return spark.createDataFrame(
+                [], "node string, cash double, history double, "
+                    "importance double")
+
+        outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        base = (node_set.join(outdeg.withColumnRenamed("src", "node"),
+                              "node", "left")
+                .localCheckpoint())
+
+        state = base.select("node", "deg",
+                            F.lit(1.0 / n).alias("cash"),
+                            F.lit(0.0).alias("hist"))
+        v_cash, v_hist = 0.0, 0.0
+        # per-link share: every real page has outdeg+1 links (the +1
+        # is the virtual link); a dangling page's whole cash goes to V
+        share = F.col("cash") / (F.coalesce(F.col("deg"), F.lit(0))
+                                 + F.lit(1))
+        for _ in range(max_iter):
+            v_in = state.agg(F.sum(share)).first()[0] or 0.0
+            contrib = (e.join(state.select(F.col("node").alias("src"),
+                                           share.alias("c")), "src")
+                       .groupBy(F.col("dst").alias("node"))
+                       .agg(F.sum("c").alias("inflow")))
+            state = (base.join(contrib, "node", "left")
+                     .join(state.select("node",
+                                        (F.col("hist") + F.col("cash"))
+                                        .alias("hist")), "node")
+                     .select("node", "deg",
+                             (F.coalesce(F.col("inflow"), F.lit(0.0))
+                              + F.lit(v_cash / n)).alias("cash"),
+                             "hist")
+                     .localCheckpoint())
+            v_hist += v_cash
+            v_cash = float(v_in)
+
+        g = ((state.agg(F.sum("hist")).first()[0] or 0.0) + v_hist)
+        return state.select(
+            "node", "cash", F.col("hist").alias("history"),
+            ((F.col("hist") + F.col("cash")) / F.lit(g + 1.0))
+            .alias("importance"))
+    finally:
+        e.unpersist()

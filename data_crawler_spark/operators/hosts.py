@@ -28,7 +28,8 @@ from data_crawler_spark.operators.text import (
     token_count_col,
 )
 
-__all__ = ["host_stats", "domain_split", "reputation_filter"]
+__all__ = ["host_stats", "domain_split", "reputation_filter",
+           "mirror_candidates"]
 
 
 def host_stats(df: DataFrame, url_col: str = "url",
@@ -96,3 +97,80 @@ def domain_split(df: DataFrame, url_col: str = "url",
         "_dom", registered_domain_col(F.col(url_col)))
     return hash_split(tagged, id_col="_dom", fractions=fractions,
                       seed=seed).drop("_dom")
+
+
+def mirror_candidates(df: DataFrame, url_col: str = "url",
+                      text_col: str | None = None,
+                      min_shared: int = 10,
+                      min_overlap: float = 0.5,
+                      max_feature_df: int = 50) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder, WWW 1999; Bharat et al.
+    TOIS 2000): hosts serving the same content under the same paths.
+    A crawler that recognizes mirrors skips entire hosts — at mirror
+    rates the mirror studies measured (~10% of popular-site crawl
+    volume), that is a host-level dedup lever the page-level near-dup
+    pass only pays for AFTER fetching.
+
+    Features are per-page path fingerprints — ``xxhash64(path)``, or
+    ``xxhash64(path, xxhash64(text))`` when ``text_col`` is given
+    (content-aware mode: same software layout with different content
+    no longer matches). Hosts are candidate mirrors when they share
+    ``>= min_shared`` features and the overlap — shared divided by the
+    SMALLER host's feature count, the containment form, so a complete
+    mirror of a site's subtree still scores 1.0 — is
+    ``>= min_overlap``. Features present on more than
+    ``max_feature_df`` hosts are dropped first: ubiquitous paths
+    (``/``, ``/index.html``, ``/robots.txt``) carry no mirror signal
+    and would otherwise explode quadratically (the papers drop
+    high-document-frequency features for exactly both reasons).
+
+    Scale shape: after the df-cap, one feature yields at most
+    ``max_feature_df²/2`` pairs, so the self-join is bounded per key —
+    no skew salting needed by construction; every aggregate is
+    map-side-partial over 16-24-byte rows, page text never rides any
+    shuffle (it folds to 8 bytes in the scan), and the host-size side
+    of the final join is O(hosts) (AQE broadcasts it). Returns
+    ``(host_a, host_b, shared, n_a, n_b, overlap)`` with
+    ``host_a < host_b``.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_feature_df < 2:
+        raise ValueError(
+            f"max_feature_df must be >= 2, got {max_feature_df}")
+    from data_crawler_spark.operators.links import host_col, path_col
+
+    u = F.col(url_col)
+    fp = (F.xxhash64(path_col(u), F.xxhash64(F.col(text_col)))
+          if text_col else F.xxhash64(path_col(u)))
+    feats = (df.select(host_col(u).alias("host"), fp.alias("fp"))
+             .filter(F.col("host") != "")
+             .distinct())
+
+    rare = (feats.groupBy("fp")
+            .agg(F.count("*").alias("hosts_with"))
+            .filter(F.col("hosts_with") <= max_feature_df)
+            .select("fp"))
+    kept = feats.join(rare, "fp")
+    # sizes count the KEPT features — the vectors actually compared;
+    # a df-capped ubiquitous path must not dilute the overlap either
+    sizes = kept.groupBy("host").agg(F.count("*").alias("n"))
+
+    a = kept.select("fp", F.col("host").alias("host_a"))
+    b = kept.select("fp", F.col("host").alias("host_b"))
+    pairs = (a.join(b, "fp")
+             .filter(F.col("host_a") < F.col("host_b"))
+             .groupBy("host_a", "host_b")
+             .agg(F.count("*").alias("shared")))
+
+    sa = sizes.select(F.col("host").alias("host_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("host").alias("host_b"),
+                      F.col("n").alias("n_b"))
+    return (pairs.join(sa, "host_a").join(sb, "host_b")
+            .withColumn("overlap",
+                        F.col("shared") / F.least("n_a", "n_b"))
+            .filter((F.col("shared") >= min_shared)
+                    & (F.col("overlap") >= min_overlap))
+            .select("host_a", "host_b", "shared", "n_a", "n_b",
+                    "overlap"))

@@ -375,3 +375,91 @@ def test_trustrank_seed_outside_graph_and_validation(spark):
     empty_seeds = spark.createDataFrame([], "node string")
     with pytest.raises(ValueError):
         trustrank(e, empty_seeds)
+
+
+# ---------------------------------------------------------------- OPIC
+
+def _ref_opic(edge_list, iters, extra_nodes=()):
+    """Pure-Python mirror of graph.opic's synchronous-batch spec."""
+    edges = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges}
+                   | set(extra_nodes))
+    n = len(nodes)
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    cash = {v: 1.0 / n for v in nodes}
+    hist = {v: 0.0 for v in nodes}
+    v_cash = v_hist = 0.0
+    for _ in range(iters):
+        inflow = {v: 0.0 for v in nodes}
+        v_in = 0.0
+        for u in nodes:
+            deg = len(out.get(u, []))
+            sh = cash[u] / (deg + 1)
+            for v in out.get(u, []):
+                inflow[v] += sh
+            v_in += sh
+        for u in nodes:
+            hist[u] += cash[u]
+            cash[u] = inflow[u] + v_cash / n
+        v_hist += v_cash
+        v_cash = v_in
+    g = sum(hist.values()) + v_hist
+    return {v: (hist[v] + cash[v]) / (g + 1.0) for v in nodes}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_opic_matches_mirror(spark, name):
+    from data_crawler_spark.operators.graph import opic
+
+    edges = GRAPHS[name]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = opic(df, max_iter=12).collect()
+    got = {r.node: r.importance for r in rows}
+    want = _ref_opic(edges, iters=12)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), (name, v)
+    # real pages share 1 minus the virtual page's importance
+    assert 0.0 < sum(got.values()) < 1.0
+    # history is the accumulated spent cash: strictly positive
+    assert all(r.history > 0 for r in rows)
+
+
+def test_opic_ordering_and_isolated_node(spark):
+    from data_crawler_spark.operators.graph import opic
+
+    df = spark.createDataFrame(GRAPHS["star_in"], "src string, dst string")
+    got = {r.node: r.importance for r in opic(df, max_iter=15).collect()}
+    assert got["hub"] > got["a"] > got["b"] == pytest.approx(got["c"])
+
+    # a linkless page passed via nodes= still accrues importance
+    # (the virtual page redistributes to everyone)
+    extra = df.sparkSession.createDataFrame([("z",)], "node string")
+    got2 = {r.node: r.importance
+            for r in opic(df, max_iter=15, nodes=extra).collect()}
+    want2 = _ref_opic(GRAPHS["star_in"], iters=15, extra_nodes=("z",))
+    for v in want2:
+        assert got2[v] == pytest.approx(want2[v], rel=1e-9)
+    assert got2["z"] > 0
+
+
+def test_opic_partitioning_invariance_and_validation(spark):
+    from data_crawler_spark.operators.graph import opic
+
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r.node: r.importance
+         for r in opic(df.coalesce(1), max_iter=6,
+                       num_partitions=3).collect()}
+    b = {r.node: r.importance
+         for r in opic(df.repartition(13), max_iter=6,
+                       num_partitions=8).collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert b[v] == pytest.approx(a[v], rel=1e-12)
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert opic(empty).count() == 0
+    with pytest.raises(ValueError):
+        opic(df, max_iter=-1)

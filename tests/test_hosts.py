@@ -92,3 +92,71 @@ def test_host_stats_single_exchange(corpus):
     # one exchange on domain (countDistinct expands within the same key)
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "partial_count" in plan
+
+
+# ------------------------------------------------- mirror detection
+
+def _mirror_pages(spark):
+    paths = [f"/art/{i}" for i in range(12)]
+    rows = []
+    # m2 fully mirrors m1 (same 12 paths, same text)
+    for p in paths:
+        rows.append((f"https://m1.com{p}", f"text of {p}"))
+        rows.append((f"https://m2.org{p}", f"text of {p}"))
+    # p1 mirrors only 3 of m1's paths (below min_shared=5)
+    for p in paths[:3]:
+        rows.append((f"https://p1.net{p}", f"text of {p}"))
+    # u1 is unrelated
+    for i in range(10):
+        rows.append((f"https://u1.com/page/{i}", f"unique {i}"))
+    # ubiquitous path on every host — must be df-capped away
+    for h in ("m1.com", "m2.org", "p1.net", "u1.com"):
+        rows.append((f"https://{h}/", "home"))
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_mirror_candidates_planted(spark):
+    from data_crawler_spark.operators.hosts import mirror_candidates
+
+    got = mirror_candidates(_mirror_pages(spark), min_shared=5,
+                            min_overlap=0.5, max_feature_df=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.host_a, r.host_b) == ("m1.com", "m2.org")
+    assert r.shared == 12          # the "/" feature was df-capped out
+    assert r.overlap == pytest.approx(12 / 12)
+
+
+def test_mirror_candidates_subset_containment(spark):
+    """A complete mirror of a SUBTREE scores overlap 1.0 (containment
+    divides by the smaller host)."""
+    from data_crawler_spark.operators.hosts import mirror_candidates
+
+    rows = [(f"https://big.com/a/{i}", f"t{i}") for i in range(20)]
+    rows += [(f"https://sub.com/a/{i}", f"t{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = mirror_candidates(df, min_shared=5, min_overlap=0.9).collect()
+    assert len(got) == 1
+    assert got[0].overlap == pytest.approx(1.0)
+    assert (got[0].n_a, got[0].n_b) == (20, 6)
+
+
+def test_mirror_candidates_content_mode(spark):
+    """Same path layout + different content: a mirror in path mode,
+    NOT in content-aware mode."""
+    from data_crawler_spark.operators.hosts import mirror_candidates
+
+    rows = []
+    for i in range(8):
+        rows.append((f"https://x.com/p/{i}", f"x content {i}"))
+        rows.append((f"https://y.com/p/{i}", f"y content {i}"))
+    df = spark.createDataFrame(rows, "url string, text string")
+    by_path = mirror_candidates(df, min_shared=5, min_overlap=0.5)
+    assert by_path.count() == 1
+    by_content = mirror_candidates(df, text_col="text", min_shared=5,
+                                   min_overlap=0.5)
+    assert by_content.count() == 0
+    with pytest.raises(ValueError):
+        mirror_candidates(df, min_shared=0)
+    with pytest.raises(ValueError):
+        mirror_candidates(df, max_feature_df=1)
