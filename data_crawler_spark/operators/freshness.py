@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["capture_intervals", "change_rate", "recrawl_priority",
-           "sitemap_staleness", "conditional_fetch_plan"]
+           "sitemap_staleness", "conditional_fetch_plan",
+           "cache_directives_col", "revalidation_schedule"]
 
 
 def capture_intervals(index: DataFrame) -> DataFrame:
@@ -179,3 +180,85 @@ def conditional_fetch_plan(captures: DataFrame,
                     F.col("_p.etag").alias("if_none_match"),
                     F.coalesce(F.col("_p.lm"), F.col("last_capture"))
                     .alias("if_modified_since")))
+
+
+def cache_directives_col(headers):
+    """Typed struct of the RFC 9111 response caching directives from a
+    raw HTTP response-header block: ``(max_age, no_store, no_cache,
+    age, expires)``. Native expressions only; malformed values null.
+
+    - ``max_age``/``age`` are seconds (s-maxage is a shared-cache
+      directive and deliberately ignored — a crawler is a private
+      client); ``max-age`` wants a word boundary on the LEFT too, so
+      s-maxage never feeds it.
+    - ``expires`` parses the IMF-fixdate form (RFC 9110 §5.6.7); the
+      day-of-week prefix is stripped first because Spark's parser
+      formats-but-won't-parse 'E' patterns; per the RFC an unparsable
+      Expires means "already stale", which stays distinguishable here
+      as (null expires, had_expires true).
+    """
+    h = headers
+    cc = F.regexp_extract(h, r"(?im)^cache-control:\s*(.*?)\s*$", 1)
+    max_age = F.nullif(
+        F.regexp_extract(cc, r"(?i)(?:^|[^a-z\-])max-age\s*=\s*\"?(\d+)", 1),
+        F.lit("")).try_cast("long")
+    age = F.nullif(
+        F.regexp_extract(h, r"(?im)^age:\s*(\d+)\s*$", 1),
+        F.lit("")).try_cast("long")
+    expires_raw = F.nullif(
+        F.regexp_extract(h, r"(?im)^expires:\s*(.*?)\s*$", 1), F.lit(""))
+    expires = F.try_to_timestamp(
+        F.regexp_replace(expires_raw, r"^[A-Za-z]+,\s*", ""),
+        F.lit("dd MMM yyyy HH:mm:ss 'GMT'"))
+    return F.struct(
+        max_age.alias("max_age"),
+        cc.rlike(r"(?i)(?:^|[^a-z\-])no-store(?:$|[^a-z\-])")
+          .alias("no_store"),
+        cc.rlike(r"(?i)(?:^|[^a-z\-])no-cache(?:$|[^a-z\-])")
+          .alias("no_cache"),
+        age.alias("age"),
+        expires.alias("expires"),
+        expires_raw.isNotNull().alias("had_expires"),
+    )
+
+
+def revalidation_schedule(captures: DataFrame, url_col: str = "url",
+                          ts_col: str = "warc_ts",
+                          headers_col: str = "headers") -> DataFrame:
+    """Per-URL earliest honest re-fetch time from the LATEST capture's
+    caching headers — the publisher-declared side of recrawl
+    scheduling (``change_rate`` is the measured side; a scheduler
+    takes the max of "allowed by cache policy" and "worth it by λ").
+
+    RFC 9111 freshness: ``fresh_until = capture_ts + max-age − Age``
+    when Cache-Control carries max-age, else the Expires date, else
+    the capture time itself (no freshness granted). ``no-store`` /
+    ``no-cache`` / an unparsable-but-present Expires also grant
+    nothing (RFC: invalid Expires = already stale). Returns
+    ``(url, last_capture, fresh_until, revalidate_from)`` where
+    ``revalidate_from`` never precedes the capture. One map-side-
+    partial max_by keyed on url — O(urls) output, same shape as
+    ``conditional_fetch_plan``."""
+    d = cache_directives_col(F.col(headers_col))
+    rows = captures.select(
+        F.col(url_col).alias("url"), F.col(ts_col).alias("ts"),
+        d.alias("d"))
+    latest = (rows.groupBy("url")
+              .agg(F.max("ts").alias("last_capture"),
+                   F.max_by(F.col("d"), F.col("ts")).alias("d")))
+    granted = F.when(
+        F.col("d.no_store") | F.col("d.no_cache"), F.lit(None)
+    ).when(
+        F.col("d.max_age").isNotNull(),
+        F.timestamp_add(
+            "SECOND",
+            F.col("d.max_age") - F.coalesce(F.col("d.age"), F.lit(0)),
+            F.col("last_capture"))
+    ).when(
+        F.col("d.had_expires"), F.col("d.expires")  # null if unparsable
+    )
+    fresh_until = F.coalesce(granted, F.col("last_capture"))
+    return latest.select(
+        "url", "last_capture", fresh_until.alias("fresh_until"),
+        F.greatest(fresh_until, F.col("last_capture"))
+        .alias("revalidate_from"))

@@ -400,3 +400,61 @@ def trap_filter(candidates: DataFrame, traps: DataFrame,
                                   url_template_col(F.col(url_col)))
     return (keyed.join(flagged, [host_col, "_trap_template"], "left_anti")
             .drop("_trap_template"))
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom feed discovery (the sitemap path's sibling seed source)
+# ---------------------------------------------------------------------------
+
+def parse_feed_col(xml: Column) -> Column:
+    """URL array from an RSS 2.0 or Atom feed document — the freshness
+    side of seed discovery (feeds announce NEW pages the moment they
+    publish; sitemaps enumerate the backlog). Three published places a
+    feed carries URLs, all extracted natively (no XML library, no
+    Python):
+
+    - RSS ``<link>url</link>`` element text (only BARE ``<link>``
+      opens the text form: an Atom self-closing ``<link href=…/>``
+      followed later by a text link would otherwise span the gap and
+      capture garbage),
+    - Atom ``<link … href="…">`` attributes (double- or single-quoted
+      — feeds are XML, so attribute values are always quoted),
+    - RSS ``<guid>`` permalinks (``isPermaLink`` defaults to true per
+      the RSS 2.0 spec; an explicit ``false`` marks an opaque id,
+      skipped — and non-URL guids die at the http filter anyway).
+
+    The five predefined XML entities decode last, ``&amp;`` last of
+    all (the sitemap parser's rule, shared via ``_decode_entities``).
+    """
+    text_links = F.regexp_extract_all(
+        xml, F.lit(r"(?is)<link\s*>\s*(.*?)\s*</link>"), 1)
+    hrefs_dq = F.regexp_extract_all(
+        xml, F.lit(r'(?is)<link\b[^>]*\bhref\s*=\s*"([^"]*)"'), 1)
+    hrefs_sq = F.regexp_extract_all(
+        xml, F.lit(r"(?is)<link\b[^>]*\bhref\s*=\s*'([^']*)'"), 1)
+    guid_tags = F.regexp_extract_all(
+        xml, F.lit(r"(?is)<guid\b[^>]*>\s*.*?\s*</guid>"), 0)
+    guids = F.transform(
+        F.filter(guid_tags,
+                 lambda t: ~t.rlike(
+                     r"""(?is)isPermaLink\s*=\s*["']\s*false""")),
+        lambda t: F.regexp_extract(t, r"(?is)<guid\b[^>]*>\s*(.*?)\s*</guid>",
+                                   1))
+    all_raw = F.concat(text_links, hrefs_dq, hrefs_sq, guids)
+    return F.transform(all_raw, _decode_entities)
+
+
+def feed_urls(feeds: DataFrame, xml_col: str = "feed_xml",
+              url_col: str = "url") -> DataFrame:
+    """Explode a fetched feed page table into (feed_url, discovered
+    url) rows, canonicalized with the SAME canonicalize_col the
+    frontier keys on and http(s)-filtered on the canonical form —
+    drop-in alongside ``sitemap_urls`` for the seed/discovered-link
+    stream. Pure map + explode, zero shuffle."""
+    return (feeds
+            .select(F.col(url_col).alias("feed_url"),
+                    F.explode(parse_feed_col(F.col(xml_col)))
+                    .alias("raw"))
+            .select("feed_url",
+                    canonicalize_col(F.col("raw")).alias("url"))
+            .filter(is_http_col(F.col("url"))))

@@ -197,3 +197,58 @@ def test_conditional_fetch_plan(spark):
         caps.repartition(7), etag_col="etag",
         last_modified_col="last_modified").collect()}
     assert re == got
+
+
+# ------------------------------------------- HTTP cache directives
+
+def test_cache_directives_parse(spark):
+    from data_crawler_spark.operators.freshness import cache_directives_col
+
+    rows = [
+        ("a", "HTTP/1.1 200 OK\nCache-Control: public, max-age=300\nAge: 50\n"),
+        ("b", "Cache-Control: s-maxage=999\n"),           # shared-cache only
+        ("c", "Cache-Control: no-store\nExpires: Mon, 12 Aug 2026 10:00:00 GMT\n"),
+        ("d", "Expires: 0\n"),                            # unparsable Expires
+        ("e", 'Cache-Control: max-age="60", no-cache\n'),
+        ("f", "X-Other: 1\n"),
+    ]
+    df = spark.createDataFrame(rows, "id string, headers string")
+    got = {r.id: r.d.asDict() for r in df.select(
+        "id", cache_directives_col(F.col("headers")).alias("d")).collect()}
+    assert got["a"]["max_age"] == 300 and got["a"]["age"] == 50
+    assert not got["a"]["no_store"] and not got["a"]["no_cache"]
+    assert got["b"]["max_age"] is None                    # s-maxage ignored
+    assert got["c"]["no_store"] and got["c"]["had_expires"]
+    assert str(got["c"]["expires"]) == "2026-08-12 10:00:00"
+    assert got["d"]["expires"] is None and got["d"]["had_expires"]
+    assert got["e"]["max_age"] == 60 and got["e"]["no_cache"]
+    assert got["f"]["max_age"] is None and not got["f"]["had_expires"]
+
+
+def test_revalidation_schedule(spark):
+    from datetime import datetime
+
+    from data_crawler_spark.operators.freshness import revalidation_schedule
+
+    t0 = datetime(2026, 8, 1, 12, 0, 0)
+    t1 = datetime(2026, 8, 2, 12, 0, 0)
+    rows = [
+        # latest capture wins: the t1 row's policy applies
+        ("u1", t0, "Cache-Control: max-age=10\n"),
+        ("u1", t1, "Cache-Control: max-age=300\nAge: 50\n"),
+        ("u2", t1, "Cache-Control: no-store\n"),
+        ("u3", t1, "Expires: Mon, 03 Aug 2026 00:00:00 GMT\n"),
+        ("u4", t1, "Expires: 0\n"),
+        ("u5", t1, "X-Other: 1\n"),
+        ("u6", t1, "Expires: Mon, 01 Jan 2001 00:00:00 GMT\n"),  # in the past
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, headers string")
+    got = {r.url: r for r in revalidation_schedule(df).collect()}
+    assert str(got["u1"].fresh_until) == "2026-08-02 12:04:10"   # +250s
+    assert got["u2"].fresh_until == t1                           # no-store
+    assert str(got["u3"].fresh_until) == "2026-08-03 00:00:00"
+    assert got["u4"].fresh_until == t1                           # bad Expires
+    assert got["u5"].fresh_until == t1                           # no policy
+    # an Expires in the past never schedules a fetch before capture
+    assert got["u6"].revalidate_from == t1
+    assert all(r.revalidate_from >= r.last_capture for r in got.values())

@@ -229,3 +229,66 @@ def test_sitemap_entries_metadata(spark):
     assert rows["http://a.test/p1"].sitemap_url \
         == "http://a.test/sitemap.xml"
     _ = F  # imported for parity with module conventions
+
+
+def test_feed_urls_rss_and_atom(spark):
+    from data_crawler_spark.functions.canonicalize import canonicalize_one
+    from data_crawler_spark.operators.links import feed_urls
+
+    rss = """<?xml version="1.0"?>
+<rss version="2.0"><channel>
+  <link>http://r.com/</link>
+  <item>
+    <link>
+      http://r.com/post/1?a=1&amp;b=2
+    </link>
+    <guid isPermaLink="true">http://r.com/post/1</guid>
+  </item>
+  <item>
+    <link>http://r.com/post/2</link>
+    <guid isPermaLink="false">opaque-id-123</guid>
+  </item>
+  <item><guid>http://r.com/post/3</guid></item>
+  <item><guid>tag:not-a-url,2026:x</guid></item>
+</channel></rss>"""
+    atom = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+  <link rel="self" href="http://at.com/feed.xml"/>
+  <entry><link href="http://at.com/e/1?x=&lt;1&gt;"/></entry>
+  <entry><link rel='alternate' href='http://at.com/e/2'/></entry>
+  <entry><link>http://at.com/text-link</link></entry>
+</feed>"""
+    df = spark.createDataFrame(
+        [("http://r.com/feed", rss), ("http://at.com/feed.xml", atom),
+         ("http://n.com/feed", "not a feed")],
+        "url string, feed_xml string")
+    got = {(r.feed_url, r.url) for r in feed_urls(df).collect()}
+
+    want_rss = {canonicalize_one(u) for u in (
+        "http://r.com/", "http://r.com/post/1?a=1&b=2",
+        "http://r.com/post/1", "http://r.com/post/2",
+        "http://r.com/post/3")}
+    # the isPermaLink=false guid and the tag: guid must NOT appear
+    assert {u for s, u in got if s == "http://r.com/feed"} == want_rss
+
+    want_atom = {canonicalize_one(u) for u in (
+        "http://at.com/feed.xml", "http://at.com/e/1?x=<1>",
+        "http://at.com/e/2", "http://at.com/text-link")}
+    assert {u for s, u in got if s == "http://at.com/feed.xml"} == want_atom
+    assert not any(s == "http://n.com/feed" for s, _ in got)
+
+
+def test_feed_urls_selfclosing_then_text_link_no_span(spark):
+    """A self-closing Atom link followed by a text link must not make
+    the text-form regex span the gap (the bare-<link>-only rule)."""
+    from data_crawler_spark.functions.canonicalize import canonicalize_one
+    from data_crawler_spark.operators.links import feed_urls
+
+    xml = ('<feed><link href="http://x.com/a"/>'
+           "<junk>ignore</junk>"
+           "<link>http://x.com/b</link></feed>")
+    df = spark.createDataFrame([("http://x.com/f", xml)],
+                               "url string, feed_xml string")
+    got = {r.url for r in feed_urls(df).collect()}
+    assert got == {canonicalize_one("http://x.com/a"),
+                   canonicalize_one("http://x.com/b")}
