@@ -385,3 +385,141 @@ def pack_token_sequences(df: DataFrame, seq_len: int,
     if drop_last:
         out = out.filter(F.col("n_tokens") == int(seq_len))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (Radford et al. 2019, GPT-2) — the production variant:
+# case- and whitespace-preserving, lossless on ANY byte sequence (no
+# unknown tokens, ever), with the published byte↔printable-unicode
+# bijection so merges operate on ordinary strings. Same corpus split as
+# the char BPE above: the pretoken-frequency count is the one
+# corpus-scale Spark pass (fully native — Java regex supports the
+# \p{L}/\p{N} classes and the trailing-space lookahead), the merge loop
+# runs driver-side on the bounded table, encoding is one Arrow UDF.
+# ---------------------------------------------------------------------------
+
+# GPT-2's pretokenizer: contractions, space-prefixed letter/number/
+# punctuation runs, then whitespace (keeping the final space attached
+# to the NEXT word via the (?!\S) lookahead). Shared verbatim by the
+# native corpus pass (Java regex) and the encode UDF / test mirror
+# (the `regex` module — stdlib `re` lacks \p{L}).
+BYTE_PRETOKEN_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+                    r"|\s+(?!\S)|\s+")
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte→printable-char bijection: printable latin-1
+    bytes map to themselves, the rest to U+0100.. in order (space →
+    'Ġ', newline → 'Ċ', …)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_B2U = _bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
+
+
+def _to_byte_symbols(pretoken: str) -> str:
+    return "".join(_B2U[b] for b in pretoken.encode("utf-8"))
+
+
+def byte_word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(pretoken, cnt) over the corpus under the GPT-2 pretokenizer —
+    byte-level BPE's one corpus-scale pass, entirely native (the
+    pretokens are RAW text here; the byte→unicode mapping happens on
+    the bounded collected table and in the encode UDF, so the corpus
+    never crosses a Python stage). Case/whitespace preserved — that is
+    the point of the byte-level variant."""
+    toks = F.regexp_extract_all(F.col(text_col),
+                                F.lit(BYTE_PRETOKEN_RE), 0)
+    return (df.select(F.explode(toks).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("cnt")))
+
+
+def train_byte_bpe(freqs: DataFrame, num_merges: int,
+                   max_words: int = 100_000) -> list[tuple[str, str]]:
+    """The BPE merge loop over byte-unicode symbol sequences (NO
+    end-of-word marker — GPT-2 encodes word boundaries in the leading-
+    space bytes instead). Same bounded driver collect, same
+    (count desc, pair asc) tie-break and <2 early stop as train_bpe."""
+    if num_merges < 0:
+        raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    if max_words < 1:
+        raise ValueError(f"max_words must be >= 1, got {max_words}")
+    rows = (freqs.orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(max_words).collect())
+    vocab = {tuple(_to_byte_symbols(r.word)): int(r.cnt) for r in rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts = _pair_counts(vocab)
+        best = min(((-c, p) for p, c in counts.items()), default=None)
+        if best is None or -best[0] < 2:
+            break
+        pair = best[1]
+        merges.append(pair)
+        vocab = {_merge_word(s, pair): c for s, c in vocab.items()}
+    return merges
+
+
+def _encode_byte_word(mapped: str, ranks: dict[tuple[str, str], int]
+                      ) -> list[str]:
+    syms = list(mapped)
+    while len(syms) > 1:
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        ranked = [(ranks[p], p) for p in pairs if p in ranks]
+        if not ranked:
+            break
+        _, pair = min(ranked)
+        syms = list(_merge_word(tuple(syms), pair))
+    return syms
+
+
+def byte_bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+                    text_col: str = "text",
+                    out_col: str = "bpe_tokens") -> DataFrame:
+    """Append ``out_col``: the byte-level BPE token sequence of each
+    document. One Arrow-batched pandas UDF (merge ranks + the byte
+    table in the closure, per-batch pretoken memo); the pretokenizer
+    is BYTE_PRETOKEN_RE via the `regex` module — the identical pattern
+    the native corpus pass compiles in Java."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    import regex
+    pre_re = regex.compile(BYTE_PRETOKEN_RE)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _enc(s: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def doc(text):
+            out: list[str] = []
+            for w in pre_re.findall(text or ""):
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _encode_byte_word(
+                        _to_byte_symbols(w), ranks)
+                out.extend(got)
+            return out
+
+        return s.map(doc)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def byte_bpe_decode(tokens: list[str]) -> str:
+    """Inverse of the encode (driver-side helper): tokens → byte
+    string → UTF-8 text. Byte-level BPE is lossless by construction —
+    round-trips case, whitespace, and any unicode exactly."""
+    data = bytes(_U2B[u] for t in tokens for u in t)
+    return data.decode("utf-8")

@@ -4,6 +4,7 @@ round-trip property, memoized distributed encode == driver encode."""
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_crawler_spark.operators.tokenizer import (END, _encode_word,
                                                     bpe_encode,
@@ -327,3 +328,85 @@ def test_pack_token_sequences_exact_and_invariant(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pack_token_sequences(df, 0)
+
+
+# ---------------------------------------------------- byte-level BPE
+
+def test_bytes_to_unicode_bijection():
+    from data_crawler_spark.operators.tokenizer import _bytes_to_unicode
+
+    table = _bytes_to_unicode()
+    assert len(table) == 256
+    assert len(set(table.values())) == 256
+    assert table[ord("a")] == "a" and table[32] == "Ġ" and table[10] == "Ċ"
+
+
+def test_byte_pretokenize_native_matches_regex_module(spark):
+    import regex
+
+    from data_crawler_spark.operators.tokenizer import BYTE_PRETOKEN_RE
+
+    texts = [
+        "Hello world",
+        "it's can't we'll I'd you're I've I'm",
+        "  two  spaces\tand\nnewline ",
+        "price: $1,234.56!!",
+        "café naïve 東京 2026",
+        "emoji 😀 end",
+        "trailing spaces   ",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.g for r in df.select(
+        F.regexp_extract_all("text", F.lit(BYTE_PRETOKEN_RE), 0)
+        .alias("g")).collect()]
+    pre = regex.compile(BYTE_PRETOKEN_RE)
+    for t, g in zip(texts, got):
+        assert g == pre.findall(t), repr(t)
+        assert "".join(g) == t, repr(t)     # pretokens partition the text
+
+
+def test_train_byte_bpe_hand_computed(spark):
+    from data_crawler_spark.operators.tokenizer import (
+        byte_word_freqs,
+        train_byte_bpe,
+    )
+
+    # pretokens: "aa"×1, "Ġaa"×1, "Ġb"×1 -> pair (a,a) count 2 merges,
+    # then every remaining pair is unique -> early stop
+    df = spark.createDataFrame([("aa aa b",)], "text string")
+    merges = train_byte_bpe(byte_word_freqs(df), num_merges=10)
+    assert merges == [("a", "a")]
+
+
+def test_byte_bpe_roundtrip_and_distributed_encode(spark):
+    from data_crawler_spark.operators.tokenizer import (
+        byte_bpe_decode,
+        byte_bpe_encode,
+        byte_word_freqs,
+        train_byte_bpe,
+    )
+
+    corpus = [
+        "the cat sat on the mat",
+        "The Cat SAT!  On  the mat...",
+        "thé cät 😀 sat\n\ttabbed",
+        "numbers 123 and 456, it's fine",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               "doc_id int, text string")
+    merges = train_byte_bpe(byte_word_freqs(df), num_merges=30)
+    assert merges                       # learned something
+    enc = {r.doc_id: r.bpe_tokens
+           for r in byte_bpe_encode(df, merges).collect()}
+    for i, t in enumerate(corpus):
+        # losslessness: case, runs of whitespace, unicode, emoji
+        assert byte_bpe_decode(enc[i]) == t, repr(t)
+    # merges actually compress vs raw byte symbols
+    raw = {r.doc_id: r.bpe_tokens
+           for r in byte_bpe_encode(df, []).collect()}
+    assert sum(map(len, enc.values())) < sum(map(len, raw.values()))
+    for i, t in enumerate(corpus):
+        assert byte_bpe_decode(raw[i]) == t
+    with pytest.raises(ValueError):
+        train_byte_bpe(byte_word_freqs(df), num_merges=-1)
