@@ -207,9 +207,12 @@ def cache_directives_col(headers):
         F.lit("")).try_cast("long")
     expires_raw = F.nullif(
         F.regexp_extract(h, r"(?im)^expires:\s*(.*?)\s*$", 1), F.lit(""))
+    # 'zzz' parses the zone (GMT/UTC) instead of treating the wall time
+    # as session-local — a 'GMT' literal would shift fresh_until by the
+    # session offset whenever spark.sql.session.timeZone != UTC
     expires = F.try_to_timestamp(
         F.regexp_replace(expires_raw, r"^[A-Za-z]+,\s*", ""),
-        F.lit("dd MMM yyyy HH:mm:ss 'GMT'"))
+        F.lit("dd MMM yyyy HH:mm:ss zzz"))
     return F.struct(
         max_age.alias("max_age"),
         cc.rlike(r"(?i)(?:^|[^a-z\-])no-store(?:$|[^a-z\-])")
@@ -243,9 +246,13 @@ def revalidation_schedule(captures: DataFrame, url_col: str = "url",
     rows = captures.select(
         F.col(url_col).alias("url"), F.col(ts_col).alias("ts"),
         d.alias("d"))
+    # tie-break same-ts captures on the directive values themselves so
+    # the pick is layout-independent (conditional_fetch_plan's rule)
     latest = (rows.groupBy("url")
               .agg(F.max("ts").alias("last_capture"),
-                   F.max_by(F.col("d"), F.col("ts")).alias("d")))
+                   F.max_by(F.col("d"),
+                            F.struct(F.col("ts"), F.col("d")))
+                   .alias("d")))
     granted = F.when(
         F.col("d.no_store") | F.col("d.no_cache"), F.lit(None)
     ).when(

@@ -181,7 +181,6 @@ def tfidf_top_terms(corpus: DataFrame, k: int = 10,
     df_tbl = (post.groupBy("term")
               .agg(F.count("*").alias("df"))
               .filter(F.col("df") >= min_df))
-    import math
     scored = (post.join(df_tbl, "term")
               .withColumn(
                   "tfidf",

@@ -141,25 +141,39 @@ def _ivf_centroids(corpus_sample: np.ndarray, n_lists: int,
     return cent
 
 
-def _fit_quantizer(corpus: DataFrame, n_lists: int, sample_n: int,
-                   id_col: str, vec_col: str) -> np.ndarray | None:
-    """Train the coarse quantizer on a deterministic driver-side sample
-    (None on an empty corpus). The sample must be partition-layout-
-    independent — a bare limit() pulls whichever rows arrive first, so
-    a re-layout of the same corpus would train different centroids.
-    Rows are instead taken by id order over a hash-filtered slice (both
-    deterministic functions of the DATA): the 100 TB shape, where the
-    hash filter prunes the collect down to ~sample_n rows scanned."""
+def _driver_sample(corpus: DataFrame, sample_n: int, id_col: str,
+                   vec_col: str) -> np.ndarray | None:
+    """Deterministic driver-side training sample (None on an empty
+    corpus). Must be partition-layout-independent — a bare limit()
+    pulls whichever rows arrive first, so a re-layout of the same
+    corpus would train different centroids. Rows are instead taken by
+    id order over a hash-filtered slice (both deterministic functions
+    of the DATA): the 100 TB shape, where the hash filter prunes the
+    collect down to ~sample_n rows scanned. Shared by the coarse
+    quantizer and the PQ trainer so composed indexes (ivfpq_topk) pay
+    the corpus count + pruned collect once, not per trainer."""
     n_rows = corpus.count()
     if n_rows == 0:
         return None
     mod = max(1, n_rows // sample_n)
-    sample_rows = (corpus
-                   .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
-                   .orderBy(id_col).limit(sample_n)
-                   .select(vec_col).collect())
-    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
-                       for r in sample_rows])
+    rows = (corpus
+            .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+            .orderBy(id_col).limit(sample_n)
+            .select(vec_col).collect())
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                     for r in rows])
+
+
+def _fit_quantizer(corpus: DataFrame, n_lists: int, sample_n: int,
+                   id_col: str, vec_col: str,
+                   sample: np.ndarray | None = None) -> np.ndarray | None:
+    """Train the coarse quantizer on the deterministic driver-side
+    sample (see _driver_sample; pass ``sample`` to reuse an
+    already-collected one). None on an empty corpus."""
+    if sample is None:
+        sample = _driver_sample(corpus, sample_n, id_col, vec_col)
+    if sample is None:
+        return None
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return _ivf_centroids(sample / norms, n_lists)
@@ -465,23 +479,18 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
 
 def fit_pq(corpus: DataFrame, n_subspaces: int = 8,
            n_centroids: int = 256, sample_n: int = 2000,
-           id_col: str = "vec_id",
-           vec_col: str = "embedding") -> np.ndarray | None:
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           sample: np.ndarray | None = None) -> np.ndarray | None:
     """Train PQ codebooks on the same deterministic, partition-layout-
-    independent driver-side sample _fit_quantizer uses (hash-filtered,
-    id-ordered). Returns ``(n_subspaces, n_centroids, sub_dim)`` (None
-    on an empty corpus); the embedding dim must divide evenly into
-    ``n_subspaces``. Codebooks are ≤ a few MB — closure-shippable."""
-    n_rows = corpus.count()
-    if n_rows == 0:
+    independent driver-side sample _fit_quantizer uses (_driver_sample;
+    pass ``sample`` to reuse an already-collected one). Returns
+    ``(n_subspaces, n_centroids, sub_dim)`` (None on an empty corpus);
+    the embedding dim must divide evenly into ``n_subspaces``.
+    Codebooks are ≤ a few MB — closure-shippable."""
+    if sample is None:
+        sample = _driver_sample(corpus, sample_n, id_col, vec_col)
+    if sample is None:
         return None
-    mod = max(1, n_rows // sample_n)
-    rows = (corpus
-            .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
-            .orderBy(id_col).limit(sample_n)
-            .select(vec_col).collect())
-    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
-                       for r in rows])
     dim = sample.shape[1]
     if dim % n_subspaces != 0:
         raise ValueError(
@@ -615,13 +624,15 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     window takes the per-query top-k with the brute-force tie-break.
     Accuracy = IVF recall (missed lists) × PQ distortion; both knobs
     are explicit."""
-    cent = _fit_quantizer(corpus, n_lists, sample_n, id_col, vec_col)
+    sample = _driver_sample(corpus, sample_n, id_col, vec_col)
+    cent = _fit_quantizer(corpus, n_lists, sample_n, id_col, vec_col,
+                          sample=sample)
     if cent is None:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, adc_cosine double, "
                 "rank int")
     cb = fit_pq(corpus, n_subspaces, n_centroids, sample_n,
-                id_col, vec_col)
+                id_col, vec_col, sample=sample)
     m, _, sub = cb.shape
 
     assign = ivf_assign_udf(cent, 1)

@@ -592,7 +592,8 @@ def ngram_repetition_signals(
 def shard_by_token_budget(df: DataFrame, budget: int,
                           tokens_col: str = "n_tokens",
                           id_col: str = "doc_id",
-                          num_partitions: int = 1) -> DataFrame:
+                          num_partitions: int = 1,
+                          release_into: list | None = None) -> DataFrame:
     """Pack documents into ~``budget``-token training shards: the write
     layout step of a training-data pipeline (fixed-size shards feed the
     data loader; a shard is a contiguous run of the deterministic doc
@@ -612,7 +613,9 @@ def shard_by_token_budget(df: DataFrame, budget: int,
     No task ever holds more than ~1/P of the corpus. Callers should
     persist ``df`` — the range exchange scans it twice (boundary
     sketch + shuffle write) before the checkpoint serves the
-    downstream jobs."""
+    downstream jobs. Pass ``release_into`` to receive the prefix sum's
+    boundary-pinning cache for ``unpersist()`` (with_crawl_seq's
+    contract)."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if num_partitions <= 1:
@@ -626,7 +629,8 @@ def shard_by_token_budget(df: DataFrame, budget: int,
     from .prefix import exclusive_prefix_sum
 
     out = exclusive_prefix_sum(df, [F.asc(id_col)], F.col(tokens_col),
-                               "shard_id", num_partitions)
+                               "shard_id", num_partitions,
+                               release_into=release_into)
     # integral div, not floor(double /): prefix sums at corpus scale
     # sit near double's 2^53 integer limit
     return out.withColumn(

@@ -323,7 +323,8 @@ def pack_token_sequences(df: DataFrame, seq_len: int,
                          id_col: str = "doc_id",
                          eos: str | None = None,
                          num_partitions: int | None = None,
-                         drop_last: bool = False) -> DataFrame:
+                         drop_last: bool = False,
+                         release_into: list | None = None) -> DataFrame:
     """Fixed-length SEQUENCE PACKING — the step that turns a cleaned,
     tokenized corpus into what an LM pretraining loader actually
     consumes: documents concatenated in a deterministic total order
@@ -340,7 +341,12 @@ def pack_token_sequences(df: DataFrame, seq_len: int,
     slice, and ONE groupBy(seq_id) reassembles slices with an
     array_sort on the in-sequence offset — deterministic under any
     partitioning (tested). Token arrays cross the shuffle exactly
-    once, sliced to what each sequence needs."""
+    once, sliced to what each sequence needs.
+
+    The prefix sum pins a boundary cache holding every doc's full
+    token array — the largest frame in the pipeline. Pass
+    ``release_into`` to receive it for ``unpersist()`` once the packed
+    output is materialized (same contract as with_crawl_seq)."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     from data_crawler_spark.operators.prefix import exclusive_prefix_sum
@@ -359,10 +365,13 @@ def pack_token_sequences(df: DataFrame, seq_len: int,
             .withColumn("_n", F.size("_toks").cast("long"))
             .filter(F.col("_n") > 0))
     offs = exclusive_prefix_sum(base, [F.col("_id")], F.col("_n"),
-                                "_off", num_partitions)
+                                "_off", num_partitions,
+                                release_into=release_into)
     L = F.lit(int(seq_len)).cast("long")
-    first = F.floor(F.col("_off") / L)
-    last = F.floor((F.col("_off") + F.col("_n") - 1) / L)
+    # integral div, not floor(double /): corpus-scale token offsets sit
+    # near double's 2^53 integer limit (same rule as token_shard_ids)
+    first = F.expr(f"_off div CAST({int(seq_len)} AS BIGINT)")
+    last = F.expr(f"(_off + _n - 1) div CAST({int(seq_len)} AS BIGINT)")
     spans = offs.select(
         "_toks", "_off", "_n",
         F.explode(F.sequence(first, last)).alias("seq_id"))
@@ -400,12 +409,20 @@ def pack_token_sequences(df: DataFrame, seq_len: int,
 
 # GPT-2's pretokenizer: contractions, space-prefixed letter/number/
 # punctuation runs, then whitespace (keeping the final space attached
-# to the NEXT word via the (?!\S) lookahead). Shared verbatim by the
+# to the NEXT word via the trailing lookahead). Shared verbatim by the
 # native corpus pass (Java regex) and the encode UDF / test mirror
-# (the `regex` module — stdlib `re` lacks \p{L}).
+# (the `regex` module — stdlib `re` lacks \p{L}). The published
+# pattern's \s/\S are ENGINE-DEPENDENT — Java \s is ASCII-only while
+# the regex module's is Unicode — so whitespace is spelled as the
+# explicit Unicode set the regex module matches (codepoint-swept
+# equality test pins the two engines' agreement): a corpus full of
+# &nbsp; must pretokenize identically at train and encode time.
+_WS = (r"\t\n\x0B\f\r \x85\xA0\u1680\u2000-\u200A"
+       r"\u2028\u2029\u202F\u205F\u3000")
 BYTE_PRETOKEN_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
-                    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
-                    r"|\s+(?!\S)|\s+")
+                    r"| ?\p{L}+| ?\p{N}+| ?[^" + _WS + r"\p{L}\p{N}]+"
+                    r"|[" + _WS + r"]+(?![^" + _WS + r"])"
+                    r"|[" + _WS + r"]+")
 
 
 def _bytes_to_unicode() -> dict[int, str]:

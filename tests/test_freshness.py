@@ -252,3 +252,43 @@ def test_revalidation_schedule(spark):
     # an Expires in the past never schedules a fetch before capture
     assert got["u6"].revalidate_from == t1
     assert all(r.revalidate_from >= r.last_capture for r in got.values())
+
+
+def test_revalidation_same_ts_tie_and_session_tz(spark):
+    from datetime import datetime
+
+    from data_crawler_spark.operators.freshness import revalidation_schedule
+
+    t1 = datetime(2026, 8, 2, 12, 0, 0)
+    # two captures with the SAME timestamp but conflicting policies:
+    # the pick must be a function of the data (struct tie-break), not
+    # of which partition max_by scans last
+    rows = [
+        ("u1", t1, "Cache-Control: no-store\n"),
+        ("u1", t1, "Cache-Control: max-age=3600\n"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, headers string")
+    picks = {
+        str(revalidation_schedule(df.repartition(n)).collect()[0]
+            .fresh_until)
+        for n in (1, 2, 7)
+    }
+    assert len(picks) == 1, picks
+
+    # Expires must parse as GMT regardless of the session timezone —
+    # 'zzz' in the pattern, not a literal shifted into session-local
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df2 = spark.createDataFrame(
+            [("u3", t1, "Expires: Mon, 03 Aug 2026 10:00:00 GMT\n")],
+            "url string, warc_ts timestamp, headers string")
+        got = revalidation_schedule(df2).select(
+            F.col("fresh_until").cast("string").alias("s")).collect()[0]
+        # session tz is EDT (UTC-4): 10:00 GMT renders as 06:00 — the
+        # old 'GMT'-literal pattern would have read the wall clock as
+        # Eastern and rendered 10:00 (epoch shifted +4h)
+        assert got.s == "2026-08-03 06:00:00"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)

@@ -355,6 +355,11 @@ def test_byte_pretokenize_native_matches_regex_module(spark):
         "emoji 😀 end",
         "trailing spaces   ",
         "",
+        # Unicode whitespace: Java \s is ASCII-only, so the pattern
+        # spells the regex-module \s set explicitly — these pin it
+        "a\u00a0b nbsp\u00a0\u00a0run",      # &nbsp; everywhere in HTML
+        "thin\u2009space\u2028ls\u3000ideo",
+        "mix \u00a0\u2007 after-ascii-space\u00a0",
     ]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [r.g for r in df.select(
@@ -410,3 +415,38 @@ def test_byte_bpe_roundtrip_and_distributed_encode(spark):
         assert byte_bpe_decode(raw[i]) == t
     with pytest.raises(ValueError):
         train_byte_bpe(byte_word_freqs(df), num_merges=-1)
+
+
+def test_byte_pretokenize_engine_agreement_codepoint_sweep(spark):
+    """Pin the Java-regex / regex-module agreement of BYTE_PRETOKEN_RE
+    across the whole BMP: for every non-surrogate codepoint c, the
+    native pretokenization of f"a {c}b" must equal the module's. This
+    is the invariant byte-BPE training (native pass) and encoding
+    (Arrow UDF) both lean on — a \\s-class divergence (e.g. NBSP) would
+    train merges on pretokens encode-time never produces. Codepoints
+    whose \\p{L}/\\p{N} CATEGORY differs between the engines (Java 17
+    ships Unicode 13; the regex module a newer table — e.g. U+0870..
+    Arabic Ext-B landed in Unicode 14) are excluded but counted: that
+    skew must stay tiny and must never include a whitespace char."""
+    import regex
+
+    from data_crawler_spark.operators.tokenizer import BYTE_PRETOKEN_RE
+
+    pre = regex.compile(BYTE_PRETOKEN_RE)
+    cps = [c for c in range(0x10000) if not 0xD800 <= c <= 0xDFFF]
+    df = spark.createDataFrame(
+        [(c, f"a {chr(c)}b") for c in cps], "cp int, text string")
+    got = df.select(
+        "cp", "text",
+        F.regexp_extract_all("text", F.lit(BYTE_PRETOKEN_RE), 0)
+        .alias("g"),
+        F.substring("text", 3, 1).rlike(r"^[\p{L}\p{N}]$")
+        .alias("java_ln")).collect()
+    ln = regex.compile(r"^[\p{L}\p{N}]$")
+    skew = [r.cp for r in got if r.java_ln != bool(ln.match(chr(r.cp)))]
+    assert len(skew) < 500, f"category skew exploded: {len(skew)}"
+    assert not any(regex.match(r"\s", chr(c)) for c in skew)
+    skew_set = set(skew)
+    bad = [(r.text, r.g, pre.findall(r.text)) for r in got
+           if r.cp not in skew_set and r.g != pre.findall(r.text)]
+    assert not bad, f"{len(bad)} disagreeing codepoints, first: {bad[:5]!r}"
