@@ -50,12 +50,17 @@ RECORDS_SCHEMA = pa.schema([
     ("http_status", pa.int32()),
     ("content_type", pa.string()),
     ("payload", pa.binary()),
+    # revisit-record plumbing (null on every other record type)
+    ("payload_digest", pa.string()),
+    ("refers_to_url", pa.string()),
+    ("refers_to_ts", pa.timestamp("us")),
 ])
 
 _RECORDS_DDL = (
     "warc_file string, record_offset long, record_type string, "
     "url string, warc_ts timestamp, http_status int, "
-    "content_type string, payload binary"
+    "content_type string, payload binary, payload_digest string, "
+    "refers_to_url string, refers_to_ts timestamp"
 )
 
 
@@ -201,6 +206,12 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     cols["http_status"].append(status)
                     cols["content_type"].append(ctype)
                     cols["payload"].append(body)
+                    cols["payload_digest"].append(
+                        hdrs.get("warc-payload-digest"))
+                    cols["refers_to_url"].append(
+                        hdrs.get("warc-refers-to-target-uri"))
+                    cols["refers_to_ts"].append(
+                        _parse_warc_date(hdrs.get("warc-refers-to-date")))
                 if cols["warc_file"]:
                     yield pa.RecordBatch.from_pydict(cols, schema=RECORDS_SCHEMA)
 
@@ -497,3 +508,127 @@ def wat_entries(records: DataFrame) -> DataFrame:
                           & F.col("url").isNotNull())
             .select("url", "warc_ts",
                     F.decode(F.col("payload"), "UTF-8").alias("wat_json")))
+
+
+# ---------------------------------------------------------------------------
+# revisit-record deduplication (Heritrix-style identical-payload-digest)
+# ---------------------------------------------------------------------------
+
+#: WARC 1.1 revisit profile URI for "same URI served identical bytes".
+REVISIT_PROFILE = "http://netpreservation.org/warc/1.1/revisit/identical-payload-digest"
+
+
+def payload_digest_col(html: Column) -> Column:
+    """The engine's WARC payload digest: ``xxh64:<16-hex>`` over the
+    payload bytes. Common Crawl labels sha1:BASE32; the spec only
+    requires a labelled algorithm, and xxhash64 keeps BOTH sides of
+    the dedup comparison native JVM expressions (no Python touches the
+    corpus to decide revisit-vs-response)."""
+    b = html.cast("binary")
+    return F.concat(F.lit("xxh64:"),
+                    F.lpad(F.lower(F.hex(F.xxhash64(b))), 16, "0"))
+
+
+def latest_capture_index(pages: DataFrame) -> DataFrame:
+    """(url, ref_ts, ref_digest) of each url's LATEST capture — the
+    dedup index a delta crawl carries from the previous one. One
+    map-side-partial max_by with the digest in the tie-break struct so
+    same-ts captures pick layout-independently."""
+    d = payload_digest_col(F.col("html"))
+    return (pages
+            .select("url", "warc_ts", d.alias("_d"))
+            .groupBy("url")
+            .agg(F.max_by(F.struct(F.col("warc_ts").alias("ref_ts"),
+                                   F.col("_d").alias("ref_digest")),
+                          F.struct(F.col("warc_ts"), F.col("_d")))
+                 .alias("_p"))
+            .select("url", "_p.ref_ts", "_p.ref_digest"))
+
+
+def _revisit_record_bytes(url: str, ts, digest: str, ref_url: str,
+                          ref_ts, rec_id: str) -> bytes:
+    """One ``revisit`` record: HTTP headers only, no body — the whole
+    point is not storing the identical payload twice."""
+    if isinstance(ts, pd.Timestamp):
+        ts = ts.to_pydatetime()
+    if isinstance(ref_ts, pd.Timestamp):
+        ref_ts = ref_ts.to_pydatetime()
+    date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            if ts is not None else "2026-01-01T00:00:00Z")
+    ref_date = (ref_ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                if ref_ts is not None else date)
+    return warc_record_bytes(
+        {"WARC-Type": "revisit",
+         "WARC-Record-ID": f"<{rec_id}>",
+         "WARC-Date": date,
+         "WARC-Target-URI": url,
+         "WARC-Profile": REVISIT_PROFILE,
+         "WARC-Payload-Digest": digest,
+         "WARC-Refers-To-Target-URI": ref_url,
+         "WARC-Refers-To-Date": ref_date,
+         "Content-Type": "application/http; msgtype=response"},
+        b"HTTP/1.1 200 OK" + _CRLF + b"Content-Type: text/html" + _HDR_END)
+
+
+def export_warc_deduped(pages: DataFrame, prior_index: DataFrame,
+                        out_dir: str | Path,
+                        gzip_records: bool = True) -> DataFrame:
+    """``export_warc`` with Heritrix-style payload dedup against a
+    previous crawl: a page whose payload digest equals its url's entry
+    in ``prior_index`` (``latest_capture_index`` of the prior crawl)
+    exports as a body-less ``revisit`` record pointing at the prior
+    capture; everything else exports as a full ``response``. At
+    recrawl cadence most of the web hasn't changed, so this is the
+    difference between re-archiving the corpus and archiving the delta.
+
+    Distributed shape: the digest is a native expression, the index
+    join is per-url (slim rows — the html column never rides it when
+    the optimizer pushes the digest projection down; the index itself
+    is O(urls) × ~50 bytes), and the sink stays the shared
+    embarrassingly-parallel ``_export_sink``. Reconstruction:
+    ``resolve_revisits`` re-materializes full pages from the prior
+    store."""
+    d = payload_digest_col(F.col("html"))
+    idx = prior_index.select(
+        F.col("url").alias("_iu"), "ref_ts", "ref_digest")
+    # no leading underscores: itertuples drops those as attributes
+    src = (pages
+           .withColumn("digest", d)
+           .join(idx, F.col("url") == F.col("_iu"), "left")
+           .withColumn("is_revisit",
+                       F.coalesce(F.col("ref_digest") == F.col("digest"),
+                                  F.lit(False)))
+           .select("url", "warc_ts", "html", "digest",
+                   "is_revisit", "ref_ts"))
+
+    def make(row, rid):
+        if row.is_revisit:
+            return _revisit_record_bytes(
+                row.url, row.warc_ts, row.digest, row.url, row.ref_ts,
+                rid)
+        return _page_record_bytes(row.url, row.warc_ts, row.html, rid)
+
+    return _export_sink(src, out_dir, ".warc", gzip_records, make)
+
+
+def resolve_revisits(records: DataFrame, prior_pages: DataFrame) -> DataFrame:
+    """Read-back inverse of ``export_warc_deduped``: response records
+    pass through; ``revisit`` records re-materialize their payload
+    from the PRIOR crawl's page store by (refers-to url, refers-to
+    date), keeping the REVISIT's own capture timestamp. Returns the
+    engine's PAGES shape (url, warc_ts, html). One equi-join on the
+    referred key — revisits are the small side at recrawl cadence, so
+    AQE broadcast-plans it when the delta is small."""
+    resp = warc_pages(records)
+    rev = records.where((F.col("record_type") == "revisit")
+                        & F.col("url").isNotNull())
+    prior = prior_pages.select(F.col("url").alias("_pu"),
+                               F.col("warc_ts").alias("_pts"),
+                               F.col("html").alias("_ph"))
+    # WARC-Date carries whole seconds; the prior store may carry µs
+    filled = (rev.join(prior,
+                       (F.col("refers_to_url") == F.col("_pu"))
+                       & (F.col("refers_to_ts")
+                          == F.date_trunc("second", F.col("_pts"))))
+              .select("url", "warc_ts", F.col("_ph").alias("html")))
+    return resp.unionByName(filled)

@@ -287,3 +287,95 @@ def test_export_wat_roundtrip(spark, tmp_path):
 
     back = wat_entries(read_warc(spark, str(tmp_path / "wat"))).collect()
     assert {r["url"]: (r["warc_ts"], r["wat_json"]) for r in back} == exp
+
+
+# ------------------------------------------------- revisit dedup
+
+
+def _crawl_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html"]))
+
+
+def test_export_deduped_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_crawler_spark.sources.warc import (export_warc_deduped,
+                                                 latest_capture_index,
+                                                 resolve_revisits)
+
+    t1, t2 = pd.Timestamp("2026-08-01 00:00:00"), pd.Timestamp(
+        "2026-08-08 00:00:00")
+    big = b"<p>unchanged</p>" * 400       # dedup must beat the
+    prior = _crawl_df(spark, [          # revisit header overhead
+        ("http://a.com/1", t1, big),
+        ("http://a.com/2", t1, b"<p>old two</p>"),
+        ("http://a.com/3", t1, b"<p>gone</p>"),
+    ])
+    # recrawl: /1 identical -> revisit; /2 changed and /new unseen ->
+    # full response records
+    cur = _crawl_df(spark, [
+        ("http://a.com/1", t2, big),
+        ("http://a.com/2", t2, b"<p>new two</p>"),
+        ("http://a.com/new", t2, b"<p>fresh</p>"),
+    ])
+    idx = latest_capture_index(prior)
+    out = tmp_path / "delta"
+    manifest = export_warc_deduped(cur.coalesce(1), idx, out,
+                                   gzip_records=False).collect()
+    assert sum(m.n_records for m in manifest) == 3
+
+    recs = read_warc(spark, str(out))
+    by_type = {r.url: r for r in recs.collect() if r.url}
+    assert by_type["http://a.com/1"].record_type == "revisit"
+    assert by_type["http://a.com/2"].record_type == "response"
+    assert by_type["http://a.com/new"].record_type == "response"
+    rev = by_type["http://a.com/1"]
+    # the revisit carries digest + refers-to pointers, and NO body
+    assert rev.payload_digest.startswith("xxh64:")
+    assert rev.refers_to_url == "http://a.com/1"
+    assert rev.refers_to_ts == t1.to_pydatetime()
+    assert b"unchanged" not in bytes(rev.payload)
+
+    # the archive is smaller than the undeduped export
+    full = export_warc_deduped(
+        cur.coalesce(1), idx.filter(F.lit(False)), tmp_path / "full",
+        gzip_records=False).collect()
+    assert sum(m.n_bytes for m in manifest) < sum(m.n_bytes for m in full)
+
+    # resolve re-materializes the PAGES shape exactly
+    got = {(r.url, r.warc_ts): bytes(r.html)
+           for r in resolve_revisits(recs, prior).collect()}
+    want = {(r.url, r.warc_ts): bytes(r.html)
+            for r in cur.collect()}
+    assert got == want
+
+
+def test_latest_capture_index_tie_and_precision(spark, tmp_path):
+    from data_crawler_spark.sources.warc import (export_warc_deduped,
+                                                 latest_capture_index,
+                                                 read_warc,
+                                                 resolve_revisits)
+
+    # microsecond prior timestamps: the second-truncated WARC-Date
+    # must still resolve
+    tmu = pd.Timestamp("2026-08-01 00:00:00.123456")
+    t2 = pd.Timestamp("2026-08-08 00:00:00")
+    prior = _crawl_df(spark, [("http://a.com/1", tmu, b"<p>same</p>")])
+    cur = _crawl_df(spark, [("http://a.com/1", t2, b"<p>same</p>")])
+    out = tmp_path / "mu"
+    export_warc_deduped(cur.coalesce(1), latest_capture_index(prior),
+                        out, gzip_records=False).collect()
+    recs = read_warc(spark, str(out))
+    assert recs.filter("record_type = 'revisit'").count() == 1
+    got = resolve_revisits(recs, prior).collect()
+    assert len(got) == 1 and bytes(got[0].html) == b"<p>same</p>"
+
+    # same-ts duplicate captures: the index picks layout-independently
+    dup = _crawl_df(spark, [
+        ("http://b.com/x", t2, b"<p>one</p>"),
+        ("http://b.com/x", t2, b"<p>two</p>"),
+    ])
+    picks = {latest_capture_index(dup.repartition(n)).collect()[0]
+             .ref_digest for n in (1, 2, 5)}
+    assert len(picks) == 1
