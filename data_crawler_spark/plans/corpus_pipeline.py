@@ -298,9 +298,36 @@ def write_training_shards(out: DataFrame, path: str,
         writer.json(path)
 
 
+def shard_manifest(out: DataFrame,
+                   partition_by: tuple[str, ...] = ("split", "shard_id"),
+                   id_col: str = "doc_id", text_col: str = "text",
+                   tokens_col: str | None = "n_tokens") -> DataFrame:
+    """Per-shard manifest for the corpus a training run consumed —
+    the data-card / reproducibility record next to
+    ``write_training_shards``: ``(partition cols, n_docs, n_tokens,
+    content_digest)``. The digest is a bit_xor fold of
+    xxhash64(id, text) — order- and partitioning-insensitive by
+    construction (XOR is commutative and cannot overflow under ANSI,
+    unlike a sum fold), so two corpus builds that disagree on any doc
+    disagree on the digest regardless of layout (identical-pair
+    cancellation is the one blind spot — n_docs covers it; shards are
+    deduped upstream anyway). One map-side-partial groupBy; O(shards)
+    output."""
+    missing = [c for c in partition_by if c not in out.columns]
+    if missing:
+        raise ValueError(f"partition columns not in frame: {missing}")
+    aggs = [F.count("*").alias("n_docs"),
+            F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col)))
+            .alias("content_digest")]
+    if tokens_col is not None:
+        aggs.insert(1, F.sum(tokens_col).alias("n_tokens"))
+    return out.groupBy(*[F.col(c) for c in partition_by]).agg(*aggs)
+
+
 def prepare_pages(pages: DataFrame, *,
                   url_col: str = "url", html_col: str = "html",
                   blocklist=None, traps: DataFrame | None = None,
+                  param_rules: DataFrame | None = None,
                   decode: bool = True,
                   respect_robots_meta: bool = True,
                   canonical: bool = True,
@@ -315,6 +342,10 @@ def prepare_pages(pages: DataFrame, *,
 
     Stages, cheapest first so each drops rows before the next pays:
 
+    0. ``dust.apply_param_rules`` — strip mined-irrelevant query
+       params (broadcast rule join + pure map) so URL variants of one
+       page share a doc_id before any dedup. Optional
+       (``param_rules``).
     1. ``links.host_blocklist_filter`` — URL-only, pure map (literal
        list) or broadcast semi-join (DataFrame list). Optional.
     2. ``links.trap_filter`` — drop mined spider-trap templates
@@ -343,6 +374,15 @@ def prepare_pages(pages: DataFrame, *,
     from ..operators.structured import canonical_dedup, noindex_filter
 
     out = pages
+    if param_rules is not None:
+        # DUST rewrite first (operators/dust.py — mined-irrelevant
+        # query params stripped, broadcast rule join + pure map): the
+        # url IS doc_id downstream, so session-id variants of one page
+        # must fold to one key before the canonical shuffle collapses
+        # them (pair with canonical=True or a downstream exact dedup —
+        # the rewrite itself keeps both captures)
+        from ..operators.dust import apply_param_rules
+        out = apply_param_rules(out, param_rules, url_col=url_col)
     if blocklist is not None:
         out = host_blocklist_filter(out, blocklist, url_col=url_col)
     if traps is not None:

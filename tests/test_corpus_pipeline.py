@@ -484,3 +484,68 @@ def test_prepare_pages_replaces_existing_text_column(spark):
     out2 = prepare_pages(pages, extract_main=False)
     assert out2.columns.count("text") == 1
     assert "<html" in out2.collect()[0]["text"]
+
+
+def test_prepare_pages_param_rules_stage(spark):
+    """DUST rewrite folds session-id URL variants to one doc_id before
+    the canonical shuffle collapses the duplicate captures."""
+    from data_crawler_spark.operators.dust import mine_param_rules
+    from data_crawler_spark.plans.corpus_pipeline import prepare_pages
+
+    prose = ("<p>" + " ".join(
+        "the fish is in the net and it is a part of the story to tell"
+        .split() * 6) + " so the block is long enough to be kept.</p>")
+    html = f"<html><body>{prose}</body></html>".encode()
+    rows = [
+        ("http://s.test/p?id=1&sess=aa", html),
+        ("http://s.test/p?id=1&sess=bb", html),
+        ("http://s.test/p?id=2&sess=aa", html + b"<p>two</p>"),
+        ("http://s.test/p?id=2&sess=cc", html + b"<p>two</p>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    rules = mine_param_rules(
+        pages.select("url", F.xxhash64("html").alias("content_hash")),
+        min_support=2)
+    assert {(r.host, r.param) for r in rules.collect()} \
+        == {("s.test", "sess")}
+
+    out = prepare_pages(pages, param_rules=rules)
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert ids == ["http://s.test/p?id=1", "http://s.test/p?id=2"]
+    # without the stage, every sess variant survives as its own doc
+    assert prepare_pages(pages).count() == 4
+
+
+def test_shard_manifest(spark):
+    from data_crawler_spark.plans.corpus_pipeline import shard_manifest
+
+    rows = [
+        ("s0", 0, "d1", "alpha text", 2),
+        ("s0", 0, "d2", "beta text", 2),
+        ("s0", 1, "d3", "gamma", 1),
+        ("s1", 0, "d4", "delta", 1),
+    ]
+    ddl = "split string, shard_id int, doc_id string, text string, n_tokens long"
+    df = spark.createDataFrame(rows, ddl)
+    m = {(r.split, r.shard_id): r for r in shard_manifest(df).collect()}
+    assert m[("s0", 0)].n_docs == 2 and m[("s0", 0)].n_tokens == 4
+    assert m[("s0", 1)].n_docs == 1 and m[("s1", 0)].n_docs == 1
+
+    # digest: layout- and order-insensitive, content-sensitive
+    for layout in (df.repartition(7), df.orderBy(F.desc("doc_id"))):
+        m2 = {(r.split, r.shard_id): r.content_digest
+              for r in shard_manifest(layout).collect()}
+        assert m2 == {k: v.content_digest for k, v in m.items()}
+    changed = spark.createDataFrame(
+        [rows[0], ("s0", 0, "d2", "beta text EDITED", 2),
+         rows[2], rows[3]], ddl)
+    mc = {(r.split, r.shard_id): r.content_digest
+          for r in shard_manifest(changed).collect()}
+    assert mc[("s0", 0)] != m[("s0", 0)].content_digest
+    assert mc[("s0", 1)] == m[("s0", 1)].content_digest
+
+    # no token column; bad partition col validation
+    m3 = shard_manifest(df, tokens_col=None)
+    assert "n_tokens" not in m3.columns
+    with pytest.raises(ValueError):
+        shard_manifest(df, partition_by=("nope",))
