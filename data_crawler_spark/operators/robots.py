@@ -20,12 +20,30 @@ from pyspark.sql import functions as F
 
 def host_rules_df(rules: DataFrame) -> DataFrame:
     """rules(host, rule_type, path_prefix) -> one row per host with
-    array<struct<prefix,allow>> — the broadcastable per-host dictionary."""
+    array<struct<prefix,allow,wild,pattern>> — the broadcastable
+    per-host dictionary. RFC 9309 §2.2.3 wildcards are honored: a
+    rule whose path carries ``*`` (any chars) or a trailing ``$``
+    (end anchor; mid-rule ``$`` is literal) gets a precomputed
+    anchored Java-regex ``pattern`` (metachars escaped natively —
+    this stays a zero-Python build); wildcard-free rules (``wild``
+    false) keep the plain prefix byte-match, so prefix-only rulesets
+    gate exactly as before."""
+    p = F.col("path_prefix")
+    anchored = p.endswith("$")
+    body = F.when(anchored, F.expr(
+        "substring(path_prefix, 1, length(path_prefix) - 1)")).otherwise(p)
+    esc = F.regexp_replace(body, r"([\\.\[\]{}()+?^$|])", r"\\$1")
+    pattern = F.concat(
+        F.lit("^"), F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+    wild = p.contains("*") | anchored
     return rules.groupBy(F.col("host").alias("r_host")).agg(
         F.collect_list(
             F.struct(
-                F.col("path_prefix").alias("prefix"),
+                p.alias("prefix"),
                 (F.col("rule_type") == "allow").alias("allow"),
+                wild.alias("wild"),
+                pattern.alias("pattern"),
             )
         ).alias("r_rules")
     )
@@ -34,14 +52,21 @@ def host_rules_df(rules: DataFrame) -> DataFrame:
 def robots_gate(candidates: DataFrame, rules: DataFrame) -> DataFrame:
     """Filter ``candidates`` (must carry url, host, path) to robots-allowed.
 
-    Verdict per url: among rules whose prefix matches the path, take the
-    longest; allow wins length ties (max over struct(len, allow) — Spark
-    orders structs lexicographically and true > false). No matching rule
-    (or no rules row for the host) => allowed.
+    Verdict per url: among rules matching the path (prefix byte-match
+    for plain rules, the precomputed anchored regex for RFC 9309
+    ``*``/``$`` wildcard rules), take the most specific — longest
+    original rule text, the published tie metric; allow wins length
+    ties (max over struct(len, allow) — Spark orders structs
+    lexicographically and true > false). No matching rule (or no rules
+    row for the host) => allowed.
     """
     hr = F.broadcast(host_rules_df(rules))
     joined = candidates.join(hr, candidates["host"] == hr["r_host"], "left")
-    matching = F.filter("r_rules", lambda r: F.col("path").startswith(r["prefix"]))
+    matching = F.filter(
+        "r_rules",
+        lambda r: F.when(r["wild"],
+                         F.regexp_like(F.col("path"), r["pattern"]))
+                   .otherwise(F.col("path").startswith(r["prefix"])))
     best = F.array_max(
         F.transform(
             matching,

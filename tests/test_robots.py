@@ -255,3 +255,61 @@ def test_apply_crawl_delay_preserves_host_table_delay_col(spark):
     got = {r.host: (r.budget_per_round, r.crawl_delay)
            for r in out.collect()}
     assert got == {"a.test": (6, 2), "b.test": (50, 2)}
+
+
+def test_wildcard_rules_rfc9309(spark):
+    """RFC 9309 §2.2.3: '*' matches any char run, trailing '$' anchors
+    the end, mid-rule '$' is literal; specificity = rule-text length;
+    wildcard-free rules keep exact prefix semantics."""
+    from data_crawler_spark.operators.robots import robots_gate
+
+    rules = spark.createDataFrame([
+        ("h1", "disallow", "/*.gif$"),
+        ("h1", "allow", "/pics/"),
+        ("h2", "disallow", "/a/*/c"),
+        ("h3", "disallow", "/x$"),
+        ("h4", "disallow", "/lit$eral"),       # mid-rule $ is literal
+        ("h5", "disallow", "/p"),              # plain prefix unchanged
+        ("h5", "allow", "/page"),
+    ], "host string, rule_type string, path_prefix string")
+
+    def gate(host, path):
+        cand = spark.createDataFrame(
+            [(f"http://{host}{path}", host, path)],
+            "url string, host string, path string")
+        return robots_gate(cand, rules).count() == 1
+
+    # /*.gif$ blocks any .gif path, but the LONGER /pics/ allow (6 > 7?
+    # no: '/pics/' is 6, '/*.gif$' is 7 chars) — disallow is more
+    # specific, so even /pics/x.gif is blocked; /pics/x.png survives
+    assert not gate("h1", "/anim/x.gif")
+    assert not gate("h1", "/pics/x.gif")
+    assert gate("h1", "/pics/x.png")
+    assert gate("h1", "/anim/x.gift")          # $ anchors: 'gift' passes
+
+    # '*' spans path segments and matches empty
+    assert not gate("h2", "/a/b/c")
+    assert not gate("h2", "/a/b/b2/c")
+    assert not gate("h2", "/a//cd")            # empty run + suffix 'd' ok
+    assert gate("h2", "/a/b")
+
+    # trailing $: exact end only
+    assert not gate("h3", "/x")
+    assert gate("h3", "/xy")
+
+    # mid-rule $ is a literal byte, not an anchor
+    assert not gate("h4", "/lit$eral/page")
+    assert gate("h4", "/literal/page")
+
+    # plain prefixes behave exactly as the longest-prefix gate
+    assert not gate("h5", "/p/q")
+    assert gate("h5", "/page/1")               # allow wins, longer
+
+    # regex metachars in rule paths stay literal bytes
+    rules2 = spark.createDataFrame(
+        [("m", "disallow", "/a(b)+c.d/*")],
+        "host string, rule_type string, path_prefix string")
+    cand = spark.createDataFrame(
+        [("u1", "m", "/a(b)+c.d/x"), ("u2", "m", "/abbc_d/x")],
+        "url string, host string, path string")
+    assert [r.url for r in robots_gate(cand, rules2).collect()] == ["u2"]
