@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["resolve_redirects", "apply_redirects"]
+__all__ = ["resolve_redirects", "apply_redirects",
+           "host_fold_rules", "apply_host_folds"]
 
 
 def resolve_redirects(redirects: DataFrame, url_col: str = "url",
@@ -88,3 +89,93 @@ def apply_redirects(df: DataFrame, resolved: DataFrame,
             .where(~F.coalesce("cyclic", F.lit(False)))
             .withColumn(url_col, F.coalesce("final_url", F.col(url_col)))
             .drop("_r_url", "final_url", "cyclic"))
+
+
+def host_fold_rules(resolved: DataFrame, url_col: str = "url",
+                    final_col: str = "final_url",
+                    min_support: int = 3, min_frac: float = 0.9,
+                    min_path_frac: float = 0.9) -> DataFrame:
+    """Mine host-level canonicalization folds from resolved redirects —
+    the site-wide aliases (www.a.com -> a.com, http -> https, old
+    domain -> new domain) that a crawler should rewrite in the
+    FRONTIER, before fetch, instead of paying one redirect round-trip
+    per URL forever. Returns ``(src_host, dst_scheme, dst_host,
+    support, dominance, path_frac)``.
+
+    Evidence bar, per source ORIGIN (scheme + authority incl. port,
+    so an http->https fold on one host is mineable): the dominant
+    (scheme, host) destination must carry ≥ ``min_support`` redirects
+    and ≥ ``min_frac`` of the origin's total, and ≥ ``min_path_frac``
+    of its redirects must PRESERVE path+query — the alias signature.
+    The path test is what keeps parked/soft-404 hosts (everything ->
+    /landing) from folding: those rewrite paths, aliases don't.
+
+    Shape: native expressions over the resolved map, two map-side-
+    partial groupBys ((src, dst) then src) — O(redirecting hosts)
+    output, broadcastable by construction."""
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    from data_crawler_spark.operators.links import host_col
+
+    rest = lambda c: F.regexp_replace(  # noqa: E731 — tiny local alias
+        c, r"^[a-z][a-z0-9+.\-]*://[^/?#]*", "")
+    src, dst = F.col(url_col), F.col(final_col)
+    scheme = lambda c: F.regexp_extract(  # noqa: E731
+        c, r"^([a-z][a-z0-9+.\-]*)://", 1)
+    ev = (resolved
+          .filter(~F.coalesce(F.col("cyclic"), F.lit(False)))
+          .select(
+              scheme(src).alias("src_scheme"),
+              host_col(src).alias("src_host"),
+              scheme(dst).alias("dst_scheme"),
+              host_col(dst).alias("dst_host"),
+              (rest(src) == rest(dst)).cast("long").alias("kept_path")))
+    pairs = (ev.groupBy("src_scheme", "src_host", "dst_scheme", "dst_host")
+             .agg(F.count("*").alias("cnt"),
+                  F.sum("kept_path").alias("path_cnt")))
+    picked = (pairs.groupBy("src_scheme", "src_host")
+              .agg(F.sum("cnt").alias("total"),
+                   F.max_by(
+                       F.struct("dst_scheme", "dst_host", "cnt",
+                                "path_cnt"),
+                       F.struct(F.col("cnt"), F.col("path_cnt"),
+                                F.col("dst_scheme"), F.col("dst_host")))
+                   .alias("d")))
+    out = picked.select(
+        "src_scheme", "src_host",
+        F.col("d.dst_scheme").alias("dst_scheme"),
+        F.col("d.dst_host").alias("dst_host"),
+        F.col("d.cnt").alias("support"),
+        (F.col("d.cnt") / F.col("total")).alias("dominance"),
+        (F.col("d.path_cnt") / F.col("d.cnt")).alias("path_frac"))
+    return out.filter(
+        ((F.col("src_host") != F.col("dst_host"))
+         | (F.col("src_scheme") != F.col("dst_scheme")))
+        & (F.col("support") >= min_support)
+        & (F.col("dominance") >= min_frac)
+        & (F.col("path_frac") >= min_path_frac))
+
+
+def apply_host_folds(df: DataFrame, rules: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+    """Rewrite ``url_col`` through the mined host folds: scheme and
+    authority replaced, path+query kept byte-for-byte. One broadcast
+    join on the url's (scheme, host) origin (the rule table is
+    O(origins)); unmatched URLs pass through untouched."""
+    from data_crawler_spark.operators.links import host_col
+
+    r = rules.select(F.col("src_scheme").alias("_fs"),
+                     F.col("src_host").alias("_fh"),
+                     "dst_scheme", "dst_host")
+    u = F.col(url_col)
+    uscheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.\-]*)://", 1)
+    joined = df.join(F.broadcast(r),
+                     (host_col(u) == F.col("_fh"))
+                     & (uscheme == F.col("_fs")), "left")
+    folded = F.concat(
+        F.col("dst_scheme"), F.lit("://"), F.col("dst_host"),
+        F.regexp_replace(u, r"^[a-z][a-z0-9+.\-]*://[^/?#]*", ""))
+    return (joined
+            .withColumn(url_col,
+                        F.when(F.col("_fh").isNull(), u).otherwise(folded))
+            .drop("_fs", "_fh", "dst_scheme", "dst_host"))

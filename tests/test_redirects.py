@@ -60,3 +60,66 @@ def test_apply_redirects(spark):
     # a rewrites to final (both rows survive), loop is dropped as
     # cyclic, other passes through untouched
     assert got == [("final", 1), ("final", 2), ("other", 4)]
+
+
+def test_host_fold_rules_and_apply(spark):
+    from data_crawler_spark.operators.redirects import (apply_host_folds,
+                                                        host_fold_rules,
+                                                        resolve_redirects)
+
+    redirects = [
+        # www alias: path-preserving, dominant -> folds
+        ("http://www.a.com/1", "http://a.com/1"),
+        ("http://www.a.com/2", "http://a.com/2"),
+        ("http://www.a.com/3", "http://a.com/3"),
+        # https upgrade on the same host -> scheme-only fold
+        ("http://b.com/x", "https://b.com/x"),
+        ("http://b.com/y", "https://b.com/y"),
+        ("http://b.com/z", "https://b.com/z"),
+        # parked host: everything to one landing page -> path test fails
+        ("http://park.com/p1", "http://lander.com/home"),
+        ("http://park.com/p2", "http://lander.com/home"),
+        ("http://park.com/p3", "http://lander.com/home"),
+        # split destinations -> dominance fails
+        ("http://mix.com/1", "http://d1.com/1"),
+        ("http://mix.com/2", "http://d1.com/2"),
+        ("http://mix.com/3", "http://d2.com/3"),
+        # chain: old.com -> www.a.com -> a.com resolves to the FINAL
+        ("http://old.com/q1", "http://www.a.com/q1"),
+        ("http://old.com/q2", "http://www.a.com/q2"),
+        ("http://old.com/q3", "http://www.a.com/q3"),
+    ]
+    # complete the chain targets so resolution follows through
+    redirects += [(f"http://www.a.com/q{i}", f"http://a.com/q{i}")
+                  for i in (1, 2, 3)]
+    df = spark.createDataFrame(redirects, "url string, redirect_to string")
+    rules = host_fold_rules(resolve_redirects(df))
+    got = {(r.src_scheme, r.src_host): (r.dst_scheme, r.dst_host)
+           for r in rules.collect()}
+    assert got == {
+        ("http", "www.a.com"): ("http", "a.com"),
+        ("http", "b.com"): ("https", "b.com"),
+        ("http", "old.com"): ("http", "a.com"),   # chain-resolved
+    }
+
+    frontier = spark.createDataFrame(
+        [("http://www.a.com/new?q=1",), ("http://b.com/fresh",),
+         ("https://b.com/already",), ("http://park.com/p9",),
+         ("http://other.com/u",)], "url string")
+    out = sorted(r.url for r in
+                 apply_host_folds(frontier, rules).collect())
+    assert out == sorted([
+        "http://a.com/new?q=1",        # path+query byte-preserved
+        "https://b.com/fresh",
+        "https://b.com/already",       # untouched (no https rule)
+        "http://park.com/p9",          # parked host never folds
+        "http://other.com/u",
+    ])
+
+    # layout invariance + validation
+    r2 = {(r.src_scheme, r.src_host)
+          for r in host_fold_rules(resolve_redirects(
+              df.repartition(7))).collect()}
+    assert r2 == set(got)
+    with pytest.raises(ValueError):
+        host_fold_rules(resolve_redirects(df), min_support=0)
