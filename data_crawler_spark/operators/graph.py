@@ -13,9 +13,12 @@ iteration
     rank'(v) = (1-d)/N + d · (Σ_{u→v} rank(u)/outdeg(u) + D/N)
 
 where D = Σ rank(dangling u) (no out-edges) — the standard dangling
-redistribution that keeps Σ rank = 1 exactly. A FIXED ``max_iter``
-iterations (deterministic output; convergence-threshold stopping would
-make results depend on float noise across partitionings).
+redistribution that keeps Σ rank = 1 exactly. By DEFAULT a fixed
+``max_iter`` iterations (deterministic output; convergence-threshold
+stopping makes results depend on float noise across partitionings) —
+``tol`` is the caller's explicit opt-in trade for the incremental
+warm-start path, where exiting a few iterations after the old
+fixpoint is the entire point.
 
 100 TB shape: the deduped edge list is hash-partitioned by ``src``
 ONCE and persisted — every iteration's contribution join reuses that
@@ -37,18 +40,34 @@ from pyspark.sql import functions as F
 def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 20,
              src_col: str = "src", dst_col: str = "dst",
              num_partitions: int | None = None,
-             nodes: DataFrame | None = None) -> DataFrame:
+             nodes: DataFrame | None = None,
+             init_ranks: DataFrame | None = None,
+             tol: float | None = None,
+             stats: dict | None = None) -> DataFrame:
     """Ranks for every node of the edge list: ``(node, rank)`` with
     Σ rank = 1. ``nodes`` (optional, single id column) unions extra
     vertices into the node set — pass the crawled page table's urls so
     LINKLESS leaf pages with no inlinks still receive the (1−d)/N
     floor instead of vanishing (they participate as dangling mass).
     ``num_partitions`` pins the edge/rank partitioning width (defaults
-    to ``spark.sql.shuffle.partitions``)."""
+    to ``spark.sql.shuffle.partitions``).
+
+    Incremental recompute: pass ``init_ranks`` (a previous run's
+    (node, rank), any overlap with the current node set) to warm-start
+    — new nodes take the uniform 1/N, the vector renormalizes to Σ=1,
+    and the power iteration converges from the old fixpoint instead of
+    uniform. With ``tol`` set, iteration stops once the L1 delta
+    between successive vectors drops below it (one extra ~16-byte-row
+    join+agg per iteration), which is what makes the warm start pay:
+    after a small crawl delta the old ranks are near the new fixpoint
+    and the loop exits in a few iterations instead of max_iter.
+    ``stats`` (a dict, mutated) records {"iterations", "delta"}."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if max_iter < 0:
         raise ValueError(f"max_iter must be >= 0, got {max_iter}")
+    if tol is not None and tol <= 0:
+        raise ValueError(f"tol must be positive, got {tol}")
     spark = edges.sparkSession
     if num_partitions is None:
         try:
@@ -84,9 +103,22 @@ def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 20,
                               "node", "left")
                 .localCheckpoint())
 
-        ranks = base.select("node", "deg",
-                            F.lit(1.0 / n).alias("rank"))
-        for _ in range(max_iter):
+        if init_ranks is not None:
+            ir = init_ranks.select(
+                F.col(init_ranks.columns[0]).alias("node"),
+                F.col("rank").alias("_r0"))
+            seeded = (base.join(ir, "node", "left")
+                      .select("node", "deg",
+                              F.coalesce("_r0", F.lit(1.0 / n))
+                              .alias("rank")))
+            total = seeded.agg(F.sum("rank")).first()[0] or 1.0
+            ranks = (seeded.withColumn("rank", F.col("rank") / F.lit(total))
+                     .localCheckpoint())
+        else:
+            ranks = base.select("node", "deg",
+                                F.lit(1.0 / n).alias("rank"))
+        it, delta = 0, None
+        for it in range(1, max_iter + 1):
             dangling = (ranks.filter(F.col("deg").isNull())
                         .agg(F.sum("rank")).first()[0]) or 0.0
             contrib = (e.join(ranks.select(F.col("node").alias("src"),
@@ -94,13 +126,28 @@ def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 20,
                                            .alias("c")), "src")
                        .groupBy(F.col("dst").alias("node"))
                        .agg(F.sum("c").alias("inflow")))
-            ranks = (base.join(contrib, "node", "left")
-                     .select("node", "deg",
-                             (F.lit((1.0 - damping) / n)
-                              + F.lit(damping)
-                              * (F.coalesce(F.col("inflow"), F.lit(0.0))
-                                 + F.lit(dangling / n))).alias("rank"))
-                     .localCheckpoint())
+            new_ranks = (base.join(contrib, "node", "left")
+                         .select("node", "deg",
+                                 (F.lit((1.0 - damping) / n)
+                                  + F.lit(damping)
+                                  * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                                     + F.lit(dangling / n))).alias("rank"))
+                         .localCheckpoint())
+            if tol is not None:
+                delta = (new_ranks.select("node", "rank")
+                         .join(ranks.select("node",
+                                            F.col("rank").alias("_p")),
+                               "node")
+                         .agg(F.sum(F.abs(F.col("rank") - F.col("_p"))))
+                         .first()[0]) or 0.0
+                ranks = new_ranks
+                if delta < tol:
+                    break
+            else:
+                ranks = new_ranks
+        if stats is not None:
+            stats["iterations"] = it
+            stats["delta"] = delta
         return ranks.select("node", "rank")
     finally:
         e.unpersist()
@@ -641,5 +688,92 @@ def opic(edges: DataFrame, max_iter: int = 20,
             "node", "cash", F.col("hist").alias("history"),
             ((F.col("hist") + F.col("cash")) / F.lit(g + 1.0))
             .alias("importance"))
+    finally:
+        e.unpersist()
+
+
+def _reach(edges: DataFrame, seeds: DataFrame, reverse: bool = False,
+           max_iter: int = 50) -> DataFrame:
+    """Transitive closure from ``seeds`` (single ``node`` column) over
+    ``edges(src, dst)`` — the distributed BFS every Spark graph layer
+    uses: per level, join the frontier against the edge list, anti-join
+    out already-visited nodes, localCheckpoint to cut lineage. Includes
+    the seeds. O(diameter) join rounds; each round's frontier shrinks
+    to genuinely-new nodes only."""
+    s, d = ("dst", "src") if reverse else ("src", "dst")
+    visited = seeds.select("node").distinct().localCheckpoint()
+    frontier = visited
+    for _ in range(max_iter):
+        nxt = (edges.join(frontier.withColumnRenamed("node", s), s)
+               .select(F.col(d).alias("node")).distinct()
+               .join(visited, "node", "left_anti")
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def bowtie_decomposition(edges: DataFrame, seed,
+                         src_col: str = "src", dst_col: str = "dst",
+                         max_iter: int = 50) -> DataFrame:
+    """The Broder-et-al-2000 bow-tie map of a web graph: every node
+    labeled ``SCC`` (the seed's strongly connected core), ``IN``
+    (reaches the core), ``OUT`` (reached from it), ``TUBE`` (an
+    IN->OUT path bypassing the core), ``TENDRIL`` (hangs off IN or
+    into OUT), or ``DISCONNECTED`` (outside the core's weak
+    component) — the standard structural audit of a crawled graph
+    ("how much of what we crawled can't even reach the core?").
+
+    ``seed`` must be a node of the intended core — pick the top
+    PageRank/OPIC node; the decomposition is exact for whatever SCC
+    the seed belongs to. Definitions follow the paper: SCC = forward ∩
+    backward reachability of the seed; IN/OUT = the two reachability
+    fans minus the core; tendrils = the weak component's leftovers,
+    with TUBE the subset both reachable from IN and reaching OUT.
+
+    Shape: six BFS closures (forward, backward, forward-from-IN,
+    backward-from-OUT, undirected, all O(diameter) join rounds) over
+    a deduplicated persisted edge list, then pure set algebra via
+    left-anti/semi joins. Labels come out as one row per node."""
+    spark = edges.sparkSession
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct().persist())
+    try:
+        all_nodes = (e.select(F.col("src").alias("node"))
+                     .union(e.select(F.col("dst").alias("node")))
+                     .distinct().localCheckpoint())
+        seed_df = spark.createDataFrame([(seed,)], ["node"])
+        fwd = _reach(e, seed_df, reverse=False, max_iter=max_iter)
+        bwd = _reach(e, seed_df, reverse=True, max_iter=max_iter)
+        scc = fwd.join(bwd, "node", "left_semi").localCheckpoint()
+        in_set = bwd.join(scc, "node", "left_anti").localCheckpoint()
+        out_set = fwd.join(scc, "node", "left_anti").localCheckpoint()
+
+        undirected = e.union(e.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+        wcc = _reach(undirected, seed_df, max_iter=2 * max_iter)
+        core_fan = scc.union(in_set).union(out_set).distinct()
+        tendrils = (wcc.join(core_fan, "node", "left_anti")
+                    .localCheckpoint())
+        fwd_in = _reach(e, in_set, reverse=False, max_iter=max_iter)
+        bwd_out = _reach(e, out_set, reverse=True, max_iter=max_iter)
+        tube = (tendrils.join(fwd_in, "node", "left_semi")
+                .join(bwd_out, "node", "left_semi"))
+
+        def lab(df, name):
+            return df.select("node", F.lit(name).alias("component"))
+
+        labeled = (lab(scc, "SCC")
+                   .union(lab(in_set, "IN"))
+                   .union(lab(out_set, "OUT"))
+                   .union(lab(tube, "TUBE"))
+                   .union(lab(tendrils.join(tube, "node", "left_anti"),
+                              "TENDRIL")))
+        rest = all_nodes.join(labeled.select("node"), "node", "left_anti")
+        return labeled.union(lab(rest, "DISCONNECTED"))
     finally:
         e.unpersist()

@@ -463,3 +463,83 @@ def test_opic_partitioning_invariance_and_validation(spark):
     assert opic(empty).count() == 0
     with pytest.raises(ValueError):
         opic(df, max_iter=-1)
+
+
+def test_pagerank_warm_start_converges_faster(spark):
+    """A previous run's ranks + tol: the warm start must reach the
+    tolerance in strictly fewer iterations than the cold start on the
+    same (slightly grown) graph, and land on the same ranks."""
+    from data_crawler_spark.operators.graph import pagerank
+
+    # a hub cycle fed by many leaves: fast-mixing (the hub cycle sets
+    # the contraction rate, not the damping bound — a sparse
+    # permutation graph here mixes at ~0.85/iter and nothing converges
+    # in test time), and big enough that a one-node crawl delta is a
+    # small perturbation (on a 6-node toy the fixpoint itself moves
+    # ~20% and warm starting buys nothing — verified)
+    base_edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")] + \
+                 [(f"l{i}", "a" if i % 2 else "b") for i in range(40)]
+    e1 = spark.createDataFrame(base_edges, "src string, dst string")
+    # a tightly-converged prior (the realistic nightly artifact: the
+    # published ranks ARE a fixpoint, not a half-finished sweep)
+    prior = pagerank(e1, max_iter=200, tol=1e-12)
+
+    # the crawl delta adds one page
+    e2 = spark.createDataFrame(base_edges + [("new", "c")],
+                               "src string, dst string")
+    cold_stats, warm_stats = {}, {}
+    cold = pagerank(e2, max_iter=60, tol=1e-9, stats=cold_stats)
+    warm = pagerank(e2, max_iter=60, tol=1e-9, init_ranks=prior,
+                    stats=warm_stats)
+    assert warm_stats["iterations"] < cold_stats["iterations"]
+    c = {r.node: r.rank for r in cold.collect()}
+    w = {r.node: r.rank for r in warm.collect()}
+    assert set(c) == set(w)
+    assert all(abs(c[k] - w[k]) < 1e-6 for k in c)
+    assert abs(sum(w.values()) - 1.0) < 1e-9
+
+    # the degenerate restart (unchanged graph) exits after ONE sweep —
+    # the nightly no-op recompute costs one iteration, not max_iter
+    st = {}
+    pagerank(e1, max_iter=60, tol=1e-9, init_ranks=prior, stats=st)
+    assert st["iterations"] == 1
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        pagerank(e2, tol=0.0)
+
+
+def test_bowtie_decomposition(spark):
+    """Hand-built Broder bow-tie: core cycle, IN/OUT fans, a tube, a
+    tendril off IN, a tendril into OUT, and a disconnected island."""
+    from data_crawler_spark.operators.graph import bowtie_decomposition
+
+    edges = [
+        # SCC: s1 -> s2 -> s3 -> s1
+        ("s1", "s2"), ("s2", "s3"), ("s3", "s1"),
+        ("in1", "s1"), ("in2", "in1"),          # IN chain
+        ("s3", "out1"), ("out1", "out2"),       # OUT chain
+        ("in1", "tube1"), ("tube1", "out1"),    # tube bypassing the core
+        ("in1", "t_in"),                        # tendril off IN
+        ("t_out", "out2"),                      # tendril into OUT
+        ("x1", "x2"),                           # disconnected island
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.component
+           for r in bowtie_decomposition(e, "s1").collect()}
+    assert got == {
+        "s1": "SCC", "s2": "SCC", "s3": "SCC",
+        "in1": "IN", "in2": "IN",
+        "out1": "OUT", "out2": "OUT",
+        "tube1": "TUBE",
+        "t_in": "TENDRIL", "t_out": "TENDRIL",
+        "x1": "DISCONNECTED", "x2": "DISCONNECTED",
+    }
+    # every node labeled exactly once, under any layout
+    out2 = bowtie_decomposition(e.repartition(5), "s1")
+    assert out2.groupBy("node").count().filter("count > 1").count() == 0
+    assert {r.node: r.component for r in out2.collect()} == got
+    # a seed inside OUT decomposes relative to ITS (trivial) core
+    rel = {r.node: r.component
+           for r in bowtie_decomposition(e, "out1").collect()}
+    assert rel["out1"] == "SCC" and rel["s1"] == "IN"
