@@ -94,6 +94,9 @@ def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 20,
                     .repartition(num_partitions, "node"))
         n = node_set.count()
         if n == 0:
+            if stats is not None:
+                stats["iterations"] = 0
+                stats["delta"] = None
             return spark.createDataFrame([], "node string, rank double")
 
         outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
@@ -104,16 +107,20 @@ def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 20,
                 .localCheckpoint())
 
         if init_ranks is not None:
-            ir = init_ranks.select(
-                F.col(init_ranks.columns[0]).alias("node"),
-                F.col("rank").alias("_r0"))
+            # one row per node even if the caller unioned partial rank
+            # tables (duplicates would fan base out through the join
+            # and double-count that node's outflow forever after)
+            ir = (init_ranks.select(
+                      F.col(init_ranks.columns[0]).alias("node"),
+                      F.col("rank").alias("_r0"))
+                  .groupBy("node").agg(F.max("_r0").alias("_r0")))
             seeded = (base.join(ir, "node", "left")
                       .select("node", "deg",
                               F.coalesce("_r0", F.lit(1.0 / n))
-                              .alias("rank")))
+                              .alias("rank"))
+                      .localCheckpoint())
             total = seeded.agg(F.sum("rank")).first()[0] or 1.0
-            ranks = (seeded.withColumn("rank", F.col("rank") / F.lit(total))
-                     .localCheckpoint())
+            ranks = seeded.withColumn("rank", F.col("rank") / F.lit(total))
         else:
             ranks = base.select("node", "deg",
                                 F.lit(1.0 / n).alias("rank"))
@@ -699,7 +706,11 @@ def _reach(edges: DataFrame, seeds: DataFrame, reverse: bool = False,
     uses: per level, join the frontier against the edge list, anti-join
     out already-visited nodes, localCheckpoint to cut lineage. Includes
     the seeds. O(diameter) join rounds; each round's frontier shrinks
-    to genuinely-new nodes only."""
+    to genuinely-new nodes only. Raises rather than returning a
+    silently-truncated closure when the graph's diameter exceeds
+    ``max_iter`` — a partial reach would MISLABEL every node past the
+    horizon (unlike resolve_redirects, whose truncation has an honest
+    'cyclic' escape hatch)."""
     s, d = ("dst", "src") if reverse else ("src", "dst")
     visited = seeds.select("node").distinct().localCheckpoint()
     frontier = visited
@@ -709,9 +720,15 @@ def _reach(edges: DataFrame, seeds: DataFrame, reverse: bool = False,
                .join(visited, "node", "left_anti")
                .localCheckpoint())
         if nxt.isEmpty():
-            break
+            return visited
         visited = visited.union(nxt).localCheckpoint()
         frontier = nxt
+    if not (edges.join(frontier.withColumnRenamed("node", s), s)
+            .select(F.col(d).alias("node"))
+            .join(visited, "node", "left_anti").isEmpty()):
+        raise RuntimeError(
+            f"BFS closure not complete after {max_iter} levels — "
+            "raise max_iter (graph diameter exceeds it)")
     return visited
 
 

@@ -35,6 +35,17 @@ def host_col(url: Column) -> Column:
     return F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://([^/?#]*)", 1)
 
 
+def scheme_col(url: Column) -> Column:
+    """scheme of a canonical URL ('' when malformed)."""
+    return F.regexp_extract(url, r"^([a-z][a-z0-9+.\-]*)://", 1)
+
+
+def after_authority_col(url: Column) -> Column:
+    """everything past scheme://authority — path + query, byte-exact
+    (the piece a host/scheme rewrite must carry over unchanged)."""
+    return F.regexp_replace(url, r"^[a-z][a-z0-9+.\-]*://[^/?#]*", "")
+
+
 def path_col(url: Column) -> Column:
     """path ('/' if empty) of a canonical URL — mirror of path_of_series."""
     p = F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)

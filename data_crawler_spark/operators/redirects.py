@@ -115,13 +115,11 @@ def host_fold_rules(resolved: DataFrame, url_col: str = "url",
     output, broadcastable by construction."""
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
-    from data_crawler_spark.operators.links import host_col
+    from data_crawler_spark.operators.links import (after_authority_col,
+                                                    host_col, scheme_col)
 
-    rest = lambda c: F.regexp_replace(  # noqa: E731 — tiny local alias
-        c, r"^[a-z][a-z0-9+.\-]*://[^/?#]*", "")
+    rest, scheme = after_authority_col, scheme_col
     src, dst = F.col(url_col), F.col(final_col)
-    scheme = lambda c: F.regexp_extract(  # noqa: E731
-        c, r"^([a-z][a-z0-9+.\-]*)://", 1)
     ev = (resolved
           .filter(~F.coalesce(F.col("cyclic"), F.lit(False)))
           .select(
@@ -162,20 +160,22 @@ def apply_host_folds(df: DataFrame, rules: DataFrame,
     authority replaced, path+query kept byte-for-byte. One broadcast
     join on the url's (scheme, host) origin (the rule table is
     O(origins)); unmatched URLs pass through untouched."""
-    from data_crawler_spark.operators.links import host_col
+    from data_crawler_spark.operators.links import (after_authority_col,
+                                                    host_col, scheme_col)
 
+    # join-private prefixes: a caller frame may legitimately carry
+    # dst_scheme/dst_host columns of its own
     r = rules.select(F.col("src_scheme").alias("_fs"),
                      F.col("src_host").alias("_fh"),
-                     "dst_scheme", "dst_host")
+                     F.col("dst_scheme").alias("_fds"),
+                     F.col("dst_host").alias("_fdh"))
     u = F.col(url_col)
-    uscheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.\-]*)://", 1)
     joined = df.join(F.broadcast(r),
                      (host_col(u) == F.col("_fh"))
-                     & (uscheme == F.col("_fs")), "left")
-    folded = F.concat(
-        F.col("dst_scheme"), F.lit("://"), F.col("dst_host"),
-        F.regexp_replace(u, r"^[a-z][a-z0-9+.\-]*://[^/?#]*", ""))
+                     & (scheme_col(u) == F.col("_fs")), "left")
+    folded = F.concat(F.col("_fds"), F.lit("://"), F.col("_fdh"),
+                      after_authority_col(u))
     return (joined
             .withColumn(url_col,
                         F.when(F.col("_fh").isNull(), u).otherwise(folded))
-            .drop("_fs", "_fh", "dst_scheme", "dst_host"))
+            .drop("_fs", "_fh", "_fds", "_fdh"))

@@ -611,24 +611,61 @@ def export_warc_deduped(pages: DataFrame, prior_index: DataFrame,
     return _export_sink(src, out_dir, ".warc", gzip_records, make)
 
 
-def resolve_revisits(records: DataFrame, prior_pages: DataFrame) -> DataFrame:
+def resolve_revisits(records: DataFrame, prior_pages: DataFrame,
+                     on_missing: str = "error") -> DataFrame:
     """Read-back inverse of ``export_warc_deduped``: response records
     pass through; ``revisit`` records re-materialize their payload
     from the PRIOR crawl's page store by (refers-to url, refers-to
-    date), keeping the REVISIT's own capture timestamp. Returns the
-    engine's PAGES shape (url, warc_ts, html). One equi-join on the
-    referred key — revisits are the small side at recrawl cadence, so
-    AQE broadcast-plans it when the delta is small."""
+    date, payload digest), keeping the REVISIT's own capture
+    timestamp. Returns the engine's PAGES shape (url, warc_ts, html).
+
+    The digest rides the join because WARC-Date carries whole seconds:
+    two prior captures of one url inside the same second would
+    otherwise BOTH match and attach one wrong payload. Digests in a
+    foreign label (sha1 from other archivers) can't be checked against
+    the xxh64 store and fall back to the (url, second) match. Matches
+    that survive as duplicates are byte-identical payloads by digest
+    equality — one is kept per revisit record.
+
+    ``on_missing``: a revisit whose referred capture is absent from
+    ``prior_pages`` (pruned store, malformed refers-to) is silent
+    corpus loss — ``"error"`` (default) raises with the count,
+    ``"drop"`` discards those records deliberately. One equi-join on
+    the referred key — revisits are the small side at recrawl cadence,
+    so AQE broadcast-plans it when the delta is small."""
+    if on_missing not in ("error", "drop"):
+        raise ValueError(
+            f"on_missing must be 'error' or 'drop', got {on_missing!r}")
     resp = warc_pages(records)
     rev = records.where((F.col("record_type") == "revisit")
                         & F.col("url").isNotNull())
-    prior = prior_pages.select(F.col("url").alias("_pu"),
-                               F.col("warc_ts").alias("_pts"),
-                               F.col("html").alias("_ph"))
+    prior = prior_pages.select(
+        F.col("url").alias("_pu"),
+        F.col("warc_ts").alias("_pts"),
+        F.col("html").alias("_ph"),
+        payload_digest_col(F.col("html")).alias("_pd"))
+    digest_ok = (F.col("payload_digest").isNull()
+                 | ~F.col("payload_digest").startswith("xxh64:")
+                 | (F.col("payload_digest") == F.col("_pd")))
     # WARC-Date carries whole seconds; the prior store may carry µs
-    filled = (rev.join(prior,
-                       (F.col("refers_to_url") == F.col("_pu"))
-                       & (F.col("refers_to_ts")
-                          == F.date_trunc("second", F.col("_pts"))))
+    joined = rev.join(
+        prior,
+        (F.col("refers_to_url") == F.col("_pu"))
+        & (F.col("refers_to_ts") == F.date_trunc("second", F.col("_pts")))
+        & digest_ok,
+        "left")
+    missing = joined.filter(F.col("_ph").isNull())
+    if on_missing == "error":
+        n_missing = missing.count()
+        if n_missing:
+            ex = missing.select("url", "refers_to_url").first()
+            raise RuntimeError(
+                f"{n_missing} revisit record(s) reference captures "
+                f"absent from prior_pages (first: {ex.url} -> "
+                f"{ex.refers_to_url}); pass on_missing='drop' to "
+                "discard them deliberately")
+    filled = (joined.filter(F.col("_ph").isNotNull())
+              .dropDuplicates(["url", "warc_ts", "refers_to_url",
+                               "refers_to_ts"])
               .select("url", "warc_ts", F.col("_ph").alias("html")))
     return resp.unionByName(filled)

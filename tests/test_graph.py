@@ -543,3 +543,36 @@ def test_bowtie_decomposition(spark):
     rel = {r.node: r.component
            for r in bowtie_decomposition(e, "out1").collect()}
     assert rel["out1"] == "SCC" and rel["s1"] == "IN"
+
+
+def test_pagerank_stats_empty_and_duplicate_init(spark):
+    from data_crawler_spark.operators.graph import pagerank
+
+    st = {}
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, tol=1e-9, stats=st).count() == 0
+    assert st == {"iterations": 0, "delta": None}
+
+    # duplicate rows in init_ranks must not fan the rank vector out
+    edges = spark.createDataFrame(GRAPHS["cycle"], "src string, dst string")
+    clean = pagerank(edges, max_iter=5)
+    dup_init = clean.union(clean)
+    warm = pagerank(edges, max_iter=5, init_ranks=dup_init)
+    assert warm.count() == 3
+    w = {r.node: r.rank for r in warm.collect()}
+    c = {r.node: r.rank for r in clean.collect()}
+    assert all(w[k] == pytest.approx(c[k], rel=1e-9) for k in c)
+
+
+def test_bowtie_raises_on_truncated_reach(spark):
+    from data_crawler_spark.operators.graph import bowtie_decomposition
+
+    chain = [(f"c{i}", f"c{i+1}") for i in range(12)] + [("c12", "c0")]
+    e = spark.createDataFrame(chain, "src string, dst string")
+    # the 13-cycle needs 13 BFS levels; a 5-level budget must FAIL
+    # loudly instead of mislabeling the far side of the cycle
+    with pytest.raises(RuntimeError, match="BFS closure"):
+        bowtie_decomposition(e, "c0", max_iter=5)
+    ok = {r.component for r in
+          bowtie_decomposition(e, "c0", max_iter=20).collect()}
+    assert ok == {"SCC"}

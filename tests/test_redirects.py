@@ -123,3 +123,22 @@ def test_host_fold_rules_and_apply(spark):
     assert r2 == set(got)
     with pytest.raises(ValueError):
         host_fold_rules(resolve_redirects(df), min_support=0)
+
+
+def test_apply_host_folds_caller_column_collision(spark):
+    """A frame already carrying dst_scheme/dst_host columns must fold
+    without AMBIGUOUS_REFERENCE (rule columns are join-private)."""
+    from data_crawler_spark.operators.redirects import apply_host_folds
+
+    rules = spark.createDataFrame(
+        [("http", "www.a.com", "https", "a.com", 3, 1.0, 1.0)],
+        "src_scheme string, src_host string, dst_scheme string, "
+        "dst_host string, support long, dominance double, "
+        "path_frac double")
+    df = spark.createDataFrame(
+        [("http://www.a.com/p", "gopher", "weird.example")],
+        "url string, dst_scheme string, dst_host string")
+    got = apply_host_folds(df, rules).collect()[0]
+    assert got.url == "https://a.com/p"
+    # the caller's own columns survive untouched
+    assert got.dst_scheme == "gopher" and got.dst_host == "weird.example"

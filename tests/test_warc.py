@@ -8,6 +8,7 @@ import gzip
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from data_crawler_spark.sources.warc import (
     _http_response_bytes,
@@ -379,3 +380,38 @@ def test_latest_capture_index_tie_and_precision(spark, tmp_path):
     picks = {latest_capture_index(dup.repartition(n)).collect()[0]
              .ref_digest for n in (1, 2, 5)}
     assert len(picks) == 1
+
+
+def test_resolve_revisits_digest_disambiguation_and_missing(spark, tmp_path):
+    from data_crawler_spark.sources.warc import (export_warc_deduped,
+                                                 latest_capture_index,
+                                                 resolve_revisits)
+
+    # two prior captures of one url INSIDE THE SAME SECOND with
+    # different payloads: the truncated WARC-Date alone matches both;
+    # the digest must pick the referred one, and exactly once
+    t_a = pd.Timestamp("2026-08-01 00:00:00.100000")
+    t_b = pd.Timestamp("2026-08-01 00:00:00.900000")
+    t2 = pd.Timestamp("2026-08-08 00:00:00")
+    prior = _crawl_df(spark, [
+        ("http://a.com/1", t_a, b"<p>early body</p>"),
+        ("http://a.com/1", t_b, b"<p>late body</p>"),
+    ])
+    cur = _crawl_df(spark, [("http://a.com/1", t2, b"<p>late body</p>")])
+    out = tmp_path / "same_second"
+    export_warc_deduped(cur.coalesce(1), latest_capture_index(prior),
+                        out, gzip_records=False).collect()
+    from data_crawler_spark.sources.warc import read_warc
+    recs = read_warc(spark, str(out))
+    assert recs.filter("record_type = 'revisit'").count() == 1
+    got = resolve_revisits(recs, prior).collect()
+    assert len(got) == 1
+    assert bytes(got[0].html) == b"<p>late body</p>"
+
+    # a pruned prior store: error by default, deliberate drop on ask
+    pruned = prior.filter(F.lit(False))
+    with pytest.raises(RuntimeError, match="revisit record"):
+        resolve_revisits(recs, pruned).collect()
+    assert resolve_revisits(recs, pruned, on_missing="drop").count() == 0
+    with pytest.raises(ValueError):
+        resolve_revisits(recs, prior, on_missing="quarantine")
