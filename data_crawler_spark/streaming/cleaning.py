@@ -10,7 +10,11 @@ streaming DataFrame) — plus watermarked exact dedup
 dd01). The corpus-wide stages (MinHash near-dup, connected components,
 shard packing) are inherently batch: they need the whole corpus and
 run as the post-ingest compaction pass; this module deliberately does
-NOT imitate them on the stream.
+NOT imitate them on the stream. The one streamable near-dup form —
+LSH-candidate flagging with per-bucket first-arrival state — lives in
+streaming/neardup.py as a separate index stream (its per-doc fold
+can't ride this pipeline: watermarks don't propagate through the
+state op).
 
 Batch/stream agreement is the contract: for the same rows, the kept
 set equals `clean_corpus(quality/repetition/c4 flags, exact dedup)` up

@@ -135,3 +135,14 @@ def test_dust_plan_shape(spark, caps):
     # the rewrite joins the rule table broadcast — the capture stream
     # itself must never hash-shuffle on the join key
     assert "BroadcastHashJoin" in a
+
+
+def test_apply_rules_idempotent(spark, caps):
+    """A frontier rewrite must be a projection: applying the mined
+    rules twice equals once (the crawler re-canonicalizes URLs every
+    round, so a non-idempotent rewrite would drift keys forever)."""
+    rules = mine_param_rules(caps, min_support=2)
+    once = apply_param_rules(caps.select("url"), rules)
+    twice = apply_param_rules(once, rules)
+    assert sorted(r.url for r in once.collect()) \
+        == sorted(r.url for r in twice.collect())

@@ -142,3 +142,29 @@ def test_apply_host_folds_caller_column_collision(spark):
     assert got.url == "https://a.com/p"
     # the caller's own columns survive untouched
     assert got.dst_scheme == "gopher" and got.dst_host == "weird.example"
+
+
+def test_apply_host_folds_idempotent(spark):
+    """Mined rules target FINAL hops (the miner runs on resolved
+    chains), so folding is a projection: twice == once even when the
+    evidence contained multi-hop chains."""
+    from data_crawler_spark.operators.redirects import (apply_host_folds,
+                                                        host_fold_rules,
+                                                        resolve_redirects)
+
+    redirects = [(f"http://old.com/p{i}", f"http://www.a.com/p{i}")
+                 for i in range(3)] + \
+                [(f"http://www.a.com/p{i}", f"https://a.com/p{i}")
+                 for i in range(3)]
+    df = spark.createDataFrame(redirects, "url string, redirect_to string")
+    rules = host_fold_rules(resolve_redirects(df))
+    frontier = spark.createDataFrame(
+        [("http://old.com/new",), ("http://www.a.com/x",),
+         ("https://a.com/y",)], "url string")
+    once = apply_host_folds(frontier, rules)
+    twice = apply_host_folds(once, rules)
+    got_once = sorted(r.url for r in once.collect())
+    assert got_once == sorted(r.url for r in twice.collect())
+    # both alias tiers land directly on the final origin in ONE pass
+    assert got_once == ["https://a.com/new", "https://a.com/x",
+                        "https://a.com/y"]
