@@ -24,7 +24,8 @@ from pyspark.sql.types import LongType
 
 from data_crawler_spark.functions.hashing import xxhash64_str
 from data_crawler_spark.operators.text import (WORD_RE, bind_once,
-                                               fingerprint_col)
+                                               fingerprint_col,
+                                               tokens_col)
 
 
 def _doc_partitions(df: DataFrame, override: int | None = None) -> int:
@@ -47,7 +48,7 @@ def _doc_partitions(df: DataFrame, override: int | None = None) -> int:
 
 
 def words_col(text: Column) -> Column:
-    return F.array_distinct(F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0))
+    return F.array_distinct(tokens_col(text))
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -101,7 +102,7 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     index sequence over the token array and concat_ws each window.
     The token array is _bind-ed so the per-window slice reads a lambda
     variable — NOT a re-tokenization of the document per window."""
-    toks = F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)
+    toks = tokens_col(text)
 
     def sh(t: Column) -> Column:
         idx = F.when(F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)) \
@@ -187,7 +188,9 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
         yield pd.DataFrame({id_col: mins.index.to_numpy(),
                             "sig": list(mins.to_numpy())})
 
-    return hashed.mapInPandas(sig_partition, f"{id_col} long, sig array<long>")
+    id_dt = df.schema[id_col].dataType.simpleString()
+    return hashed.mapInPandas(sig_partition,
+                              f"{id_col} {id_dt}, sig array<long>")
 
 
 def banded(sigs: DataFrame, id_col: str = "doc_id",
@@ -361,7 +364,7 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     Tokenless / null documents get sim = 0 (the UDF's convention),
     restored by a left join on the id spine."""
 
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    toks = tokens_col(F.col(text_col))
     # repartition raw text by doc BEFORE tokenizing (same rationale as
     # minhash_signatures: text bytes < per-token int64 stream, and the
     # expensive expressions run at full parallelism instead of in the
@@ -399,7 +402,9 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
         yield pd.DataFrame({id_col: votes.index.to_numpy(),
                             "sim": sim.astype(np.int64)})
 
-    sigs = hashed.mapInPandas(vote_partition, f"{id_col} long, sim long")
+    id_dt = df.schema[id_col].dataType.simpleString()
+    sigs = hashed.mapInPandas(vote_partition,
+                              f"{id_col} {id_dt}, sim long")
     spine = df.select(id_col) if unique_ids else df.select(id_col).distinct()
     return (spine.join(sigs, id_col, "left")
             .select(F.col(id_col), F.coalesce("sim", F.lit(0)).alias("sim")))
@@ -448,7 +453,7 @@ def ngram_pos_rows(df: DataFrame, id_col: str = "doc_id",
     the same stream shingles_col uses, so span dedup and MinHash agree
     on what a token is). All native expressions: tokenize once, slide
     an index sequence, posexplode."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    toks = tokens_col(F.col(text_col))
     # _bind: the window slide must read the token array as a lambda
     # variable, not re-tokenize the document per position
     ng = _bind(toks, lambda t: F.when(
@@ -519,7 +524,7 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                        .alias("cp"))
                .groupBy(id_col)
                .agg(F.sort_array(F.collect_set("cp")).alias("cov")))
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    toks = tokens_col(F.col(text_col))
     keep = F.filter(toks, lambda t, i: ~F.array_contains(
         F.coalesce(F.col("cov"), F.expr("array()").cast("array<int>")), i))
     return (df.join(covered, id_col, "left")
@@ -617,7 +622,11 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     per-row Python."""
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
-    paras = F.split(F.col(text_col), sep)
+    # F.split takes a Java REGEX while array_join takes a literal —
+    # escape the separator so sep='|' (or '.', '+') splits literally
+    # instead of between every character
+    import re as _re
+    paras = F.split(F.col(text_col), _re.escape(sep))
     scope = [scope_col] if scope_col is not None else []
     keys = scope + ["h"]
     rows = (df.select(F.col(id_col), *scope,

@@ -203,7 +203,8 @@ def perplexity_buckets(scored: DataFrame, ppl_col: str = "lm_ppl",
             and head_frac + middle_frac <= 1.0):
         raise ValueError("head_frac/middle_frac must be >= 0 and sum <= 1")
     fn = "percentile" if exact else "percentile_approx"
-    thr = F.expr(f"{fn}({ppl_col}, array({head_frac!r}, "
+    q = ppl_col.replace("`", "``")   # backtick-quote: names with
+    thr = F.expr(f"{fn}(`{q}`, array({head_frac!r}, "  # spaces/dots
                  f"{head_frac + middle_frac!r}))")
     nonnull = scored.filter(F.col(ppl_col).isNotNull())
     bucket = (F.when(F.col(ppl_col).isNull(), F.lit(None).cast("string"))

@@ -57,8 +57,13 @@ def mixture_rates(counts: dict[str, int],
     if total_w <= 0:
         raise ValueError("at least one group needs positive weight")
     rates: dict[str, float] = {}
-    scale = min(counts[g] / w for g, w in weights.items()
-                if w > 0 and counts.get(g, 0) > 0)
+    ratios = [counts[g] / w for g, w in weights.items()
+              if w > 0 and counts.get(g, 0) > 0]
+    if not ratios:
+        raise ValueError(
+            "none of the positively-weighted groups occurs in counts "
+            f"(weighted: {sorted(g for g, w in weights.items() if w > 0)})")
+    scale = min(ratios)
     for g in counts:
         w = weights.get(g, 0.0)
         if w <= 0 or counts[g] == 0:
@@ -92,8 +97,13 @@ def sample_corpus_mixture(df: DataFrame, group_col: str = "lang",
     counts = {r["g"]: r["c"]
               for r in df.groupBy(F.col(group_col).alias("g"))
                          .agg(F.count("*").alias("c")).collect()}
+    # a null group (unlabeled docs — langid emits null for empty text)
+    # is rate-0 by definition and must not bind the mixture scale; it
+    # also cannot be a create_map key (Spark rejects null map keys)
+    counts.pop(None, None)
     if not counts:
-        return df.withColumn("sample_rate", F.lit(0.0))
+        return (df.withColumn("sample_rate", F.lit(0.0))
+                .filter(F.lit(False)))
     rates = mixture_rates(counts, weights, temperature)
     rate = F.coalesce(
         F.create_map(*chain.from_iterable(

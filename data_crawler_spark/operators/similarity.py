@@ -537,6 +537,27 @@ def pq_encode(df: DataFrame, codebooks: np.ndarray,
                        .alias("recon_norm")))
 
 
+def _query_luts(queries: DataFrame, codebooks: np.ndarray,
+                id_col: str, vec_col: str):
+    """Shared ADC query-side prep for pq_topk/ivfpq_topk: collect the
+    queries in id order and build (q_ids, Q, qn, lut) with
+    LUT[q, s, c] = query_q's subvector s · codebook[s][c] and the
+    zero-norm guard applied once. Returns None when there are no
+    queries (the callers early-return their empty frame)."""
+    m, _, sub = codebooks.shape
+    q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    if not q_rows:
+        return None
+    q_ids = [r[id_col] for r in q_rows]
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                  for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    lut = np.stack([Q[:, s * sub:(s + 1) * sub] @ codebooks[s].T
+                    for s in range(m)], axis=1)
+    return q_ids, Q, qn, lut
+
+
 def pq_topk(codes: DataFrame, queries: DataFrame,
             codebooks: np.ndarray, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
@@ -554,22 +575,13 @@ def pq_topk(codes: DataFrame, queries: DataFrame,
     code table emits (query, neighbor, score) for all queries, the
     per-query window takes top-k. Zero-norm reconstructions score 0
     (the cosine_col convention)."""
-    cb = codebooks
-    m, _, sub = cb.shape
-    q_rows = (queries.select(id_col, vec_col).orderBy(id_col).collect())
-    if not q_rows:
+    m = codebooks.shape[0]
+    prep = _query_luts(queries, codebooks, id_col, vec_col)
+    if prep is None:
         return codes.sparkSession.createDataFrame(
-            [], f"query_id long, neighbor_id long, adc_cosine double,"
-                f" rank int")
-    q_ids = [r[id_col] for r in q_rows]
-    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64)
-                  for r in q_rows])
-    qn = np.linalg.norm(Q, axis=1)
-    qn[qn == 0] = 1.0
-    # LUT[q, s, c] = query_q's subvector s dot codebook[s][c]
-    lut = np.stack([
-        Q[:, s * sub:(s + 1) * sub] @ cb[s].T for s in range(m)
-    ], axis=1)
+            [], "query_id long, neighbor_id long, adc_cosine double,"
+                " rank int")
+    q_ids, _, qn, lut = prep
 
     @pandas_udf("array<double>")
     def adc(code: pd.Series, rnorm: pd.Series) -> pd.Series:
@@ -633,25 +645,19 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 "rank int")
     cb = fit_pq(corpus, n_subspaces, n_centroids, sample_n,
                 id_col, vec_col, sample=sample)
-    m, _, sub = cb.shape
+    m = cb.shape[0]
 
     assign = ivf_assign_udf(cent, 1)
     codes = pq_encode(
         corpus.withColumn("_list", assign(F.col(vec_col))[0]),
         cb, id_col, vec_col)
 
-    q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
-    if not q_rows:
+    prep = _query_luts(queries, cb, id_col, vec_col)
+    if prep is None:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, adc_cosine double, "
                 "rank int")
-    q_ids = [r[id_col] for r in q_rows]
-    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64)
-                  for r in q_rows])
-    qn = np.linalg.norm(Q, axis=1)
-    qn[qn == 0] = 1.0
-    lut = np.stack([Q[:, s * sub:(s + 1) * sub] @ cb[s].T
-                    for s in range(m)], axis=1)
+    q_ids, Q, qn, lut = prep
     # each query's n_probe nearest lists, as a tiny broadcast frame
     qunit = Q / qn[:, None]
     sims = qunit @ cent.T

@@ -438,3 +438,33 @@ def test_paragraph_dedup_scoped_by_host(spark):
             df.where(F.col("host") == host)).collect()}
         for did, text in part.items():
             assert scoped[did] == text, (host, did)
+
+
+def test_paragraph_dedup_regex_metachar_separator(spark):
+    """sep is a LITERAL: '|' must split on pipes, not between every
+    character (F.split takes a regex; the op escapes it)."""
+    from data_crawler_spark.operators.dedup import paragraph_dedup
+
+    rows = [(1, "keep one|dup para|keep two"),
+            (2, "dup para|only here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text
+           for r in paragraph_dedup(df, sep="|").collect()}
+    assert got == {1: "keep one|dup para|keep two",
+                   2: "only here"}
+
+
+def test_signatures_accept_string_ids(spark):
+    """id_col is typed from the input frame, not hardcoded long — URL
+    keys are the realistic id at crawl scale."""
+    from data_crawler_spark.operators.dedup import (minhash_signatures,
+                                                    simhash_signatures)
+
+    df = spark.createDataFrame(
+        [("http://a/1", "the quick brown fox jumps over the lazy dog"),
+         ("http://a/2", "an entirely different document body here")],
+        "url string, text string")
+    sigs = minhash_signatures(df, id_col="url")
+    assert {r.url for r in sigs.collect()} == {"http://a/1", "http://a/2"}
+    sims = simhash_signatures(df, id_col="url")
+    assert {r.url for r in sims.collect()} == {"http://a/1", "http://a/2"}

@@ -264,3 +264,15 @@ def test_scoring_fuzz_random_corpus(spark):
             if want_toks:
                 assert got[i].lm_logprob == pytest.approx(want_lp,
                                                           rel=1e-9)
+
+
+def test_perplexity_buckets_quoted_column_name(spark):
+    from data_crawler_spark.operators.lm import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)],
+        "doc_id long, `lm ppl` double")
+    out = perplexity_buckets(df, ppl_col="lm ppl",
+                             head_frac=0.25, middle_frac=0.5)
+    got = {r.doc_id: r.ppl_bucket for r in out.collect()}
+    assert got[1] == "head" and got[4] == "tail"

@@ -302,3 +302,27 @@ def test_cap_per_group_salted_exact(spark):
     assert got == {0, 1} | {r for r in range(160, 174)}
     with pytest.raises(ValueError, match="k must be"):
         cap_per_group(df, "domain", 0)
+
+
+def test_mixture_null_group_and_unmatched_weights(spark):
+    from data_crawler_spark.operators.sampling import (mixture_rates,
+                                                       sample_corpus_mixture)
+
+    # null lang rows (langid emits null for empty docs) must neither
+    # crash the map build nor bind the mixture scale — they drop
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr"), (4, None), (5, None)],
+        "doc_id long, lang string")
+    out = sample_corpus_mixture(df, weights={"en": 1.0, "fr": 1.0})
+    got = {r.doc_id for r in out.collect()}
+    assert got <= {1, 2, 3} and 3 in got      # null-group docs gone
+
+    # all-null corpus: empty result, no crash
+    allnull = spark.createDataFrame([(1, None)], "doc_id long, lang string")
+    assert sample_corpus_mixture(allnull, weights={"en": 1.0}).count() == 0
+
+    # weighted groups absent from the corpus: a domain error, not a
+    # bare min()-of-empty ValueError
+    import pytest as _p
+    with _p.raises(ValueError, match="positively-weighted"):
+        mixture_rates({"fr": 10}, weights={"en": 1.0})
