@@ -49,7 +49,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from data_crawler_spark.functions.extract import decode_html_series
-from data_crawler_spark.operators.text import STOPWORDS_EN
 
 __all__ = ["segment_blocks", "html_blocks", "main_text"]
 
@@ -59,6 +58,26 @@ LENGTH_HIGH = 200
 STOPWORDS_LOW = 0.30
 STOPWORDS_HIGH = 0.32
 MAX_LINK_DENSITY = 0.2
+
+# The published stop-density thresholds are calibrated for a FULL
+# function-word stoplist (jusText ships ~600 English entries under
+# which ordinary prose scores ~0.45-0.55) — pairing them with a
+# handful of stopwords classifies normal English sentences as
+# boilerplate (~0.1-0.25 density). This is the standard English
+# function-word core; swap ``stopwords=`` per language.
+JUSTEXT_STOPWORDS_EN = frozenset("""
+a about above after again against all am an and any are aren as at be
+because been before being below between both but by can cannot could
+couldn did didn do does doesn doing don down during each few for from
+further had hadn has hasn have haven having he her here hers herself
+him himself his how i if in into is isn it its itself just let me more
+most mustn my myself no nor not now of off on once only or other ought
+our ours ourselves out over own same shan she should shouldn so some
+such than that the their theirs them themselves then there these they
+this those through to too under until up very was wasn we were weren
+what when where which while who whom why will with won would wouldn
+you your yours yourself yourselves
+""".split())
 
 _BLOCK_TAGS = ("p|div|h[1-6]|li|ul|ol|td|th|tr|table|blockquote|pre|"
                "section|article|header|footer|nav|aside|main|figure|"
@@ -78,7 +97,7 @@ def _clean(fragment: str) -> str:
 
 
 def segment_blocks(html: str,
-                   stopwords: frozenset[str] = frozenset(STOPWORDS_EN),
+                   stopwords: frozenset[str] = JUSTEXT_STOPWORDS_EN,
                    length_low: int = LENGTH_LOW,
                    length_high: int = LENGTH_HIGH,
                    stopwords_low: float = STOPWORDS_LOW,

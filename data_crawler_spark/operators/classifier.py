@@ -74,8 +74,15 @@ def train_nb(labeled: DataFrame, label_col: str = "label",
               .select(label_col,
                       F.log(F.col("n_docs") / F.lit(float(n_total)))
                       .alias("log_prior")))
-    classes = (totals.select(label_col, floor.alias("floor"))
-               .join(priors, label_col))
+    # priors-first with a LEFT join: a class whose docs yield zero
+    # WORD_RE features (e.g. all-CJK text) must still exist in the
+    # model — its total is 0 and every bucket scores the smoothing
+    # floor log(alpha / (alpha * n_buckets)), not vanish silently
+    safe_total = F.coalesce(F.col("total"), F.lit(0).cast("long"))
+    safe_floor = F.log(
+        F.lit(alpha) / (safe_total + F.lit(alpha) * F.lit(float(n_buckets))))
+    classes = (priors.join(totals, label_col, "left")
+               .select(label_col, safe_floor.alias("floor"), "log_prior"))
     model = (by_class.join(totals, label_col)
              .select(label_col, "bucket",
                      (F.log((F.col("cnt") + F.lit(alpha)) / denom)

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_crawler_spark.operators.sampling import cap_per_group
-from data_crawler_spark.operators.text import bind_once
+from data_crawler_spark.operators.text import UNICODE_WS, bind_once
 
 __all__ = ["char_ngrams_col", "train_language_profiles",
            "langid_classify"]
@@ -49,7 +49,12 @@ __all__ = ["char_ngrams_col", "train_language_profiles",
 def char_ngrams_col(text, n_max: int = 3):
     """Array of all character 1..n_max-grams of the normalized, space-
     padded text (duplicates kept — counts matter)."""
-    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    # UNICODE_WS, not \s: Java \s is ASCII-only, so NBSP-laden HTML
+    # text would keep \xa0 as a gram character while the pure-Python
+    # mirror (Unicode \s) collapses it to the boundary space
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(text), f"[{UNICODE_WS}]+", " "),
+        "^ | $", "")
     padded = F.when(norm == "", None).otherwise(
         F.concat(F.lit(" "), norm, F.lit(" ")))
 
@@ -104,9 +109,12 @@ def langid_classify(df: DataFrame, profiles: DataFrame,
                             .alias("gram"))
                   .groupBy("_id", "gram").agg(F.count("*").alias("cnt")))
     w = Window.partitionBy("_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    # localCheckpoint: two branches (matched + doc_sizes) drain this
+    # corpus-wide tokenize+shuffle sweep — same shape/fix as nb_score
     doc_prof = (doc_counts.withColumn("r_doc", F.row_number().over(w))
                 .filter(F.col("r_doc") <= top_k)
-                .select("_id", "gram", "r_doc"))
+                .select("_id", "gram", "r_doc")
+                .localCheckpoint())
 
     prof = F.broadcast(profiles.select("lang", "gram",
                                        F.col("rank").alias("r_lang")))

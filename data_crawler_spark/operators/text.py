@@ -23,6 +23,27 @@ from pyspark.sql import functions as F
 # Shared with the DuckDB oracle SQL: RE2/Java-regex-compatible subset.
 WORD_RE = r"[A-Za-z0-9]+"
 
+# Python str.split()/str.strip() whitespace, spelled EXPLICITLY: Java
+# regex \s is ASCII-only and F.trim strips spaces only, so "word" and
+# "line" semantics built on them silently diverge from the pure-Python
+# mirrors the tests pin — and from real web text, where trailing
+# newlines and NBSP are the norm (a doc ending in '\n' grew a phantom
+# empty word that skewed every Gopher metric). Same lesson as the
+# byte-BPE pretokenizer's _WS.
+UNICODE_WS = (r"\t\n\x0B\f\r \x1C-\x1F\x85\xA0\u1680"
+              r"\u2000-\u200A\u2028\u2029\u202F\u205F\u3000")
+
+
+def ws_split_col(c: Column) -> Column:
+    """Python ``str.split()`` as a native expression: split on Unicode
+    whitespace runs, no empty tokens at either boundary."""
+    return F.filter(F.split(c, f"[{UNICODE_WS}]+"), lambda w: w != "")
+
+
+def ws_strip_col(c: Column) -> Column:
+    """Python ``str.strip()`` as a native expression."""
+    return F.regexp_replace(c, f"^[{UNICODE_WS}]+|[{UNICODE_WS}]+$", "")
+
 
 def bind_once(value: Column, body) -> Column:
     """Evaluate ``value`` ONCE and hand it to ``body`` as a bound lambda
@@ -32,6 +53,8 @@ def bind_once(value: Column, body) -> Column:
     document). Binding via a one-element outer transform makes the
     inner lambda read a NamedLambdaVariable instead."""
     return F.transform(F.array(value), body)[0]
+
+
 PUNCT_RE = r"[^A-Za-z0-9\s]"
 CJK_RE = r"[一-鿿]"
 
@@ -250,9 +273,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     Thresholds are the published ones; word = whitespace-delimited run
     (the paper's definition), unlike tokens_col's WORD_RE stream."""
     t = F.col(text_col)
-    words = F.when(F.length(F.trim(t)) > 0,
-                   F.split(F.trim(t), r"\s+")
-                   ).otherwise(F.expr("array()").cast("array<string>"))
+    words = ws_split_col(t)   # Python str.split(): no phantom empties
     n_words = F.size(words)
     total_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
     mean_wl = F.when(n_words > 0,
@@ -260,11 +281,11 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     sym_ratio = F.when(n_words > 0,
                        F.regexp_count(t, F.lit(_SYMBOL_RE)).cast("double")
                        / n_words).otherwise(F.lit(0.0))
-    # NB: pass trim as an explicit 1-arg lambda — F.trim itself has a
-    # second (trim-charset) parameter, so handing it to F.transform
-    # directly makes pyspark feed the ELEMENT INDEX in as the charset
-    # and the lines are never trimmed.
-    lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+    # ws_strip_col (Python str.strip()): F.trim strips only ASCII
+    # spaces, so CRLF pages kept '\r' and tab-indented bullets were
+    # never detected.
+    lines = F.filter(F.transform(F.split(t, "\n"),
+                                 lambda l: ws_strip_col(l)),
                      lambda l: F.length(l) > 0)
     n_lines = F.size(lines)
     def _is_bullet(l):
@@ -347,10 +368,10 @@ def c4_rules(df: DataFrame, text_col: str = "text",
     expressions in whole-stage codegen — a pure map over the corpus
     scan, no shuffle, no Python."""
     t = F.col(text_col)
-    lines = F.transform(F.split(t, "\n"), lambda l: F.trim(l))
+    lines = F.transform(F.split(t, "\n"), lambda l: ws_strip_col(l))
 
     def _line_ok(l):
-        wc = F.size(F.split(l, r"\s+"))
+        wc = F.size(ws_split_col(l))
         return (l.rlike('[.!?"]$') & (wc >= min_words_per_line)
                 & ~F.lower(l).contains("javascript"))
 
@@ -396,11 +417,10 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     on a doc-bounded array, zero exchange, no Python; the corpus is one
     map pass, same shape as gopher_rules."""
     t = F.col(text_col)
-    # NB: pass trim as an explicit 1-arg lambda — F.trim itself has a
-    # second (trim-charset) parameter, so handing it to F.transform
-    # directly makes pyspark feed the ELEMENT INDEX in as the charset
-    # and the lines are never trimmed.
-    raw_lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+    # ws_strip_col: Python str.strip() semantics (see gopher_rules) —
+    # CRLF docs must treat 'foo' and 'foo\r' as the same line.
+    raw_lines = F.filter(F.transform(F.split(t, "\n"),
+                                     lambda l: ws_strip_col(l)),
                          lambda l: F.length(l) > 0)
     # bind the line array once: HOFs are CodegenFallback, so the inner
     # occurrence-count filter referencing the unbound subtree would
@@ -646,9 +666,9 @@ def remove_repeated_tokens(df: DataFrame, text: str = "text",
     first-occurrence order), no shuffle, no Python; mirrored in the
     DuckDB oracle by an explicit first-occurrence window (DuckDB's
     list_distinct does NOT preserve order)."""
-    toks = F.split(F.trim(F.col(text)), r"\s+")
+    toks = ws_split_col(F.col(text))
     uniq = F.array_distinct(toks)
-    return (df.filter(F.length(F.trim(F.col(text))) > 0)
+    return (df.filter(F.size(toks) > 0)
             .select(F.col(id_col),
                     F.array_join(uniq, " ").alias("clean_text"),
                     F.size(toks).cast("long").alias("n_tokens"),

@@ -71,21 +71,20 @@ def _merge_word(syms: tuple[str, ...], pair: tuple[str, str]
     return tuple(out)
 
 
-def train_bpe(freqs: DataFrame, num_merges: int,
-              max_words: int = 100_000) -> list[tuple[str, str]]:
-    """Run the BPE merge loop over the top-``max_words`` rows of a
-    ``word_freqs`` frame and return the ranked merge list. The collect
-    is the documented bounded driver step (vocabulary-sized, ordered
-    (cnt desc, word asc) so the cap cuts deterministically); the loop
-    itself is O(num_merges · vocab) pure Python on the compact dict —
-    the same shape every production BPE trainer uses."""
+def _train_merges(freqs: DataFrame, num_merges: int, max_words: int,
+                  to_symbols) -> list[tuple[str, str]]:
+    """The ONE BPE merge loop (char- and byte-level trainers differ
+    only in ``to_symbols``, a word's initial symbol tuple): bounded
+    ordered collect ((cnt desc, word asc) so the cap cuts
+    deterministically), then O(num_merges · vocab) pure Python —
+    (count desc, pair asc) tie-break, <2 early stop."""
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
     if max_words < 1:
         raise ValueError(f"max_words must be >= 1, got {max_words}")
     rows = (freqs.orderBy(F.desc("cnt"), F.asc("word"))
             .limit(max_words).collect())
-    vocab = {tuple(r.word) + (END,): int(r.cnt) for r in rows}
+    vocab = {to_symbols(r.word): int(r.cnt) for r in rows}
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         counts = _pair_counts(vocab)
@@ -100,9 +99,10 @@ def train_bpe(freqs: DataFrame, num_merges: int,
     return merges
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]
-                 ) -> list[str]:
-    syms = list(word) + [END]
+def _replay_merges(syms: list[str],
+                   ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode-time merge replay, shared by both tokenizers: merge the
+    present pair with the lowest rank, all occurrences, repeat."""
     while len(syms) > 1:
         pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
         ranked = [(ranks[p], p) for p in pairs if p in ranks]
@@ -111,6 +111,20 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]
         _, pair = min(ranked)
         syms = list(_merge_word(tuple(syms), pair))
     return syms
+
+
+def train_bpe(freqs: DataFrame, num_merges: int,
+              max_words: int = 100_000) -> list[tuple[str, str]]:
+    """Run the BPE merge loop over the top-``max_words`` rows of a
+    ``word_freqs`` frame and return the ranked merge list (see
+    _train_merges for the shared driver-side shape)."""
+    return _train_merges(freqs, num_merges, max_words,
+                         lambda w: tuple(w) + (END,))
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]
+                 ) -> list[str]:
+    return _replay_merges(list(word) + [END], ranks)
 
 
 def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
@@ -467,38 +481,15 @@ def train_byte_bpe(freqs: DataFrame, num_merges: int,
                    max_words: int = 100_000) -> list[tuple[str, str]]:
     """The BPE merge loop over byte-unicode symbol sequences (NO
     end-of-word marker — GPT-2 encodes word boundaries in the leading-
-    space bytes instead). Same bounded driver collect, same
-    (count desc, pair asc) tie-break and <2 early stop as train_bpe."""
-    if num_merges < 0:
-        raise ValueError(f"num_merges must be >= 0, got {num_merges}")
-    if max_words < 1:
-        raise ValueError(f"max_words must be >= 1, got {max_words}")
-    rows = (freqs.orderBy(F.desc("cnt"), F.asc("word"))
-            .limit(max_words).collect())
-    vocab = {tuple(_to_byte_symbols(r.word)): int(r.cnt) for r in rows}
-    merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        counts = _pair_counts(vocab)
-        best = min(((-c, p) for p, c in counts.items()), default=None)
-        if best is None or -best[0] < 2:
-            break
-        pair = best[1]
-        merges.append(pair)
-        vocab = {_merge_word(s, pair): c for s, c in vocab.items()}
-    return merges
+    space bytes instead). The loop IS _train_merges — only the initial
+    symbol tuple differs from the char-level trainer."""
+    return _train_merges(freqs, num_merges, max_words,
+                         lambda w: tuple(_to_byte_symbols(w)))
 
 
 def _encode_byte_word(mapped: str, ranks: dict[tuple[str, str], int]
                       ) -> list[str]:
-    syms = list(mapped)
-    while len(syms) > 1:
-        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
-        ranked = [(ranks[p], p) for p in pairs if p in ranks]
-        if not ranked:
-            break
-        _, pair = min(ranked)
-        syms = list(_merge_word(tuple(syms), pair))
-    return syms
+    return _replay_merges(list(mapped), ranks)
 
 
 def byte_bpe_encode(df: DataFrame, merges: list[tuple[str, str]],

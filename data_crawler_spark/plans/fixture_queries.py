@@ -682,8 +682,12 @@ def dd05(spark, sf):
 
 @q("txt04_05_clean_redact", sql=r"""
     WITH t AS (SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
-               FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS arr
-                     FROM documents WHERE LENGTH(TRIM(text)) > 0)),
+               FROM (SELECT doc_id,
+                            list_filter(regexp_split_to_array(text,
+                              '[\t\n\x{0B}\f\r \x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+'),
+                              x -> x <> '') AS arr
+                     FROM documents)
+                WHERE len(arr) > 0),
     sel AS (SELECT doc_id, w, i,
                    ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY i) AS rn
             FROM t),

@@ -218,3 +218,32 @@ def test_focused_priority_orders_topical_targets(spark):
     # posterior is a probability
     for v in pri.values():
         assert 0.0 <= v <= 1.0
+
+
+def test_featureless_class_survives_training(spark):
+    """A class whose documents produce zero WORD_RE features (all-CJK
+    text) must stay in the model with the uniform smoothing floor, not
+    silently vanish so nb_predict can never emit it."""
+    from data_crawler_spark.operators.classifier import (nb_predict,
+                                                         nb_score,
+                                                         train_nb)
+
+    labeled = spark.createDataFrame(
+        [(1, "hello world good text", "good"),
+         (2, "more wholesome english words", "good"),
+         (3, "你好世界", "junk"),
+         (4, "再见朋友", "junk")],
+        "doc_id long, text string, label string")
+    model, classes = train_nb(labeled, n_buckets=64)
+    assert {r.label for r in classes.collect()} == {"good", "junk"}
+    # a featureless probe doc ties on features; the equal prior makes
+    # the verdict the deterministic label tie-break, and an
+    # english-looking doc still classifies good
+    probe = spark.createDataFrame(
+        [(10, "hello good world"), (11, "你好")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.label
+           for r in nb_predict(nb_score(probe, model, classes,
+                                        n_buckets=64)).collect()}
+    assert got[10] == "good"
+    assert got[11] in ("good", "junk")   # defined, never a crash

@@ -119,3 +119,27 @@ def test_classify_matches_mirror_and_labels(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         train_language_profiles(_train_df(spark), top_k=0)
+
+
+def test_char_ngrams_unicode_whitespace_matches_mirror(spark):
+    """NBSP/ideographic-space text: the native normalization collapses
+    the same Unicode whitespace the mirror's re \\s does — grams must
+    never contain \\xa0 (the Java-ASCII-\\s divergence, fixed)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_crawler_spark.operators.langid import char_ngrams_col
+
+    texts = ["the dog", "a　b\tc\r\n", " lead and trail "]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.g for r in df.select(
+        char_ngrams_col(F.col("text")).alias("g")).collect()]
+    for t, g in zip(texts, got):
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        padded = f" {norm} "
+        want = [padded[i:i + n]
+                for n in (1, 2, 3)
+                for i in range(len(padded) - n + 1)]
+        assert sorted(g) == sorted(want), repr(t)
+        assert not any(" " in x for x in g)

@@ -162,6 +162,11 @@ def test_gopher_rules_vs_reference(spark):
         "word\n\n  \nthe of " + "x " * 60,           # blank lines ignored
         "\n".join(["  • indented bullet of the"] * 9
                   + ["plain line"]),                 # bullets counted post-trim
+        prose + "\n",                                # trailing newline: no
+        "\tthe of " + "y " * 60,                     #   phantom empty words
+        "line of the...\r\nread more...\r\n"       # CRLF pages: '\r'
+        + "w " * 60,                                 #   stripped pre-rules
+        "nb\u00a0sp the of " + "z " * 60,            # NBSP = whitespace
     ]
     df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
                                "doc_id long, text string")
@@ -182,6 +187,13 @@ def test_gopher_rules_vs_reference(spark):
     assert not got[4]["rule_alpha_words"]
     assert not got[5]["rule_ellipsis_lines"]
     assert not got[6]["gopher_keep"] and got[6]["n_words"] == 0
+    # trailing '\n' must not change a single metric vs the bare prose
+    skip = {"doc_id", "text"}
+    assert {k: v for k, v in got[9].items() if k not in skip} \
+        == {k: v for k, v in got[0].items() if k not in skip}
+    assert got[10]["n_words"] == 62                  # no '' word from '\t'
+    assert got[11]["ellipsis_line_frac"] == pytest.approx(2 / 3, abs=1e-4)
+    assert got[12]["n_words"] == 64                  # NBSP splits words
 
 
 def test_gopher_rules_native_plan(spark):
