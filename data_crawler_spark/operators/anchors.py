@@ -55,7 +55,14 @@ _TRIPLE_TYPE = pa.list_(pa.struct(
 # tail captured so rel can be inspected per occurrence — keeps the
 # nofollow stream aligned 1:1 with extract_anchors_series' matches
 _A_ATTRS_RX = re.compile(r'(?s)<a href="([^"]*)"([^>]*)>(.*?)</a>')
-_NOFOLLOW_RX = re.compile(r'(?i)\brel\s*=\s*"[^"]*\bnofollow\b[^"]*"')
+# all three attribute quote forms (real-world pages mix them — the
+# structured.py lesson), anchored at an attribute boundary so
+# data-rel="nofollow" never matches
+_NOFOLLOW_RX = re.compile(
+    r'(?i)(?:^|\s)rel\s*=\s*('
+    r'"[^"]*\bnofollow\b[^"]*"'
+    r"|'[^']*\bnofollow\b[^']*'"
+    r'|nofollow(?=[\s>/]|$))')
 
 
 def _anchor_triples_series(html: pd.Series) -> pd.Series:
@@ -121,19 +128,29 @@ def anchor_summary(anchors: DataFrame, top_k: int = 3) -> DataFrame:
 
     top_anchors = the k most frequent anchor strings, ties broken
     lexicographically (a total order — deterministic under any
-    partitioning). Two exchanges: the (target, anchor) count is the
-    map-side-combinable skew pre-aggregation, the per-target fold
-    sees one row per distinct anchor string."""
+    partitioning). The (target, anchor) count is the map-side-
+    combinable skew pre-aggregation; the top-k is then a WINDOW prune
+    (rank ≤ k) before any collect_list, so the per-target array is
+    bounded at k — a spam target with 10^8 distinct randomized
+    anchors sorts via the window's spillable sort instead of
+    materializing every string in one task's array."""
+    from pyspark.sql import Window
+
     per = anchors.groupBy("target_url", "anchor").agg(
         F.count("*").alias("cnt"))
+    w = Window.partitionBy("target_url").orderBy(F.desc("cnt"),
+                                                 F.asc("anchor"))
     key = F.struct((-F.col("cnt")).alias("nc"),
                    F.col("anchor").alias("anchor"))
-    tops = F.transform(
-        F.slice(F.sort_array(F.collect_list(key)), 1, top_k),
-        lambda s: s["anchor"],
-    )
-    return per.groupBy("target_url").agg(
+    # collect_list skips nulls: only the k ranked structs are ever
+    # gathered, and the stats aggregate the same ranked frame so the
+    # groupBy reuses the window's target_url partitioning — still two
+    # exchanges total (plan-tested)
+    ranked = per.withColumn("_r", F.row_number().over(w))
+    return ranked.groupBy("target_url").agg(
         F.sum("cnt").alias("n_inlinks"),
         F.count("*").alias("n_distinct_anchors"),
-        tops.alias("top_anchors"),
-    )
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.when(F.col("_r") <= top_k, key))),
+            lambda s: s["anchor"]).alias("top_anchors"))

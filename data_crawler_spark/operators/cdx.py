@@ -87,11 +87,12 @@ def cdx_lookup_asof(index: DataFrame, queries: DataFrame,
     hits = index.join(
         F.broadcast(q), index["surt_key"] == q["_q_surt"], "inner"
     ).where(F.col("warc_ts") <= F.lit(asof))
+    cap = F.struct("surt_key", "warc_ts", "url", "digest", "length")
     return (
         hits.groupBy("_q_url")
-        .agg(F.max_by(
-            F.struct("surt_key", "warc_ts", "url", "digest", "length"),
-            "warc_ts").alias("cap"))
+        # tie-break same-ts captures on the row values (two URLs can
+        # share a SURT key — scheme is dropped), the siblings' rule
+        .agg(F.max_by(cap, F.struct(F.col("warc_ts"), cap)).alias("cap"))
         .select(F.col("_q_url").alias("query_url"), "cap.*")
     )
 

@@ -198,7 +198,13 @@ def cache_directives_col(headers):
       as (null expires, had_expires true).
     """
     h = headers
-    cc = F.regexp_extract(h, r"(?im)^cache-control:\s*(.*?)\s*$", 1)
+    # RFC 9110 §5.3: repeated field lines combine as a comma-joined
+    # list — a CDN appending its own Cache-Control line must not make
+    # the origin's directives vanish (regexp_extract reads only the
+    # first match; extract_all + join reads them all)
+    cc = F.array_join(
+        F.regexp_extract_all(h, F.lit(r"(?im)^cache-control:\s*(.*?)\s*$"),
+                             1), ",")
     max_age = F.nullif(
         F.regexp_extract(cc, r"(?i)(?:^|[^a-z\-])max-age\s*=\s*\"?(\d+)", 1),
         F.lit("")).try_cast("long")

@@ -68,6 +68,7 @@ def phrase_matches(corpus: DataFrame, phrases: DataFrame,
     first_pos)`` — one row per document containing each query phrase
     as CONSECUTIVE tokens (tokens_col tokenization on both sides),
     n_matches the occurrence count, first_pos the earliest start.
+    Several phrase rows per query id fold as OR (duplicates ignored).
 
     Diagonal-anchor formulation: phrase term i at document position p
     votes for anchor ``p - i``; an anchor where all m offsets voted is
@@ -76,25 +77,35 @@ def phrase_matches(corpus: DataFrame, phrases: DataFrame,
     carries only (query, doc, anchor, offset) rows for documents
     containing phrase terms — never the corpus. Empty phrases are
     rejected; a one-term phrase degenerates to term lookup."""
-    toks = tokens_col(F.col(phrase_col))
-    if phrases.filter(F.size(toks) == 0).limit(1).count():
+    pdf = phrases.select(F.col(query_id_col).alias("query_id"),
+                         tokens_col(F.col(phrase_col)).alias("_toks"))
+    if pdf.filter(F.col("_toks").isNull()
+                  | (F.size("_toks") == 0)).limit(1).count():
         raise ValueError("phrase_matches: phrase with no tokens")
-    q = phrases.select(
-        F.col(query_id_col).alias("query_id"),
-        F.posexplode(toks).alias("offset", "term"),
-        F.size(toks).alias("m"))
+    # votes are keyed per PHRASE (token-array hash), not per query id:
+    # two same-length phrases under one query would otherwise
+    # cross-vote anchors (false matches), and a duplicated phrase row
+    # would double every offset vote so n_offsets == m never holds
+    pdf = pdf.dropDuplicates(["query_id", "_toks"])
+    q = pdf.select(
+        "query_id",
+        F.xxhash64("_toks").alias("_ph"),
+        F.posexplode("_toks").alias("offset", "term"),
+        F.size("_toks").alias("m"))
 
     hits = (positional_postings(corpus, id_col, text_col)
             .join(F.broadcast(q), "term")
-            .select("query_id", "doc_id", "m",
+            .select("query_id", "_ph", "doc_id", "m",
                     (F.col("pos") - F.col("offset")).alias("anchor"),
                     "offset"))
-    anchors = (hits.groupBy("query_id", "doc_id", "anchor", "m")
+    anchors = (hits.groupBy("query_id", "_ph", "doc_id", "anchor", "m")
                # a position can vote the same offset only once, so
                # count(*) == countDistinct(offset) — keep the cheap one
                .agg(F.count("*").alias("n_offsets"))
                .where((F.col("n_offsets") == F.col("m"))
                       & (F.col("anchor") >= 0)))
+    # multi-phrase queries fold as OR: every (phrase, anchor) match
+    # counts once, first_pos the earliest across the query's phrases
     return (anchors.groupBy("query_id", "doc_id")
             .agg(F.count("*").alias("n_matches"),
                  F.min("anchor").alias("first_pos")))
@@ -175,8 +186,9 @@ def tfidf_top_terms(corpus: DataFrame, k: int = 10,
         raise ValueError(f"k must be >= 1, got {k}")
     n_docs = corpus.select(id_col).distinct().count()
     if n_docs == 0:
+        id_dt = corpus.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
-            [], "doc_id string, term string, tfidf double, rank int")
+            [], f"doc_id {id_dt}, term string, tfidf double, rank int")
     post = term_postings(corpus, id_col, text_col)
     df_tbl = (post.groupBy("term")
               .agg(F.count("*").alias("df"))

@@ -115,10 +115,7 @@ def canonical_url_col(page_url: Column, html: Column) -> Column:
     against the page URL and run through the frontier's canonicalizer
     — null when the page declares none. Native regex chain, pure map."""
     tag = F.regexp_extract(html.cast("string"), _CANON_TAG_RE, 0)
-    quoted = _attr(tag, "href")
-    unquoted = F.regexp_extract(
-        tag, r"(?is)\bhref\s*=\s*([^\s\"'>]+)", 1)
-    href = F.when(quoted != "", quoted).otherwise(unquoted)
+    href = _attr(tag, "href")   # all three quote forms, one grammar
     # resolve_href_col's absolute test is case-sensitive by contract
     # (the link extractor's python-parity path); canonical hrefs in the
     # wild carry uppercase schemes, which the canonicalizer lowercases,

@@ -292,3 +292,22 @@ def test_revalidation_same_ts_tie_and_session_tz(spark):
         assert got.s == "2026-08-03 06:00:00"
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_cache_control_multiple_lines_combine(spark):
+    """RFC 9110 §5.3: repeated Cache-Control lines combine — a CDN
+    appending its own line must not make the origin's vanish."""
+    from datetime import datetime
+
+    from data_crawler_spark.operators.freshness import revalidation_schedule
+
+    t1 = datetime(2026, 8, 2, 12, 0, 0)
+    rows = [
+        ("u1", t1, "Cache-Control: public\nCache-Control: no-store\n"),
+        ("u2", t1, "Cache-Control: public\nCache-Control: max-age=300\n"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, headers string")
+    got = {r.url: r for r in revalidation_schedule(df).collect()}
+    assert got["u1"].fresh_until == t1              # no-store honored
+    assert str(got["u2"].fresh_until) == "2026-08-02 12:05:00"

@@ -195,3 +195,30 @@ def test_tfidf_top_terms_matches_mirror(spark):
     terms = {r["term"] for r in pruned.collect()}
     assert "elder" not in terms  # df=1 dropped
     assert tfidf_top_terms(df.filter(F.lit(False))).count() == 0
+
+
+def test_phrase_matches_multi_phrase_and_duplicates(spark):
+    """Per-PHRASE vote keying: same-length phrases under one query must
+    not cross-vote anchors, and a duplicated phrase row must not
+    destroy genuine matches (both reproduced pre-fix)."""
+    from data_crawler_spark.operators.search import phrase_matches
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha delta"), (2, "alpha beta"), (3, "gamma delta")],
+        "doc_id long, text string")
+    phrases = spark.createDataFrame(
+        [("q1", "alpha beta"), ("q1", "gamma delta"),
+         ("q2", "alpha beta"), ("q2", "alpha beta")],
+        "query_id string, phrase string")
+    got = {(r.query_id, r.doc_id): r.n_matches
+           for r in phrase_matches(corpus, phrases).collect()}
+    # doc 1 contains NEITHER q1 phrase (was a false positive)
+    assert ("q1", 1) not in got
+    assert got[("q1", 2)] == 1 and got[("q1", 3)] == 1
+    # the duplicated q2 row must not double votes (was an empty result)
+    assert got[("q2", 2)] == 1
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        phrase_matches(corpus, spark.createDataFrame(
+            [("q9", None)], "query_id string, phrase string"))
