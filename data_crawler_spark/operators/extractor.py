@@ -37,7 +37,11 @@ def _arrow_text(html: pa.Array) -> pa.Array:
     try:
         s = pc.cast(html, pa.string())  # validates strict UTF-8
         ex = pc.extract_regex(s, pattern=_TEXT_RE_ARROW)
-        return pc.fill_null(pc.struct_field(ex, "t"), "")
+        # fill "" only for no-match on REAL input; null html stays
+        # null — the pandas fallback and the shared extract_text_series
+        # both return null there, and byte-identity is the contract
+        t = pc.fill_null(pc.struct_field(ex, "t"), "")
+        return pc.if_else(pc.is_null(s), s, t)
     except (AttributeError, pa.lib.ArrowNotImplementedError):
         return pa.array(extract_text_series(html.to_pandas()), pa.string())
 
@@ -75,10 +79,13 @@ def extract_enrich_arrow(pages: DataFrame) -> DataFrame:
     """Single-pass round extraction: input (html + any passthrough
     columns) -> passthrough + text + links. ONE python stage per crawl
     round instead of separate text/link sweeps — per-round fixed cost
-    is what dominates small rounds, and html is read exactly once."""
-    keep = [c for c, _ in pages.dtypes if c != "html"]
+    is what dominates small rounds, and html is read exactly once.
+    Pre-existing text/links columns are REPLACED (the PAGES schema
+    carries text; keeping both would leave an ambiguous duplicate)."""
+    drop = ("html", "text", "links")
+    keep = [c for c, _ in pages.dtypes if c not in drop]
     out_schema = ", ".join(
-        [f"`{c}` {t}" for c, t in pages.dtypes if c != "html"]
+        [f"`{c}` {t}" for c, t in pages.dtypes if c not in drop]
         + ["text string", "links array<string>"])
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

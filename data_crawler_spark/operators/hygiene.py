@@ -85,7 +85,12 @@ def decode_pages(pages: DataFrame, html_col: str = "html",
             cands += ["utf-8", "windows-1252", "latin-1"]
             for cs in cands:
                 try:
-                    return one_encode(raw.decode(cs)), cs
+                    # consume the BOM the sniff matched: Python's
+                    # decode("utf-8"/"utf-16le"/...) keeps U+FEFF, and
+                    # a leading ZWNBSP splits otherwise-exact dup
+                    # fingerprints downstream
+                    return one_encode(
+                        raw.decode(cs).removeprefix("\ufeff")), cs
                 except (UnicodeDecodeError, LookupError):
                     continue
             return one_encode(raw.decode("latin-1")), "latin-1"

@@ -74,24 +74,36 @@ def decode_and_featurize(media: DataFrame, decode: str = "fake",
 
     ``decode="strict"`` marks the real-codec seam: it raises
     NotImplementedError (image/audio libs absent in this container).
+    Unknown modes fail fast on the DRIVER — a typo must not silently
+    run the fake decoder. Null payloads (a failed fetch) yield null
+    dims/features, not a task crash.
     """
+    if decode not in ("fake", "strict"):
+        raise ValueError(
+            f"decode must be 'fake' or 'strict', got {decode!r}")
+    if decode == "strict":
+        raise NotImplementedError(
+            "real media decoding requires codec libraries not "
+            "present in this environment; use decode='fake' for "
+            "the deterministic stand-in")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "strict":
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries not "
-                    "present in this environment; use decode='fake' for "
-                    "the deterministic stand-in")
-            rows = [_fake_decode(p) for p in pdf["payload"]]
+            rows = [_fake_decode(p) if p is not None else None
+                    for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
-                "n_bytes": pdf["payload"].str.len().astype("int64"),
-                "width": np.array([r[0] for r in rows], dtype=np.int32),
-                "height": np.array([r[1] for r in rows], dtype=np.int32),
-                "channels": np.array([r[2] for r in rows], dtype=np.int32),
-                "feature": [list(r[3]) for r in rows],
+                "n_bytes": pd.array(
+                    [len(p) if p is not None else None
+                     for p in pdf["payload"]], dtype="Int64"),
+                "width": pd.array(
+                    [r[0] if r else None for r in rows], dtype="Int32"),
+                "height": pd.array(
+                    [r[1] if r else None for r in rows], dtype="Int32"),
+                "channels": pd.array(
+                    [r[2] if r else None for r in rows], dtype="Int32"),
+                "feature": [list(r[3]) if r else None for r in rows],
             })
 
     # project payload as late as possible; features leave, bytes don't

@@ -18,11 +18,18 @@ def per_host_round_counts(scheduled: DataFrame) -> DataFrame:
 
 def budget_violations(scheduled: DataFrame, hosts: DataFrame) -> DataFrame:
     """Rows where a (host, round) exceeded its politeness budget —
-    MUST be empty for a correct crawl (asserted in tests)."""
+    MUST be empty for a correct crawl (asserted in tests). The
+    missing-host fallback is THE scheduler's default (imported, not a
+    re-typed literal — an audit that hardcodes its own copy certifies
+    the wrong bound the day the default moves)."""
+    from data_crawler_spark.operators.scheduler import DEFAULT_BUDGET
+
     counts = per_host_round_counts(scheduled)
     b = F.broadcast(hosts.select("host", "budget_per_round"))
     return (counts.join(b, "host", "left")
-            .filter(F.col("n_scheduled") > F.coalesce("budget_per_round", F.lit(8))))
+            .filter(F.col("n_scheduled")
+                    > F.coalesce("budget_per_round",
+                                 F.lit(DEFAULT_BUDGET))))
 
 
 def inter_round_gaps(scheduled: DataFrame) -> DataFrame:
@@ -41,14 +48,19 @@ def inter_round_gaps(scheduled: DataFrame) -> DataFrame:
 
 def host_session_blocks(scheduled: DataFrame, gap_rounds: int = 2) -> DataFrame:
     """op 39 (batch form): contiguous per-host activity sessions — a new
-    session starts when a host was idle for >= gap_rounds rounds."""
+    session starts when a host was idle for >= gap_rounds rounds.
+    Idle rounds between active rounds r and prev is ``r - prev - 1``
+    (adjacent rounds = zero idle), so the split fires at
+    ``r - prev - 1 >= gap_rounds`` — the bare ``r - prev`` form split
+    one round early."""
     w = Window.partitionBy("host").orderBy("round")
     marked = (
         per_host_round_counts(scheduled)
         .withColumn("prev", F.lag("round").over(w))
         .withColumn("new_session",
                     F.when(F.col("prev").isNull()
-                           | (F.col("round") - F.col("prev") >= gap_rounds), 1)
+                           | (F.col("round") - F.col("prev") - 1
+                              >= gap_rounds), 1)
                     .otherwise(0))
     )
     sess = marked.withColumn("session_id", F.sum("new_session").over(

@@ -68,12 +68,18 @@ def schedule_per_host_salted(candidates: DataFrame, hosts: DataFrame,
     )
 
 
+def _crawl_order() -> list:
+    """THE total visit order (url unique) — one definition, shared by
+    crawl_order and with_crawl_seq so seq can never drift from the
+    emitted sequence."""
+    return [F.desc("priority"), F.asc("depth"),
+            F.asc("host"), F.asc("url")]
+
+
 def crawl_order(scheduled: DataFrame) -> DataFrame:
     """op 26: the emitted visit order — a TOTAL order (url unique), so
     the output sequence is deterministic regardless of partitioning."""
-    return scheduled.orderBy(
-        F.desc("priority"), F.asc("depth"), F.asc("host"), F.asc("url")
-    )
+    return scheduled.orderBy(*_crawl_order())
 
 
 def with_crawl_seq(scheduled: DataFrame, num_partitions: int = 1,
@@ -99,7 +105,7 @@ def with_crawl_seq(scheduled: DataFrame, num_partitions: int = 1,
     serves the downstream jobs. Pass ``release_into`` to reclaim the
     pinned blocks once the output is materialized.
     """
-    order = [F.desc("priority"), F.asc("depth"), F.asc("host"), F.asc("url")]
+    order = _crawl_order()
     if num_partitions <= 1:
         w = Window.orderBy(*order)
         return scheduled.withColumn("seq", F.row_number().over(w))

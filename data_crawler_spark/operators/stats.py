@@ -57,10 +57,14 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
     ]
     out = (staged.groupBy(*group_cols).agg(*aggs) if group_cols
            else staged.agg(*aggs))
+    # HLL over-estimates can exceed n_docs (~2% relative error) — a
+    # dataset card must not publish a negative duplicate rate
     return out.withColumn(
         "dup_rate",
-        F.round(F.lit(1.0) - F.col("distinct_contents")
-                / F.col("n_docs"), 4))
+        F.greatest(
+            F.lit(0.0),
+            F.round(F.lit(1.0) - F.col("distinct_contents")
+                    / F.col("n_docs"), 4)))
 
 
 def gate_pass_rates(flagged: DataFrame,
@@ -102,10 +106,14 @@ def split_leakage(splits: DataFrame, pairs: DataFrame,
     AQE-broadcastable; nothing corpus-sized shuffles."""
     s = splits.select(F.col(id_col).alias("_id"),
                       F.col(split_col).alias("_split"))
+    # LEFT joins: a pair member missing from the split assignment is
+    # an AUDIT FINDING (null split), not a row to silently drop — an
+    # inner join would certify pairs it never actually checked
     out = (pairs
            .join(s.withColumnsRenamed(
-               {"_id": id_a, "_split": "split_a"}), id_a)
+               {"_id": id_a, "_split": "split_a"}), id_a, "left")
            .join(s.withColumnsRenamed(
-               {"_id": id_b, "_split": "split_b"}), id_b)
-           .filter(F.col("split_a") != F.col("split_b")))
+               {"_id": id_b, "_split": "split_b"}), id_b, "left")
+           .filter(~F.col("split_a").eqNullSafe(F.col("split_b"))
+                   | F.col("split_a").isNull()))
     return out.select(id_a, id_b, "split_a", "split_b")

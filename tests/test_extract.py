@@ -75,3 +75,30 @@ def test_mapinarrow_byte_identity(spark, web1k):
     got = {r.url: r.text for r in out.collect()}
     want = {r.url: r.text for r in pages.select("url", "text").collect()}
     assert got == want
+
+
+def test_null_html_identical_across_extraction_paths(spark):
+    """null html -> null text in EVERY path (the Arrow kernel's
+    fill_null previously produced '' while the pandas fallback and the
+    shared series extractor produced null)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from data_crawler_spark.functions.extract import extract_text_series
+    from data_crawler_spark.operators.extractor import (
+        _arrow_text, extract_pages_arrow, extract_pages_with_links_arrow)
+
+    html = pa.array([b"<html><p>hi</p></html>", None, b"no match"],
+                    pa.binary())
+    arrow_out = _arrow_text(html).to_pylist()
+    pandas_out = list(extract_text_series(pd.Series(
+        [b"<html><p>hi</p></html>", None, b"no match"])))
+    assert arrow_out == pandas_out
+    assert arrow_out[1] is None and arrow_out[2] == ""
+
+    df = spark.createDataFrame(
+        [("u1", b"<html><p>hi</p></html>"), ("u2", None)],
+        "url string, html binary")
+    for op in (extract_pages_arrow, extract_pages_with_links_arrow):
+        got = {r.url: r.text for r in op(df).collect()}
+        assert got["u2"] is None, op.__name__

@@ -84,3 +84,19 @@ def test_drop_soft404_without_title(spark):
         "url string, text string")
     assert {r["url"] for r in drop_soft404(df, title_col=None).collect()} \
         == {"b"}
+
+
+def test_bom_consumed_so_duplicates_fingerprint_equal(spark):
+    """The BOM the sniff matched must not survive into html_utf8 —
+    a leading ZWNBSP would split otherwise-exact dup fingerprints."""
+    from data_crawler_spark.operators.hygiene import decode_pages
+
+    body = "<html><p>same page</p></html>"
+    rows = [(1, body.encode("utf-8")),
+            (2, b"\xef\xbb\xbf" + body.encode("utf-8")),
+            (3, b"\xff\xfe" + body.encode("utf-16-le"))]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    got = {r.doc_id: (bytes(r.html_utf8), r.charset_used)
+           for r in decode_pages(df).collect()}
+    assert got[1][0] == got[2][0] == got[3][0] == body.encode()
+    assert got[2][1] == "utf-8" and got[3][1] == "utf-16le"

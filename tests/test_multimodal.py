@@ -88,3 +88,21 @@ def test_frame_sample_counts_vs_inline_oracle(media):
     assert set(per) == set(vids)
     for mid, n in vids.items():
         assert sorted(per[mid]) == list(range(0, n // 1024 + 1, 10)), mid
+
+
+def test_null_payload_and_decode_validation(spark):
+    from data_crawler_spark.operators.multimodal import decode_and_featurize
+
+    media = spark.createDataFrame(
+        [(1, "image", b"\x01\x02\x03"), (2, "image", None)],
+        "media_id long, media_type string, payload binary")
+    got = {r.media_id: r for r in decode_and_featurize(media).collect()}
+    assert got[1].n_bytes == 3 and got[1].width is not None
+    # a failed fetch is null dims/features, not a task crash
+    assert got[2].n_bytes is None and got[2].width is None
+    assert got[2].feature is None
+
+    with pytest.raises(ValueError):
+        decode_and_featurize(media, decode="Strict")
+    with pytest.raises(NotImplementedError):
+        decode_and_featurize(media, decode="strict")

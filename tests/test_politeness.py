@@ -52,3 +52,15 @@ def test_session_blocks_partition(crawl_tables):
     sess_total = {r.host: r.total for r in
                   sess.groupBy("host").agg(F.sum("n_in_session").alias("total")).collect()}
     assert per_host_total == sess_total  # sessions partition the activity
+
+
+def test_session_gap_off_by_one(spark):
+    """Idle rounds between bursts is round - prev - 1: one idle round
+    under gap_rounds=2 must NOT split (the bare difference did)."""
+    rows = [("h", 1, "u1"), ("h", 3, "u2"), ("h", 7, "u3")]
+    df = spark.createDataFrame(rows, "host string, round int, url string")
+    sess = host_session_blocks(df, gap_rounds=2).collect()
+    spans = sorted((r.session_start, r.session_end) for r in sess)
+    # rounds 1,3 stay one session (1 idle round); round 7 splits
+    # (3 idle rounds >= 2)
+    assert spans == [(1, 3), (7, 7)]

@@ -125,3 +125,24 @@ def test_split_leakage_domain_split_clean(spark):
     leak = split_leakage(split.withColumnRenamed("url", "doc_id"),
                          pairs)
     assert leak.count() == 0
+
+
+def test_split_leakage_surfaces_missing_ids(spark):
+    """A pair member absent from the split table is an audit finding
+    (null split), never a silently-dropped row."""
+    from data_crawler_spark.operators.stats import split_leakage
+
+    splits = spark.createDataFrame(
+        [("a", "train"), ("b", "train"), ("c", "test")],
+        "doc_id string, split string")
+    pairs = spark.createDataFrame(
+        [("a", "b"),       # same split: clean
+         ("a", "c"),       # cross-split leak
+         ("a", "ghost"),   # member never assigned
+         ("g1", "g2")],    # both unassigned
+        "id_a string, id_b string")
+    got = {(r.id_a, r.id_b): (r.split_a, r.split_b)
+           for r in split_leakage(splits, pairs).collect()}
+    assert got == {("a", "c"): ("train", "test"),
+                   ("a", "ghost"): ("train", None),
+                   ("g1", "g2"): (None, None)}
