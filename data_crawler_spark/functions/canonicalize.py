@@ -127,13 +127,21 @@ _BASEDIR_RE = re.compile(r"^(https?://.*/)[^/]*$")
 
 
 def resolve_href(base: str, href: str) -> str:
-    """Resolve ``href`` found on page ``base`` to an absolute URL."""
+    """Resolve ``href`` found on page ``base`` to an absolute URL.
+    Protocol-relative hrefs inherit the base scheme; hrefs carrying
+    any OTHER scheme (mailto:, javascript:) return untouched so the
+    http filter drops them (the spec mirror of resolve_href_col —
+    both sides MUST change together)."""
     if href.startswith("http://") or href.startswith("https://"):
         return href
     m = _ROOT_RE.match(base)
     if not m:
         return href
     root = m.group(1)
+    if href.startswith("//"):
+        return base.split(":", 1)[0] + ":" + href
+    if re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:", href):
+        return href
     if href.startswith("/"):
         return root + href
     md = _BASEDIR_RE.match(base)

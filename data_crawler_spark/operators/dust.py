@@ -41,7 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_crawler_spark.operators.links import host_col, path_col
+from data_crawler_spark.operators.links import (host_col, path_col,
+                                                scheme_col)
 
 
 def _params_col(url: Column) -> Column:
@@ -76,7 +77,10 @@ def mine_param_rules(captures: DataFrame, url_col: str = "url",
     u = F.col(url_col)
     base = captures.select(
         host_col(u).alias("host"),
-        path_col(u).alias("path"),
+        # scheme rides the residual: http and https captures of one
+        # path are different resources — conflating them could mint a
+        # rule from cross-scheme accidents
+        F.concat(scheme_col(u), F.lit(":"), path_col(u)).alias("path"),
         _params_col(u).alias("params"),
         F.col(hash_col).alias("h"))
     with_key = (base

@@ -238,9 +238,6 @@ def hits(edges: DataFrame, max_iter: int = 20,
                               F.coalesce("hub", F.lit(0.0)).alias("hub"),
                               "authority"))
             scores = _l2_normalized(scores, "hub").localCheckpoint()
-        if max_iter == 0:
-            scores = scores.select("node", F.lit(1.0).alias("hub"),
-                                   F.lit(1.0).alias("authority"))
         return scores.select("node", "hub", "authority")
     finally:
         e.unpersist()
@@ -425,14 +422,18 @@ def label_propagation(edges: DataFrame, max_iter: int = 10,
                        F.col(dst_col).alias("dst"))
     rev = edges.select(F.col(dst_col).alias("src"),
                        F.col(src_col).alias("dst"))
-    e = (fwd.union(rev)
-         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
-                 & (F.col("src") != F.col("dst")))
+    both = fwd.union(rev).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull())
+    e = (both
+         .filter(F.col("src") != F.col("dst"))
          .distinct()
          .repartition(num_partitions, "src")
          .persist())
     try:
-        node_set = e.select(F.col("src").alias("node"))
+        # node set from the PRE-self-loop-filter endpoints: a node
+        # whose only edge is a self-loop still gets a community row
+        # (its own label), matching pagerank's node-set contract
+        node_set = both.select(F.col("src").alias("node"))
         if nodes is not None:
             extra = nodes.select(F.col(nodes.columns[0]).alias("node"))
             node_set = node_set.union(

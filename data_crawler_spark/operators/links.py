@@ -18,13 +18,22 @@ _BASEDIR_RE = r"^(https?://.*/)[^/]*$"
 
 
 def resolve_href_col(base: Column, href: Column) -> Column:
-    """Absolute URL for ``href`` found on page ``base`` (native exprs)."""
+    """Absolute URL for ``href`` found on page ``base`` (native exprs;
+    byte-identical to functions.canonicalize.resolve_href — parity-
+    fuzzed). Protocol-relative ``//host/p`` inherits the base scheme;
+    an href carrying any OTHER scheme (mailto:, javascript:, ftp:) is
+    returned untouched so is_http_col drops it — gluing it onto the
+    base path minted bogus same-host URLs that polluted the
+    frontier."""
     root = F.regexp_extract(base, _ROOT_RE, 1)
     basedir = F.regexp_extract(base, _BASEDIR_RE, 1)
+    scheme = F.regexp_extract(base, r"^([a-z][a-z0-9+.\-]*):", 1)
     prefix = F.when(basedir != "", basedir).otherwise(F.concat(root, F.lit("/")))
     return (
         F.when(href.startswith("http://") | href.startswith("https://"), href)
         .when(root == "", href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), href)
         .when(href.startswith("/"), F.concat(root, href))
         .otherwise(F.concat(prefix, href))
     )
@@ -76,6 +85,9 @@ def registered_domain_col(url_or_host: Column,
     join."""
     host = url_or_host if is_host else host_col(url_or_host)
     host = F.regexp_replace(host, r":\d+\z", "")  # strip port
+    # a trailing FQDN dot would leave an empty last label, collapsing
+    # every 'x.<anything>.com.' host into the pseudo-domain 'com.'
+    host = F.regexp_replace(host, r"\.\z", "")
     is_ip = host.rlike(r"\A\d+\.\d+\.\d+\.\d+\z")
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -231,12 +243,16 @@ def host_suffixes_col(host: Column) -> Column:
     com]`` — the set a domain blocklist entry can match at (exact host
     or any parent domain). Port, if present, stays on the full-host
     entry only (``h:8080`` suffixes are computed on the host part)."""
-    h = F.lower(F.regexp_replace(host, r":\d+$", ""))
+    low = F.lower(host)
+    h = F.regexp_replace(low, r":\d+$", "")
     parts = F.split(h, r"\.")
     n = F.size(parts)
-    return F.transform(
+    sufs = F.transform(
         F.sequence(F.lit(0), n - 1),
         lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."))
+    # the docstring's contract: a ported entry ('evil.com:8080') is
+    # matchable as the exact host — prepend it when a port exists
+    return F.when(low != h, F.concat(F.array(low), sufs)).otherwise(sufs)
 
 
 def host_blocklist_filter(df, blocklist, url_col: str = "url",
@@ -259,12 +275,18 @@ def host_blocklist_filter(df, blocklist, url_col: str = "url",
     u = F.lower(F.col(url_col))
     sufs = F.when(is_http_col(u), host_suffixes_col(host_col(u))) \
             .otherwise(F.expr("array()").cast("array<string>"))
+    # exact-host mode matches the host in BOTH forms — ported entry
+    # ('evil.com:8080', suffix 1 when a port exists) and port-stripped
+    # — but never the parent domain
+    exact = F.filter(
+        sufs, lambda d, i: (i == 0)
+        | ((i == 1) & F.get(sufs, 0).contains(":")))
     if isinstance(blocklist, _DF):
         bl_col = blocklist.columns[0]
         bl = (blocklist.select(F.lower(F.col(bl_col)).alias("_dom"))
               .distinct())
         if not match_subdomains:
-            sufs = F.slice(sufs, 1, 1)
+            sufs = exact
         hits = (df.select(F.col(url_col).alias("_u"),
                           F.explode(sufs).alias("_dom"))
                 .join(F.broadcast(bl), "_dom", "left_semi")
@@ -272,9 +294,7 @@ def host_blocklist_filter(df, blocklist, url_col: str = "url",
         return df.join(hits, url_col, "left_anti")
     domains = F.array(*[F.lit(str(d).lower()) for d in blocklist])
     if not match_subdomains:
-        # F.get, not element_at: ANSI mode (Spark 4 default) makes
-        # element_at THROW on the empty non-http array
-        hit = F.array_contains(domains, F.get(sufs, 0))
+        hit = F.arrays_overlap(exact, domains)
     else:
         hit = F.arrays_overlap(sufs, domains)
     return df.filter(~F.coalesce(hit, F.lit(False)))
@@ -298,7 +318,10 @@ def parse_sitemap_col(xml: Column) -> Column:
     native regexp_extract_all + transform chain — no XML library, no
     Python; the seam between a fetched sitemap page table and the
     seed/frontier source."""
-    locs = F.regexp_extract_all(xml, F.lit(r"<loc>\s*(.*?)\s*</loc>"), 1)
+    # (?is): uppercase <LOC> tags must parse identically to
+    # sitemap_entries' case-insensitive grammar
+    locs = F.regexp_extract_all(
+        xml, F.lit(r"(?is)<loc>\s*(.*?)\s*</loc>"), 1)
     return F.transform(locs, _decode_entities)
 
 

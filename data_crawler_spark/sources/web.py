@@ -168,7 +168,7 @@ def gen_web(out_dir: str | os.PathLike, n_pages: int, n_seeds: int,
                     else:  # weird variants that canonicalize to `target`
                         w = int(_h(seed, "wv", np.array([i], dtype=np.uint64), t)[0] % np.uint64(4))
                         if w == 0:
-                            href = target.replace("https://", "https://", 1).replace(
+                            href = target.replace(
                                 host_name(host[j]), host_name(host[j]).upper(), 1)
                         elif w == 1:
                             href = target.replace(".example.com/", ".example.com:443/", 1)

@@ -48,8 +48,12 @@ def split_late(batch_df: DataFrame, ts_col: str, high_watermark) -> tuple[DataFr
     """op 40 quarantine rule (foreachBatch form): rows older than the
     carried high watermark route to the quarantine sink + lineage
     counter instead of the main aggregation."""
+    # a NULL event time routes to quarantine (the contract is 'counted
+    # into lineage, not silently lost' — both comparisons are null for
+    # such rows, which would drop them from BOTH outputs)
     on_time = batch_df.filter(F.col(ts_col) >= F.lit(high_watermark))
-    late = batch_df.filter(F.col(ts_col) < F.lit(high_watermark))
+    late = batch_df.filter((F.col(ts_col) < F.lit(high_watermark))
+                           | F.col(ts_col).isNull())
     return on_time, late
 
 

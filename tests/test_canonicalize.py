@@ -146,3 +146,35 @@ def test_native_canonicalize_matches_spec(spark, web1k):
     for v, w, g in zip(vals, want, got):
         w = None if w is None else w
         assert w == g, f"in={v!r} spec={w!r} native={g!r}"
+
+
+def test_resolve_href_protocol_relative_and_foreign_schemes(spark):
+    """Protocol-relative hrefs inherit the base scheme; foreign-scheme
+    hrefs (mailto:, javascript:) pass through untouched so the http
+    filter drops them — gluing either onto the base path minted bogus
+    same-host URLs. Native and spec mirror must agree byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from data_crawler_spark.functions.canonicalize import resolve_href
+    from data_crawler_spark.operators.links import resolve_href_col
+
+    base = "https://a.com/x/y.html"
+    cases = [
+        ("//cdn.b.com/z.js", "https://cdn.b.com/z.js"),
+        ("mailto:x@y.test", "mailto:x@y.test"),
+        ("javascript:void(0)", "javascript:void(0)"),
+        ("ftp://f.test/a", "ftp://f.test/a"),
+        ("data:text/plain,hi", "data:text/plain,hi"),
+        ("/abs", "https://a.com/abs"),
+        ("rel.html", "https://a.com/x/rel.html"),
+        ("a:b.html", "a:b.html"),     # first segment with ':' IS a scheme
+        ("http://c.com/q", "http://c.com/q"),
+    ]
+    for href, want in cases:
+        assert resolve_href(base, href) == want, href
+    df = spark.createDataFrame([(base, h) for h, _ in cases],
+                               "base string, href string")
+    got = [r.r for r in df.select(
+        resolve_href_col(F.col("base"), F.col("href")).alias("r"))
+        .collect()]
+    assert got == [w for _, w in cases]

@@ -28,7 +28,10 @@ def test_host_suffixes():
     got = (spark.range(1)
            .select(host_suffixes_col(F.lit("a.b.Example.COM:8080"))
                    .alias("s")).first().s)
-    assert got == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    # the ported full-host entry leads (docstring contract: a
+    # blocklist row 'h:8080' is matchable); dot suffixes are portless
+    assert got == ["a.b.example.com:8080", "a.b.example.com",
+                   "b.example.com", "example.com", "com"]
 
 
 def test_blocklist_literal_and_dataframe_agree(spark):
@@ -292,3 +295,44 @@ def test_feed_urls_selfclosing_then_text_link_no_span(spark):
     got = {r.url for r in feed_urls(df).collect()}
     assert got == {canonicalize_one("http://x.com/a"),
                    canonicalize_one("http://x.com/b")}
+
+
+def test_registered_domain_trailing_dot_and_sitemap_case(spark):
+    from pyspark.sql import functions as F
+
+    from data_crawler_spark.operators.links import (parse_sitemap_col,
+                                                    registered_domain_col)
+
+    df = spark.createDataFrame(
+        [("https://a.example.com./p",), ("https://b.other.com./p",),
+         ("https://plain.example.com/p",)], "url string")
+    got = [r.d for r in df.select(
+        registered_domain_col(F.col("url")).alias("d")).collect()]
+    # FQDN trailing dots no longer collapse every .com. host into 'com.'
+    assert got == ["example.com", "other.com", "example.com"]
+
+    xml = ('<URLSET><URL><LOC>http://a.com/x</LOC></URL>'
+           '<url><loc>http://a.com/y</loc></url></URLSET>')
+    sm = spark.createDataFrame([(xml,)], "sitemap_xml string")
+    urls = sm.select(parse_sitemap_col(F.col("sitemap_xml"))
+                     .alias("u")).collect()[0].u
+    assert urls == ["http://a.com/x", "http://a.com/y"]
+
+
+def test_host_suffixes_keep_ported_entry(spark):
+    from pyspark.sql import functions as F
+
+    from data_crawler_spark.operators.links import (host_blocklist_filter,
+                                                    host_suffixes_col)
+
+    df = spark.createDataFrame([("evil.com:8080",)], "h string")
+    sufs = df.select(host_suffixes_col(F.col("h")).alias("s")) \
+        .collect()[0].s
+    assert sufs == ["evil.com:8080", "evil.com", "com"]
+
+    urls = spark.createDataFrame(
+        [("http://evil.com:8080/x",), ("http://evil.com/x",)],
+        "url string")
+    kept = [r.url for r in host_blocklist_filter(
+        urls, ["evil.com:8080"]).collect()]
+    assert kept == ["http://evil.com/x"]
