@@ -850,3 +850,33 @@ def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
     edges = jaccard_pairs(df, id_col=id_col, text_col=text_col,
                           group_col=group_col, threshold=threshold)
     return connected_components(df.select(id_col), edges, id_col=id_col)
+
+
+def cluster_survivors(comps: DataFrame, metrics: DataFrame | None = None,
+                      order_by: list | None = None,
+                      id_col: str = "doc_id",
+                      cluster_col: str = "cluster_id") -> DataFrame:
+    """One survivor per duplicate cluster, chosen by ``order_by`` — the
+    policy layer over ``connected_components`` output. Published
+    pipelines differ here: min-id (this engine's default elsewhere,
+    ``filter(id == cluster_id)``) is arbitrary-but-deterministic;
+    RefinedWeb keeps the LONGEST member (``[F.desc("n_tokens")]``),
+    quality-gated pipelines keep the best-scored one. ``metrics`` (an
+    (id, metric...) frame, e.g. ``docs.select(id, n_tokens)``) joins in
+    the ordering columns; ``id_col`` ASC is appended so the choice is
+    total and deterministic under any partitioning.
+
+    Returns (cluster_col, id_col) — one row per cluster, survivors of
+    singleton clusters included (components cover every doc).
+
+    Scale shape: only (id, cluster_id, metric) rows ride the selection
+    — never text — and the per-cluster top-1 is the salted two-phase
+    ``cap_per_group``, so a corpus-scale boilerplate cluster (millions
+    of members behind one template) never funnels through one window
+    task."""
+    from data_crawler_spark.operators.sampling import cap_per_group
+
+    m = comps if metrics is None else comps.join(metrics, id_col)
+    kept = cap_per_group(m, cluster_col, 1, order_by=order_by,
+                         id_col=id_col)
+    return kept.select(cluster_col, id_col)

@@ -117,6 +117,27 @@ def sample_corpus_mixture(df: DataFrame, group_col: str = "lang",
                       | (u < F.col("sample_rate"))))
 
 
+def shuffle_key_col(id_col: str = "doc_id", seed: int = 0) -> Column:
+    """Deterministic pseudo-random TOTAL-order key for training-order
+    shuffling: sorting by this key is a seeded permutation of the
+    corpus that is identical on any cluster size or partitioning (the
+    mixture sampler's determinism contract applied to ordering). A
+    training run wants shards drawn IID from the cleaned corpus, not
+    runs of adjacent crawl ids — feed this to
+    ``shard_by_token_budget(order_col=...)`` and
+    ``write_training_shards(sort_in_shard=...)``.
+
+    Construction: the zero-padded two's-complement hex of
+    ``xxhash64("{id}:{seed}")`` (the same fold as
+    ``uniform_hash_col``), so lexicographic key order is a fixed
+    pseudo-random permutation; the id itself is appended after ``#``
+    so a hash collision can never make the order ambiguous. Pure map
+    — no shuffle, no Python."""
+    sid = F.col(id_col).cast("string")
+    h = F.xxhash64(F.concat_ws(":", sid, F.lit(str(int(seed)))))
+    return F.concat(F.lpad(F.hex(h), 16, "0"), F.lit("#"), sid)
+
+
 def hash_split(df: DataFrame, id_col: str = "doc_id",
                fractions: dict[str, float] | None = None,
                seed: int = 1) -> DataFrame:

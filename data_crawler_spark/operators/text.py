@@ -613,7 +613,9 @@ def shard_by_token_budget(df: DataFrame, budget: int,
                           tokens_col: str = "n_tokens",
                           id_col: str = "doc_id",
                           num_partitions: int = 1,
-                          release_into: list | None = None) -> DataFrame:
+                          release_into: list | None = None,
+                          order_col: str | None = None,
+                          group_col: str | None = None) -> DataFrame:
     """Pack documents into ~``budget``-token training shards: the write
     layout step of a training-data pipeline (fixed-size shards feed the
     data loader; a shard is a contiguous run of the deterministic doc
@@ -635,12 +637,31 @@ def shard_by_token_budget(df: DataFrame, budget: int,
     sketch + shuffle write) before the checkpoint serves the
     downstream jobs. Pass ``release_into`` to receive the prefix sum's
     boundary-pinning cache for ``unpersist()`` (with_crawl_seq's
-    contract)."""
+    contract).
+
+    ``order_col`` replaces the id order with (order_col, id) — pass
+    ``sampling.shuffle_key_col`` output to pack shards in a seeded
+    pseudo-random order (IID shards for training) instead of crawl-id
+    runs; the id tie-break keeps the order total either way.
+
+    ``group_col`` restarts the packing per group value (shard_id 0.. in
+    each group): a split corpus must pack each split on its own — a
+    global packing would leave every (split, shard) directory
+    systematically under budget wherever the other splits' docs
+    interleave. The two-phase path still runs ONE global prefix sum
+    ordered (group, order, id); each group's in-group offsets are its
+    global offsets minus the group's first offset — one O(groups)
+    broadcast join, text never reshuffled."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    order = ([F.asc(group_col)] if group_col is not None else []) \
+        + ([F.asc(order_col)] if order_col is not None else []) \
+        + [F.asc(id_col)]
     if num_partitions <= 1:
         from pyspark.sql import Window
-        w = (Window.orderBy(F.asc(id_col))
+        base = (Window.partitionBy(group_col) if group_col is not None
+                else Window)
+        w = (base.orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, -1))
         excl = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
         return df.withColumn(
@@ -648,13 +669,25 @@ def shard_by_token_budget(df: DataFrame, budget: int,
 
     from .prefix import exclusive_prefix_sum
 
-    out = exclusive_prefix_sum(df, [F.asc(id_col)], F.col(tokens_col),
-                               "shard_id", num_partitions,
+    out = exclusive_prefix_sum(df, order, F.col(tokens_col),
+                               "_excl", num_partitions,
                                release_into=release_into)
     # integral div, not floor(double /): prefix sums at corpus scale
     # sit near double's 2^53 integer limit
-    return out.withColumn(
-        "shard_id", F.expr(f"shard_id div CAST({int(budget)} AS BIGINT)"))
+    if group_col is None:
+        return (out.withColumn(
+            "shard_id", F.expr(f"_excl div CAST({int(budget)} AS BIGINT)"))
+            .drop("_excl"))
+    # group rows are contiguous in the global order, so a group's first
+    # (minimum) global offset rebases its members to an in-group
+    # exclusive sum; the agg shuffles only map-side-partial
+    # (group, min) rows from the persisted prefix frame, never text
+    grp_base = out.groupBy(group_col).agg(F.min("_excl").alias("_base"))
+    return (out.join(F.broadcast(grp_base), group_col)
+            .withColumn("shard_id",
+                        F.expr(f"(_excl - _base) div "
+                               f"CAST({int(budget)} AS BIGINT)"))
+            .drop("_excl", "_base"))
 
 
 def remove_repeated_tokens(df: DataFrame, text: str = "text",

@@ -34,12 +34,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.classifier import pareto_quality_filter, train_nb
-from ..operators.dedup import (connected_components, decontaminate,
-                               exact_dedup, minhash_near_dups,
-                               paragraph_dedup)
+from ..operators.dedup import (cluster_survivors, connected_components,
+                               decontaminate, exact_dedup,
+                               minhash_near_dups, paragraph_dedup)
 from ..operators.lm import lm_score, perplexity_buckets, train_ngram_lm
 from ..operators.sampling import (cap_per_group, hash_split,
-                                  sample_corpus_mixture)
+                                  sample_corpus_mixture, shuffle_key_col)
 from ..operators.text import (c4_rules, clean_text_col, compression_ratio,
                               gopher_rules, ngram_repetition_signals,
                               repetition_signals, shard_by_token_budget,
@@ -56,6 +56,7 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                  paragraph_dedup_keep: str | None = None,
                  min_paragraph_survival: float = 0.5,
                  exact: bool = True, near_dup_threshold: float | None = 0.7,
+                 near_dup_keep_by: str | None = None,
                  semantic_threshold: float | None = None,
                  vec_col: str = "embedding", semantic_n_lists: int = 16,
                  decontam_n: int = 13,
@@ -74,7 +75,9 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                  mixture_temperature: float | None = None,
                  split_fractions: dict[str, float] | None = None,
                  shard_budget: int | None = None,
-                 shard_partitions: int = 1, n_hashes: int = 64,
+                 shard_partitions: int = 1,
+                 shard_shuffle_seed: int | None = None,
+                 n_hashes: int = 64,
                  n_bands: int = 16, shingle_n: int = 3,
                  seed: int = 0) -> DataFrame:
     """Run the cleaning stages over ``docs`` and return the surviving
@@ -126,6 +129,16 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
       target group mixture (deterministic in (id, seed)).
     - ``split_fractions`` appends a train/val/test ``split`` column
       (pure map, after sampling so the bins see the final corpus).
+    - ``near_dup_keep_by`` (a column on ``docs``, e.g. a quality
+      score) switches the near-dup survivor policy from min-id to
+      keep-the-max-metric member per cluster (the RefinedWeb
+      keep-longest rule with a length column), via the salted
+      two-phase ``cluster_survivors``.
+    - ``shard_shuffle_seed`` packs shards in a seeded pseudo-random
+      order (IID training shards) instead of id order; the
+      ``shuffle_key`` column stays on the output so the writer can
+      sort in-shard by it. With ``split_fractions`` set, shards
+      always pack PER SPLIT (shard_id restarts in each split).
     """
     cols = docs.columns
     out = docs
@@ -182,13 +195,25 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                                   n_bands, near_dup_threshold, shingle_n)
         comps = connected_components(out.select(id_col), pairs,
                                      id_col=id_col)
-        # no broadcast hint: real webtext near-dup fractions run 20-50%
-        # (RefinedWeb/CCNet-observed), so the drop set can be
-        # corpus-scale — let Catalyst/AQE pick broadcast vs shuffle
-        # anti-join from its size stats
-        drop = (comps.filter(F.col(id_col) != F.col("cluster_id"))
-                .select(id_col))
-        out = out.join(drop, id_col, "left_anti")
+        if near_dup_keep_by is not None:
+            # RefinedWeb-style survivor policy: keep the cluster member
+            # maximizing ``near_dup_keep_by`` (a column already on the
+            # docs at this stage, e.g. a quality score), id-tie-broken;
+            # salted two-phase selection, only (id, cluster, metric)
+            # rows ride it
+            surv = cluster_survivors(
+                comps, out.select(id_col, near_dup_keep_by),
+                [F.desc(near_dup_keep_by)], id_col)
+            out = out.join(surv.select(id_col), id_col, "left_semi")
+        else:
+            # default policy: min-id representative (id == cluster_id).
+            # No broadcast hint: real webtext near-dup fractions run
+            # 20-50% (RefinedWeb/CCNet-observed), so the drop set can be
+            # corpus-scale — let Catalyst/AQE pick broadcast vs shuffle
+            # anti-join from its size stats
+            drop = (comps.filter(F.col(id_col) != F.col("cluster_id"))
+                    .select(id_col))
+            out = out.join(drop, id_col, "left_anti")
 
     if semantic_threshold is not None:
         # SemDeDup on the text-dedup survivors (the D4 composition):
@@ -253,8 +278,23 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
     out = out.withColumn("n_tokens",
                          token_count_col(F.col(text_col)).cast("long"))
     if shard_budget is not None:
-        out = shard_by_token_budget(out, shard_budget, "n_tokens",
-                                    id_col, shard_partitions)
+        order_col = None
+        if shard_shuffle_seed is not None:
+            # seeded deterministic training-order shuffle: shards become
+            # IID draws from the cleaned corpus instead of crawl-id
+            # runs; the key stays a column so the writer can sort
+            # in-shard by it (write_training_shards(
+            # sort_in_shard="shuffle_key"))
+            out = out.withColumn(
+                "shuffle_key", shuffle_key_col(id_col, shard_shuffle_seed))
+            order_col = "shuffle_key"
+        # a split corpus packs per split — a global packing would leave
+        # every (split, shard) directory under budget wherever other
+        # splits' docs interleave the order
+        out = shard_by_token_budget(
+            out, shard_budget, "n_tokens", id_col, shard_partitions,
+            order_col=order_col,
+            group_col="split" if split_fractions is not None else None)
     return out
 
 

@@ -549,3 +549,68 @@ def test_shard_manifest(spark):
     assert "n_tokens" not in m3.columns
     with pytest.raises(ValueError):
         shard_manifest(df, partition_by=("nope",))
+
+
+def test_clean_corpus_near_dup_keep_by(spark):
+    """near_dup_keep_by switches the survivor policy: the cluster
+    member with the max metric survives instead of the min id (the
+    RefinedWeb keep-longest rule with a length metric)."""
+    near = BASE.replace("crawl engine", "fetch scheduler", 1)
+    rows = [(1, BASE, 10.0),
+            (2, near + " and a few more trailing words", 99.0),
+            (3, "an unrelated document about entirely different things "
+                "with plenty of the common stopwords that keep the "
+                "gopher gate satisfied through the whole run today and "
+                "the words do not repeat themselves unduly", 5.0)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, q double")
+
+    default = clean_corpus(docs, quality=False, repetition=False,
+                           near_dup_threshold=0.5)
+    assert {r.doc_id for r in default.collect()} == {1, 3}
+
+    kept = clean_corpus(docs, quality=False, repetition=False,
+                        near_dup_threshold=0.5, near_dup_keep_by="q")
+    assert {r.doc_id for r in kept.collect()} == {2, 3}
+
+
+def test_clean_corpus_shuffled_per_split_shards(spark):
+    """shard_shuffle_seed packs in seeded pseudo-random order (the
+    shuffle_key column survives for the writer) and a split corpus
+    packs PER SPLIT: shard ids restart at 0 in each split and every
+    non-final shard lands within budget + one doc."""
+    words = BASE.split()
+    rows = [(i, " ".join(words[: 20 + (i * 7) % 40])) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(docs, quality=False, repetition=False, exact=False,
+                       near_dup_threshold=None,
+                       split_fractions={"train": 0.7, "val": 0.3},
+                       shard_budget=200, shard_shuffle_seed=42).collect()
+    assert {"doc_id", "text", "n_tokens", "split", "shard_id",
+            "shuffle_key"} <= set(out[0].asDict())
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r.split, []).append(r)
+    assert set(by_split) == {"train", "val"}
+    for split, members in by_split.items():
+        shard_of = {r.doc_id: r.shard_id for r in members}
+        # reference packing: (shuffle_key, doc_id) order within the split
+        members.sort(key=lambda r: (r.shuffle_key, r.doc_id))
+        acc, want = 0, {}
+        for r in members:
+            want[r.doc_id] = acc // 200
+            acc += r.n_tokens
+        assert shard_of == want, split
+        assert min(shard_of.values()) == 0, split
+
+    # same seed -> same packing; different seed -> different shuffle
+    again = clean_corpus(docs, quality=False, repetition=False, exact=False,
+                         near_dup_threshold=None,
+                         split_fractions={"train": 0.7, "val": 0.3},
+                         shard_budget=200, shard_shuffle_seed=42).collect()
+    assert ({(r.doc_id, r.split, r.shard_id) for r in again}
+            == {(r.doc_id, r.split, r.shard_id) for r in out})
+    other = clean_corpus(docs, quality=False, repetition=False, exact=False,
+                         near_dup_threshold=None,
+                         split_fractions={"train": 0.7, "val": 0.3},
+                         shard_budget=200, shard_shuffle_seed=7).collect()
+    assert ({r.shuffle_key for r in other} != {r.shuffle_key for r in out})

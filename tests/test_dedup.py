@@ -468,3 +468,34 @@ def test_signatures_accept_string_ids(spark):
     assert {r.url for r in sigs.collect()} == {"http://a/1", "http://a/2"}
     sims = simhash_signatures(df, id_col="url")
     assert {r.url for r in sims.collect()} == {"http://a/1", "http://a/2"}
+
+
+def test_cluster_survivors_policy(spark):
+    """One survivor per cluster by the caller's metric order (max
+    metric, id ASC tie-break); singletons survive; default (no
+    order_by) is min id — matching filter(id == cluster_id); layout-
+    invariant."""
+    from pyspark.sql import functions as F
+
+    from data_crawler_spark.operators.dedup import cluster_survivors
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),   # cluster 1: quality peaks at doc 2
+         (4, 4), (5, 4),           # cluster 4: quality TIE -> min id 4
+         (9, 9)],                  # singleton
+        "doc_id long, cluster_id long")
+    metrics = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5), (4, 0.7), (5, 0.7), (9, 0.2)],
+        "doc_id long, q double")
+
+    for parts in (1, 6):
+        got = {(r.cluster_id, r.doc_id) for r in
+               cluster_survivors(comps.repartition(parts),
+                                 metrics.repartition(parts),
+                                 [F.desc("q")]).collect()}
+        assert got == {(1, 2), (4, 4), (9, 9)}, parts
+
+    # no metrics / no order: min id per cluster == the id==cluster_id set
+    got = {(r.cluster_id, r.doc_id)
+           for r in cluster_survivors(comps).collect()}
+    assert got == {(1, 1), (4, 4), (9, 9)}

@@ -326,3 +326,34 @@ def test_mixture_null_group_and_unmatched_weights(spark):
     import pytest as _p
     with _p.raises(ValueError, match="positively-weighted"):
         mixture_rates({"fr": 10}, weights={"en": 1.0})
+
+
+def test_shuffle_key_col_mirror_unique_and_seeded(spark):
+    """The shuffle key is bit-exact with the Python mirror, unique per
+    id (total order), and different seeds give different permutations.
+    Pure map: no exchange, no Python."""
+    from data_crawler_spark.operators.sampling import shuffle_key_col
+
+    def _key(doc_id, seed):
+        h = to_signed64(xxhash64_bytes(f"{doc_id}:{seed}".encode()))
+        return f"{h & 0xFFFFFFFFFFFFFFFF:016X}#{doc_id}"
+
+    df = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    for seed in (0, 7):
+        got = {r.doc_id: r.k for r in
+               df.select("doc_id",
+                         shuffle_key_col("doc_id", seed).alias("k"))
+               .collect()}
+        assert got == {i: _key(i, seed) for i in range(300)}, seed
+        assert len(set(got.values())) == 300
+    orders = {}
+    for seed in (0, 7):
+        keyed = sorted(range(300), key=lambda i: _key(i, seed))
+        orders[seed] = keyed
+    assert orders[0] != orders[7]
+    assert orders[0] != list(range(300))
+
+    plan = (df.select(shuffle_key_col("doc_id", 3))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan

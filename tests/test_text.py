@@ -590,3 +590,49 @@ def test_compression_ratio_level_and_out_col(spark):
     out = compression_ratio(df, "text", out_col="cr", level=9)
     assert out.columns == ["i", "text", "cr"]
     assert out.first()["cr"] <= 0.1
+
+
+def test_shard_by_token_budget_order_col_and_group_col(spark):
+    """order_col packs in (order, id) order; group_col restarts the
+    packing per group. Window path == two-phase path == a sequential
+    Python reference in every combination."""
+    import random
+
+    from data_crawler_spark.operators.text import shard_by_token_budget
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 400),
+             f"k{rng.randint(0, 99):02d}-{i:04d}",
+             ("train", "val")[i % 5 == 0]) for i in range(300)]
+    budget = 1500
+
+    def ref(use_order, use_group):
+        want = {}
+        groups = sorted({r[3] for r in rows}) if use_group else [None]
+        for g in groups:
+            sub = [r for r in rows if g is None or r[3] == g]
+            sub.sort(key=(lambda r: (r[2], r[0])) if use_order
+                     else (lambda r: r[0]))
+            acc = 0
+            for i, tok, _, _ in sub:
+                want[i] = acc // budget
+                acc += tok
+        return want
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, okey string, split string")
+    df = df.repartition(7).persist()
+    try:
+        for use_order in (False, True):
+            for use_group in (False, True):
+                want = ref(use_order, use_group)
+                for p in (1, 4):
+                    got = {r.doc_id: r.shard_id for r in
+                           shard_by_token_budget(
+                               df, budget, num_partitions=p,
+                               order_col="okey" if use_order else None,
+                               group_col="split" if use_group else None)
+                           .collect()}
+                    assert got == want, (use_order, use_group, p)
+    finally:
+        df.unpersist()
