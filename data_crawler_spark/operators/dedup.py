@@ -880,3 +880,54 @@ def cluster_survivors(comps: DataFrame, metrics: DataFrame | None = None,
     kept = cap_per_group(m, cluster_col, 1, order_by=order_by,
                          id_col=id_col)
     return kept.select(cluster_col, id_col)
+
+
+def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 8,
+                  scope: str = "corpus", by: str = "hash") -> DataFrame:
+    """Per-document n-gram novelty — the duplication-exposure signal of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better") as a dataset-card metric next to ``stats.corpus_stats``:
+    (id, ngrams_total, ngrams_dup, novelty = 1 − dup/total), where an
+    n-gram occurrence counts as duplicated when the same n-gram occurs
+    elsewhere. ``scope="corpus"``: at any other position, own document
+    included (memorization exposure); ``scope="cross_doc"``: in at
+    least one OTHER document (inter-document leakage only). Documents
+    with fewer than ``n`` tokens have no n-grams: total 0, novelty
+    null.
+
+    Scale shape: the token stream is ``ngram_pos_rows``' (shared with
+    span dedup, so the ops agree on tokens); per-(doc, key) partial
+    counts collapse map-side before the first exchange, the corpus
+    count is one more map-side-partial groupBy over ~24-byte rows, and
+    the attribution join + per-doc agg key on the same 8-byte hash —
+    text is scanned once and never shuffled. ``by="ngram"`` keeps
+    string keys for exact verification (the same 2^-64-collision trade
+    ``duplicate_ngram_spans`` documents)."""
+    if scope not in ("corpus", "cross_doc"):
+        raise ValueError(f"scope must be 'corpus' or 'cross_doc', "
+                         f"got {scope!r}")
+    if by not in ("ngram", "hash"):
+        raise ValueError(f"by must be 'ngram' or 'hash', got {by!r}")
+    rows = ngram_pos_rows(df, id_col, text_col, n)
+    key = F.xxhash64("ngram") if by == "hash" else F.col("ngram")
+    per = (rows.select(F.col(id_col), key.alias("_k"))
+           .groupBy(id_col, "_k")
+           .agg(F.count("*").cast("long").alias("_c")))
+    tot = per.groupBy("_k").agg(F.sum("_c").alias("_ct"))
+    dup_pred = (F.col("_ct") > 1) if scope == "corpus" \
+        else (F.col("_ct") > F.col("_c"))
+    agg = (per.join(tot, "_k")
+           .groupBy(id_col)
+           .agg(F.sum("_c").alias("ngrams_total"),
+                F.sum(F.when(dup_pred, F.col("_c")).otherwise(F.lit(0)))
+                .alias("ngrams_dup")))
+    return (df.select(id_col).join(agg, id_col, "left")
+            .withColumn("ngrams_total",
+                        F.coalesce("ngrams_total", F.lit(0)).cast("long"))
+            .withColumn("ngrams_dup",
+                        F.coalesce("ngrams_dup", F.lit(0)).cast("long"))
+            .withColumn("novelty",
+                        F.when(F.col("ngrams_total") > 0,
+                               1.0 - F.col("ngrams_dup")
+                               / F.col("ngrams_total"))))

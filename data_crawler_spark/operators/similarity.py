@@ -641,28 +641,49 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           sample=sample)
     if cent is None:
         return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, adc_cosine double, "
-                "rank int")
+            [], _topk_schema(corpus, queries, id_col))
     cb = fit_pq(corpus, n_subspaces, n_centroids, sample_n,
                 id_col, vec_col, sample=sample)
-    m = cb.shape[0]
 
     assign = ivf_assign_udf(cent, 1)
     codes = pq_encode(
         corpus.withColumn("_list", assign(F.col(vec_col))[0]),
         cb, id_col, vec_col)
+    return _ivfpq_query(codes, cent, cb, queries, k, n_probe,
+                        id_col, vec_col)
 
+
+def _topk_schema(corpus: DataFrame, queries: DataFrame, id_col: str):
+    """Empty top-k result schema with query/neighbor id types taken
+    from the actual frames (string URL keys are the realistic id at
+    crawl scale — a hardcoded long would mis-type them)."""
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+    return StructType([
+        StructField("query_id", queries.schema[id_col].dataType),
+        StructField("neighbor_id", corpus.schema[id_col].dataType),
+        StructField("adc_cosine", DoubleType()),
+        StructField("rank", IntegerType())])
+
+
+def _ivfpq_query(codes: DataFrame, cent: np.ndarray, cb: np.ndarray,
+                 queries: DataFrame, k: int, n_probe: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """The IVF-PQ QUERY path over an already-encoded code table
+    (``id_col``, ``_list``, ``pq_code``, ``recon_norm``) — shared by
+    ``ivfpq_topk`` (build-and-query in one call) and ``AnnIndex.topk``
+    (query a persisted index). See ivfpq_topk for the plan shape."""
+    m = cb.shape[0]
     prep = _query_luts(queries, cb, id_col, vec_col)
     if prep is None:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, adc_cosine double, "
-                "rank int")
+        return codes.sparkSession.createDataFrame(
+            [], _topk_schema(codes, queries, id_col))
     q_ids, Q, qn, lut = prep
     # each query's n_probe nearest lists, as a tiny broadcast frame
     qunit = Q / qn[:, None]
     sims = qunit @ cent.T
     probe = np.argsort(-sims, axis=1)[:, :n_probe]
-    spark = corpus.sparkSession
+    spark = codes.sparkSession
     pairs = spark.createDataFrame(
         [(int(probe[qi, p]), qi) for qi in range(len(q_ids))
          for p in range(probe.shape[1])],
@@ -694,3 +715,133 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+class AnnIndex:
+    """Persistent IVF-PQ index: build ONCE over the corpus (the
+    expensive part — quantizer/codebook training plus one Arrow encode
+    pass over the full embedding table), commit the artifacts as
+    snapshot tables, and answer any number of later query batches by
+    loading only the tiny model (n_lists + m·k centroid rows) and the
+    m-bytes/row code table. This is the serving shape a 100 TB corpus
+    actually needs — rebuilding quantizers per query batch re-reads
+    the whole embedding table; an index amortizes it to once per
+    corpus version, and ``add()`` keeps day-2 deltas O(delta) (the
+    IncrementalMinHashIndex pattern).
+
+    Layout under ``state_dir``: ``{name}_model`` (centroids, PQ
+    codebooks, a JSON meta row — a few thousand tiny rows) and
+    ``{name}_codes`` ((id, _list, pq_code, recon_norm) — versioned,
+    crash-safe, time-travelable via plans/snapshots.py).
+    """
+
+    _MODEL_DDL = ("kind string, i int, j int, vec array<double>, "
+                  "s string")
+
+    def __init__(self, spark, state_dir, name: str = "ann"):
+        """Open an EXISTING index (see ``AnnIndex.build``). Raises if
+        ``state_dir`` holds no committed model."""
+        import json as _json
+
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        from data_crawler_spark.plans.snapshots import SnapshotTable
+
+        self.spark = spark
+        self._model = SnapshotTable(
+            spark, state_dir, f"{name}_model",
+            _parse_datatype_string(self._MODEL_DDL))
+        rows = self._model.read().collect()
+        if not rows:
+            raise ValueError(
+                f"no committed ANN index under {state_dir}/{name}_model "
+                f"— build one with AnnIndex.build(...)")
+        meta = _json.loads(
+            next(r.s for r in rows if r.kind == "meta"))
+        self.id_col, self.vec_col = meta["id_col"], meta["vec_col"]
+        cents = sorted((r for r in rows if r.kind == "centroid"),
+                       key=lambda r: r.i)
+        self.cent = np.array([r.vec for r in cents])
+        cbs = sorted((r for r in rows if r.kind == "codebook"),
+                     key=lambda r: (r.i, r.j))
+        m, k = meta["n_subspaces"], meta["n_centroids_fit"]
+        self.cb = np.array([r.vec for r in cbs]).reshape(
+            m, k, len(cbs[0].vec))
+        self._codes = SnapshotTable(
+            spark, state_dir, f"{name}_codes",
+            StructType.fromJson(meta["codes_schema"]))
+
+    @classmethod
+    def build(cls, corpus: DataFrame, state_dir, name: str = "ann", *,
+              n_lists: int = 16, n_subspaces: int = 8,
+              n_centroids: int = 256, sample_n: int = 2000,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "AnnIndex":
+        """Train the coarse quantizer + PQ codebooks on the shared
+        deterministic driver sample, encode the WHOLE corpus in one
+        Arrow pass (no shuffle), and commit both artifacts. Returns
+        the opened index."""
+        import json as _json
+
+        from pyspark.sql.types import _parse_datatype_string
+
+        from data_crawler_spark.plans.snapshots import SnapshotTable
+
+        spark = corpus.sparkSession
+        sample = _driver_sample(corpus, sample_n, id_col, vec_col)
+        if sample is None:
+            raise ValueError("cannot build an ANN index over an empty "
+                             "corpus")
+        cent = _fit_quantizer(corpus, n_lists, sample_n, id_col,
+                              vec_col, sample=sample)
+        cb = fit_pq(corpus, n_subspaces, n_centroids, sample_n,
+                    id_col, vec_col, sample=sample)
+        codes = cls._encode(corpus, cent, cb, id_col, vec_col)
+
+        codes_tbl = SnapshotTable(spark, state_dir, f"{name}_codes",
+                                  codes.schema)
+        codes_tbl.write(codes, mode="overwrite")
+        meta = {"id_col": id_col, "vec_col": vec_col,
+                "n_subspaces": int(cb.shape[0]),
+                "n_centroids_fit": int(cb.shape[1]),
+                "codes_schema": codes_tbl.read().schema.jsonValue()}
+        model_rows = (
+            [("meta", 0, 0, [], _json.dumps(meta))]
+            + [("centroid", i, 0, [float(x) for x in cent[i]], None)
+               for i in range(cent.shape[0])]
+            + [("codebook", s, j, [float(x) for x in cb[s, j]], None)
+               for s in range(cb.shape[0]) for j in range(cb.shape[1])])
+        model_tbl = SnapshotTable(
+            spark, state_dir, f"{name}_model",
+            _parse_datatype_string(cls._MODEL_DDL))
+        model_tbl.write(spark.createDataFrame(model_rows,
+                                              cls._MODEL_DDL),
+                        mode="overwrite")
+        return cls(spark, state_dir, name)
+
+    @staticmethod
+    def _encode(df: DataFrame, cent: np.ndarray, cb: np.ndarray,
+                id_col: str, vec_col: str) -> DataFrame:
+        assign = ivf_assign_udf(cent, 1)
+        return pq_encode(
+            df.withColumn("_list", assign(F.col(vec_col))[0]),
+            cb, id_col, vec_col).select(id_col, "_list", "pq_code",
+                                        "recon_norm")
+
+    def add(self, delta: DataFrame) -> None:
+        """Encode ``delta`` with the FROZEN quantizer/codebooks and
+        append-commit — O(delta), the corpus is never re-read. The
+        caller owns id uniqueness (a re-added id would answer twice);
+        heavy distribution drift degrades recall until a ``build``
+        retrain."""
+        self._codes.write(self._encode(delta, self.cent, self.cb,
+                                       self.id_col, self.vec_col),
+                          mode="append")
+
+    def topk(self, queries: DataFrame, k: int = 5,
+             n_probe: int = 4) -> DataFrame:
+        """Top-k ADC cosine neighbors from the persisted code table —
+        same output contract as ``ivfpq_topk``."""
+        return _ivfpq_query(self._codes.read(), self.cent, self.cb,
+                            queries, k, n_probe, self.id_col,
+                            self.vec_col)

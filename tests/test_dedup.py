@@ -499,3 +499,66 @@ def test_cluster_survivors_policy(spark):
     got = {(r.cluster_id, r.doc_id)
            for r in cluster_survivors(comps).collect()}
     assert got == {(1, 1), (4, 4), (9, 9)}
+
+
+def test_ngram_novelty_mirror(spark):
+    """Per-doc novelty matches a pure-Python mirror in both scopes
+    (corpus-wide occurrence dup vs cross-doc only), hash and string
+    keys agree, sub-n docs get total 0 / null novelty, and the result
+    is partition-layout invariant."""
+    import re
+
+    from data_crawler_spark.operators.dedup import ngram_novelty
+
+    n = 3
+    texts = {
+        1: "alpha beta gamma delta epsilon",        # shares 3-grams w/ 2
+        2: "alpha beta gamma zeta eta",              # shares w/ 1
+        3: "one two three one two three one two",    # intra-doc repeats
+        4: "wholly novel words appearing once only", # fully novel
+        5: "too short",                              # sub-n: no ngrams
+    }
+
+    def mirror(scope):
+        grams = {}
+        for i, t in texts.items():
+            toks = re.findall(r"[A-Za-z0-9]+", t.lower())
+            for p in range(len(toks) - n + 1):
+                g = " ".join(toks[p:p + n])
+                grams.setdefault(g, []).append(i)
+        want = {}
+        for i, t in texts.items():
+            toks = re.findall(r"[A-Za-z0-9]+", t.lower())
+            total = max(0, len(toks) - n + 1)
+            dup = 0
+            for p in range(total):
+                g = " ".join(toks[p:p + n])
+                occ = grams[g]
+                if scope == "corpus":
+                    dup += len(occ) > 1
+                else:
+                    dup += any(j != i for j in occ)
+            nov = (1.0 - dup / total) if total else None
+            want[i] = (total, dup, nov)
+        return want
+
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    for scope in ("corpus", "cross_doc"):
+        want = mirror(scope)
+        for by in ("hash", "ngram"):
+            got = {r.doc_id: (r.ngrams_total, r.ngrams_dup, r.novelty)
+                   for r in ngram_novelty(df.repartition(5), n=n,
+                                          scope=scope, by=by).collect()}
+            assert set(got) == set(want)
+            for i in want:
+                assert got[i][:2] == want[i][:2], (scope, by, i)
+                if want[i][2] is None:
+                    assert got[i][2] is None
+                else:
+                    assert abs(got[i][2] - want[i][2]) < 1e-12
+
+    with pytest.raises(ValueError):
+        ngram_novelty(df, scope="nope")
+    with pytest.raises(ValueError):
+        ngram_novelty(df, by="nope")

@@ -388,3 +388,42 @@ def test_ivfpq_empty_inputs(spark, emb):
     from data_crawler_spark.operators.similarity import ivfpq_topk
     assert ivfpq_topk(emb.filter(F.lit(False)), emb.limit(2)).count() == 0
     assert ivfpq_topk(emb.limit(50), emb.filter(F.lit(False))).count() == 0
+
+
+def test_ann_index_build_load_query_add(spark, emb, tmp_path):
+    """AnnIndex persists the IVF-PQ artifacts: a fresh build answers
+    exactly like the one-call ivfpq_topk at the same knobs, a RELOAD
+    from disk answers identically (nothing lives only in memory),
+    add() makes a delta queryable without re-encoding the corpus, and
+    an unbuilt state dir refuses to open."""
+    from data_crawler_spark.operators.similarity import AnnIndex, ivfpq_topk
+
+    state = str(tmp_path / "ann_state")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    delta = emb.filter(F.col("vec_id") < 10)
+    q = emb.filter(F.col("vec_id") < 5)
+    knobs = dict(n_lists=8, n_subspaces=16, n_centroids=256)
+
+    idx = AnnIndex.build(corpus, state, id_col="vec_id", **knobs)
+    want = {(r.query_id, r.rank, r.neighbor_id, r.adc_cosine)
+            for r in ivfpq_topk(corpus, q, k=5, n_probe=6,
+                                id_col="vec_id", **knobs).collect()}
+    got = {(r.query_id, r.rank, r.neighbor_id, r.adc_cosine)
+           for r in idx.topk(q, k=5, n_probe=6).collect()}
+    assert got == want and got
+
+    reloaded = AnnIndex(spark, state)
+    got2 = {(r.query_id, r.rank, r.neighbor_id, r.adc_cosine)
+            for r in reloaded.topk(q, k=5, n_probe=6).collect()}
+    assert got2 == want
+
+    # delta append: the delta ids become answerable neighbors
+    reloaded.add(delta)
+    with_delta = reloaded.topk(q, k=5, n_probe=6).collect()
+    neighbors = {r.neighbor_id for r in with_delta}
+    assert any(n < 10 for n in neighbors)
+    # empty query set still typed correctly
+    assert reloaded.topk(q.filter(F.lit(False))).count() == 0
+
+    with pytest.raises(ValueError, match="no committed ANN index"):
+        AnnIndex(spark, str(tmp_path / "nowhere"))
