@@ -873,10 +873,16 @@ def cluster_survivors(comps: DataFrame, metrics: DataFrame | None = None,
     — never text — and the per-cluster top-1 is the salted two-phase
     ``cap_per_group``, so a corpus-scale boilerplate cluster (millions
     of members behind one template) never funnels through one window
-    task."""
+    task.
+
+    ``metrics`` joins LEFT: a member with no metric row still
+    participates (its metric sorts null — LAST under ``F.desc``,
+    Spark's default — so metered members win, but a cluster whose
+    members all lack metrics still yields its min-id survivor instead
+    of silently vanishing)."""
     from data_crawler_spark.operators.sampling import cap_per_group
 
-    m = comps if metrics is None else comps.join(metrics, id_col)
+    m = comps if metrics is None else comps.join(metrics, id_col, "left")
     kept = cap_per_group(m, cluster_col, 1, order_by=order_by,
                          id_col=id_col)
     return kept.select(cluster_col, id_col)

@@ -128,13 +128,18 @@ def shuffle_key_col(id_col: str = "doc_id", seed: int = 0) -> Column:
     ``write_training_shards(sort_in_shard=...)``.
 
     Construction: the zero-padded two's-complement hex of
-    ``xxhash64("{id}:{seed}")`` (the same fold as
-    ``uniform_hash_col``), so lexicographic key order is a fixed
-    pseudo-random permutation; the id itself is appended after ``#``
-    so a hash collision can never make the order ambiguous. Pure map
-    — no shuffle, no Python."""
+    ``xxhash64("shuffle:{id}:{seed}")``, so lexicographic key order is
+    a fixed pseudo-random permutation; the id itself is appended after
+    ``#`` so a hash collision can never make the order ambiguous. The
+    ``shuffle:`` prefix DOMAIN-SEPARATES the fold from
+    ``uniform_hash_col`` — without it, a seed shared with the mixture
+    sampler or hash_split would sort survivors by their own sampling
+    variate (a rate-r group's survivors all land in the first r of its
+    key band: systematically non-IID shards, the opposite of the
+    contract). Pure map — no shuffle, no Python."""
     sid = F.col(id_col).cast("string")
-    h = F.xxhash64(F.concat_ws(":", sid, F.lit(str(int(seed)))))
+    h = F.xxhash64(F.concat_ws(":", F.lit("shuffle"), sid,
+                               F.lit(str(int(seed)))))
     return F.concat(F.lpad(F.hex(h), 16, "0"), F.lit("#"), sid)
 
 

@@ -217,7 +217,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         # empty corpus: empty result with the output schema (the join
         # path would crash np.stack on a zero-row sample)
         return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int")
+            [], _topk_schema(corpus, queries, id_col, "cosine"))
 
     c_assign = ivf_assign_udf(cent, n_probe=1)
     q_assign = ivf_assign_udf(cent, n_probe=n_probe)
@@ -579,8 +579,7 @@ def pq_topk(codes: DataFrame, queries: DataFrame,
     prep = _query_luts(queries, codebooks, id_col, vec_col)
     if prep is None:
         return codes.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, adc_cosine double,"
-                " rank int")
+            [], _topk_schema(codes, queries, id_col))
     q_ids, _, qn, lut = prep
 
     @pandas_udf("array<double>")
@@ -644,16 +643,25 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             [], _topk_schema(corpus, queries, id_col))
     cb = fit_pq(corpus, n_subspaces, n_centroids, sample_n,
                 id_col, vec_col, sample=sample)
-
-    assign = ivf_assign_udf(cent, 1)
-    codes = pq_encode(
-        corpus.withColumn("_list", assign(F.col(vec_col))[0]),
-        cb, id_col, vec_col)
+    codes = _encode_codes(corpus, cent, cb, id_col, vec_col)
     return _ivfpq_query(codes, cent, cb, queries, k, n_probe,
                         id_col, vec_col)
 
 
-def _topk_schema(corpus: DataFrame, queries: DataFrame, id_col: str):
+def _encode_codes(df: DataFrame, cent: np.ndarray, cb: np.ndarray,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """The single IVF-PQ ENCODE path (list assignment + PQ codes, one
+    Arrow pass, no shuffle) — shared by ivfpq_topk and AnnIndex so the
+    two can never desynchronize on the code contract."""
+    assign = ivf_assign_udf(cent, 1)
+    return pq_encode(
+        df.withColumn("_list", assign(F.col(vec_col))[0]),
+        cb, id_col, vec_col).select(id_col, "_list", "pq_code",
+                                    "recon_norm")
+
+
+def _topk_schema(corpus: DataFrame, queries: DataFrame, id_col: str,
+                 score_col: str = "adc_cosine"):
     """Empty top-k result schema with query/neighbor id types taken
     from the actual frames (string URL keys are the realistic id at
     crawl scale — a hardcoded long would mis-type them)."""
@@ -662,7 +670,7 @@ def _topk_schema(corpus: DataFrame, queries: DataFrame, id_col: str):
     return StructType([
         StructField("query_id", queries.schema[id_col].dataType),
         StructField("neighbor_id", corpus.schema[id_col].dataType),
-        StructField("adc_cosine", DoubleType()),
+        StructField(score_col, DoubleType()),
         StructField("rank", IntegerType())])
 
 
@@ -732,7 +740,13 @@ class AnnIndex:
     Layout under ``state_dir``: ``{name}_model`` (centroids, PQ
     codebooks, a JSON meta row — a few thousand tiny rows) and
     ``{name}_codes`` ((id, _list, pq_code, recon_norm) — versioned,
-    crash-safe, time-travelable via plans/snapshots.py).
+    crash-safe, time-travelable via plans/snapshots.py). The model
+    commit is the ATOMIC pointer swap for the whole index: its meta
+    row pins the codes VERSION it was trained/extended against, and
+    readers open exactly that version — a crash between the codes
+    write and the model write (build or add) leaves the old
+    model+old-codes pairing fully consistent, never old codebooks
+    scoring new codes.
     """
 
     _MODEL_DDL = ("kind string, i int, j int, vec array<double>, "
@@ -752,12 +766,12 @@ class AnnIndex:
             spark, state_dir, f"{name}_model",
             _parse_datatype_string(self._MODEL_DDL))
         rows = self._model.read().collect()
-        if not rows:
+        meta_s = next((r.s for r in rows if r.kind == "meta"), None)
+        if meta_s is None:
             raise ValueError(
                 f"no committed ANN index under {state_dir}/{name}_model "
                 f"— build one with AnnIndex.build(...)")
-        meta = _json.loads(
-            next(r.s for r in rows if r.kind == "meta"))
+        meta = _json.loads(meta_s)
         self.id_col, self.vec_col = meta["id_col"], meta["vec_col"]
         cents = sorted((r for r in rows if r.kind == "centroid"),
                        key=lambda r: r.i)
@@ -767,6 +781,7 @@ class AnnIndex:
         m, k = meta["n_subspaces"], meta["n_centroids_fit"]
         self.cb = np.array([r.vec for r in cbs]).reshape(
             m, k, len(cbs[0].vec))
+        self._codes_version = meta["codes_version"]
         self._codes = SnapshotTable(
             spark, state_dir, f"{name}_codes",
             StructType.fromJson(meta["codes_schema"]))
@@ -779,12 +794,9 @@ class AnnIndex:
               vec_col: str = "embedding") -> "AnnIndex":
         """Train the coarse quantizer + PQ codebooks on the shared
         deterministic driver sample, encode the WHOLE corpus in one
-        Arrow pass (no shuffle), and commit both artifacts. Returns
+        Arrow pass (no shuffle), and commit both artifacts (codes
+        first; the model commit is the atomic publish point). Returns
         the opened index."""
-        import json as _json
-
-        from pyspark.sql.types import _parse_datatype_string
-
         from data_crawler_spark.plans.snapshots import SnapshotTable
 
         spark = corpus.sparkSession
@@ -796,15 +808,35 @@ class AnnIndex:
                               vec_col, sample=sample)
         cb = fit_pq(corpus, n_subspaces, n_centroids, sample_n,
                     id_col, vec_col, sample=sample)
-        codes = cls._encode(corpus, cent, cb, id_col, vec_col)
+        codes = _encode_codes(corpus, cent, cb, id_col, vec_col)
 
         codes_tbl = SnapshotTable(spark, state_dir, f"{name}_codes",
                                   codes.schema)
         codes_tbl.write(codes, mode="overwrite")
+        cls._publish_model(spark, state_dir, name, cent, cb,
+                           id_col, vec_col,
+                           codes_tbl.read().schema.jsonValue(),
+                           codes_tbl.current_version())
+        return cls(spark, state_dir, name)
+
+    @classmethod
+    def _publish_model(cls, spark, state_dir, name, cent, cb,
+                       id_col, vec_col, codes_schema,
+                       codes_version) -> None:
+        """Overwrite-commit the model table — the index's single
+        atomic publish point. The meta row pins the codes version the
+        model pairs with."""
+        import json as _json
+
+        from pyspark.sql.types import _parse_datatype_string
+
+        from data_crawler_spark.plans.snapshots import SnapshotTable
+
         meta = {"id_col": id_col, "vec_col": vec_col,
                 "n_subspaces": int(cb.shape[0]),
                 "n_centroids_fit": int(cb.shape[1]),
-                "codes_schema": codes_tbl.read().schema.jsonValue()}
+                "codes_schema": codes_schema,
+                "codes_version": int(codes_version)}
         model_rows = (
             [("meta", 0, 0, [], _json.dumps(meta))]
             + [("centroid", i, 0, [float(x) for x in cent[i]], None)
@@ -817,31 +849,31 @@ class AnnIndex:
         model_tbl.write(spark.createDataFrame(model_rows,
                                               cls._MODEL_DDL),
                         mode="overwrite")
-        return cls(spark, state_dir, name)
-
-    @staticmethod
-    def _encode(df: DataFrame, cent: np.ndarray, cb: np.ndarray,
-                id_col: str, vec_col: str) -> DataFrame:
-        assign = ivf_assign_udf(cent, 1)
-        return pq_encode(
-            df.withColumn("_list", assign(F.col(vec_col))[0]),
-            cb, id_col, vec_col).select(id_col, "_list", "pq_code",
-                                        "recon_norm")
 
     def add(self, delta: DataFrame) -> None:
-        """Encode ``delta`` with the FROZEN quantizer/codebooks and
-        append-commit — O(delta), the corpus is never re-read. The
-        caller owns id uniqueness (a re-added id would answer twice);
-        heavy distribution drift degrades recall until a ``build``
-        retrain."""
-        self._codes.write(self._encode(delta, self.cent, self.cb,
-                                       self.id_col, self.vec_col),
+        """Encode ``delta`` with the FROZEN quantizer/codebooks,
+        append-commit the codes, then republish the model meta pinning
+        the new codes version — O(delta), the corpus is never re-read,
+        and a crash between the two commits leaves readers on the old
+        consistent pairing. The caller owns id uniqueness (a re-added
+        id would answer twice); heavy distribution drift degrades
+        recall until a ``build`` retrain."""
+        self._codes.write(_encode_codes(delta, self.cent, self.cb,
+                                        self.id_col, self.vec_col),
                           mode="append")
+        v = self._codes.current_version()
+        self._publish_model(self.spark, self._model.dir.parent,
+                            self._model.name[: -len("_model")],
+                            self.cent, self.cb, self.id_col,
+                            self.vec_col,
+                            self._codes.read(v).schema.jsonValue(), v)
+        self._codes_version = v
 
     def topk(self, queries: DataFrame, k: int = 5,
              n_probe: int = 4) -> DataFrame:
-        """Top-k ADC cosine neighbors from the persisted code table —
-        same output contract as ``ivfpq_topk``."""
-        return _ivfpq_query(self._codes.read(), self.cent, self.cb,
-                            queries, k, n_probe, self.id_col,
-                            self.vec_col)
+        """Top-k ADC cosine neighbors from the persisted code table (at
+        the model's pinned codes version) — same output contract as
+        ``ivfpq_topk``."""
+        return _ivfpq_query(self._codes.read(self._codes_version),
+                            self.cent, self.cb, queries, k, n_probe,
+                            self.id_col, self.vec_col)

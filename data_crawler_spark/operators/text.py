@@ -681,13 +681,19 @@ def shard_by_token_budget(df: DataFrame, budget: int,
     # group rows are contiguous in the global order, so a group's first
     # (minimum) global offset rebases its members to an in-group
     # exclusive sum; the agg shuffles only map-side-partial
-    # (group, min) rows from the persisted prefix frame, never text
-    grp_base = out.groupBy(group_col).agg(F.min("_excl").alias("_base"))
-    return (out.join(F.broadcast(grp_base), group_col)
+    # (group, min) rows from the persisted prefix frame, never text.
+    # Null-safe join: a null group is a legitimate group (asc sorts it
+    # first, the window path partitions on it) — a plain equi-join
+    # would silently drop every null-group row
+    grp_base = (out.groupBy(group_col)
+                .agg(F.min("_excl").alias("_base"))
+                .withColumnRenamed(group_col, "_grp"))
+    return (out.join(F.broadcast(grp_base),
+                     F.col(group_col).eqNullSafe(F.col("_grp")))
             .withColumn("shard_id",
                         F.expr(f"(_excl - _base) div "
                                f"CAST({int(budget)} AS BIGINT)"))
-            .drop("_excl", "_base"))
+            .drop("_excl", "_base", "_grp"))
 
 
 def remove_repeated_tokens(df: DataFrame, text: str = "text",

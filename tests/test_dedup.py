@@ -500,6 +500,14 @@ def test_cluster_survivors_policy(spark):
            for r in cluster_survivors(comps).collect()}
     assert got == {(1, 1), (4, 4), (9, 9)}
 
+    # metrics joins LEFT: a cluster with NO metric rows still yields
+    # its min-id survivor (instead of silently vanishing), and within
+    # a partly-metered cluster the metered member outranks the null
+    partial = spark.createDataFrame([(3, 0.5)], "doc_id long, q double")
+    got = {(r.cluster_id, r.doc_id) for r in
+           cluster_survivors(comps, partial, [F.desc("q")]).collect()}
+    assert got == {(1, 3), (4, 4), (9, 9)}
+
 
 def test_ngram_novelty_mirror(spark):
     """Per-doc novelty matches a pure-Python mirror in both scopes

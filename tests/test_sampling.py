@@ -335,7 +335,11 @@ def test_shuffle_key_col_mirror_unique_and_seeded(spark):
     from data_crawler_spark.operators.sampling import shuffle_key_col
 
     def _key(doc_id, seed):
-        h = to_signed64(xxhash64_bytes(f"{doc_id}:{seed}".encode()))
+        # "shuffle:" domain-separates the fold from uniform_hash_col —
+        # a shared seed must not sort survivors by their sampling
+        # variate
+        h = to_signed64(
+            xxhash64_bytes(f"shuffle:{doc_id}:{seed}".encode()))
         return f"{h & 0xFFFFFFFFFFFFFFFF:016X}#{doc_id}"
 
     df = spark.range(0, 300).select(F.col("id").alias("doc_id"))

@@ -425,5 +425,23 @@ def test_ann_index_build_load_query_add(spark, emb, tmp_path):
     # empty query set still typed correctly
     assert reloaded.topk(q.filter(F.lit(False))).count() == 0
 
+    # a crashed REBUILD (codes overwritten, model publish never ran)
+    # must leave readers on the old consistent pairing: the meta row
+    # pins the codes version, so old codebooks never score new codes
+    from data_crawler_spark.operators.similarity import (_encode_codes,
+                                                         _fit_quantizer,
+                                                         fit_pq)
+    post_add = {(r.query_id, r.rank, r.neighbor_id, r.adc_cosine)
+                for r in reloaded.topk(q, k=5, n_probe=6).collect()}
+    cent2 = _fit_quantizer(delta, 4, 2000, "vec_id", "embedding")
+    cb2 = fit_pq(delta, 8, 16, 2000, "vec_id", "embedding")
+    reloaded._codes.write(
+        _encode_codes(delta, cent2, cb2, "vec_id", "embedding"),
+        mode="overwrite")  # simulated crash: model never republished
+    survivor = AnnIndex(spark, state)
+    got3 = {(r.query_id, r.rank, r.neighbor_id, r.adc_cosine)
+            for r in survivor.topk(q, k=5, n_probe=6).collect()}
+    assert got3 == post_add
+
     with pytest.raises(ValueError, match="no committed ANN index"):
         AnnIndex(spark, str(tmp_path / "nowhere"))

@@ -601,16 +601,26 @@ def test_shard_by_token_budget_order_col_and_group_col(spark):
     from data_crawler_spark.operators.text import shard_by_token_budget
 
     rng = random.Random(11)
+    # group None is legitimate (the equi-join-drops-nulls trap): the
+    # reference treats it as its own group, sorted first like asc
     rows = [(i, rng.randint(1, 400),
              f"k{rng.randint(0, 99):02d}-{i:04d}",
-             ("train", "val")[i % 5 == 0]) for i in range(300)]
+             None if i % 11 == 0 else ("train", "val")[i % 5 == 0])
+            for i in range(300)]
     budget = 1500
 
     def ref(use_order, use_group):
         want = {}
-        groups = sorted({r[3] for r in rows}) if use_group else [None]
+        if use_group:
+            # asc null-first group order, each group (incl. None) packs
+            # on its own
+            groups = sorted({r[3] for r in rows},
+                            key=lambda g: (g is not None, g or ""))
+        else:
+            groups = [...]
         for g in groups:
-            sub = [r for r in rows if g is None or r[3] == g]
+            sub = (rows if g is ... else [r for r in rows if r[3] == g])
+            sub = list(sub)
             sub.sort(key=(lambda r: (r[2], r[0])) if use_order
                      else (lambda r: r[0]))
             acc = 0
