@@ -937,3 +937,48 @@ def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
                         F.when(F.col("ngrams_total") > 0,
                                1.0 - F.col("ngrams_dup")
                                / F.col("ngrams_total"))))
+
+
+def contamination_report(docs: DataFrame, eval_df: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 13, eval_id_col: str = "eval_id",
+                         eval_text_col: str = "text") -> DataFrame:
+    """Per-eval-ITEM leakage audit — the report side of
+    ``decontaminate``: for each benchmark item, how many corpus
+    documents share at least one exact token ``n``-gram with it, how
+    many distinct n-grams collide, and one example document
+    (deterministic min id). One row per eval item, zeros for clean
+    items — the table a dataset card publishes and an eval owner
+    triages (decontaminate says THAT the corpus is clean; this says
+    WHICH eval items were at risk and how badly).
+
+    Plan shape: identical to contaminated_doc_ids — the eval side's
+    (eval_id, ngram_hash) set is benchmark-bounded and BROADCAST; the
+    corpus streams its hashes out of whole-stage codegen into the
+    broadcast inner join, so the corpus is never shuffled. Only the
+    matched stream (tiny in practice — contamination is the
+    exception) reaches the per-item aggregate."""
+    if eval_id_col not in eval_df.columns:
+        raise ValueError(
+            f"eval_df needs a unique per-item id column "
+            f"{eval_id_col!r} (got {eval_df.columns})")
+    ev = eval_df.select(F.col(eval_id_col),
+                        F.col(eval_text_col).alias("_t"))
+    ev_keys = (ngram_pos_rows(ev, eval_id_col, "_t", n)
+               .select(F.col(eval_id_col),
+                       F.xxhash64("ngram").alias("ngram_hash"))
+               .distinct())
+    doc_keys = (ngram_pos_rows(docs, id_col, text_col, n)
+                .select(F.col(id_col),
+                        F.xxhash64("ngram").alias("ngram_hash")))
+    hits = doc_keys.join(F.broadcast(ev_keys), "ngram_hash")
+    rep = (hits.groupBy(eval_id_col)
+           .agg(F.countDistinct(id_col).alias("n_docs"),
+                F.countDistinct("ngram_hash").alias("n_collision_ngrams"),
+                F.min(id_col).alias("example_doc")))
+    return (eval_df.select(eval_id_col).join(rep, eval_id_col, "left")
+            .withColumn("n_docs",
+                        F.coalesce("n_docs", F.lit(0)).cast("long"))
+            .withColumn("n_collision_ngrams",
+                        F.coalesce("n_collision_ngrams", F.lit(0))
+                        .cast("long")))

@@ -115,3 +115,54 @@ def with_crawl_seq(scheduled: DataFrame, num_partitions: int = 1,
     out = exclusive_prefix_sum(scheduled, order, F.lit(1), "seq",
                                num_partitions, release_into=release_into)
     return out.withColumn("seq", F.col("seq") + 1)
+
+
+def adaptive_host_budgets(host_yield: DataFrame, total_budget: int,
+                          floor: int = 1, cap: int | None = None,
+                          host_col: str = "host",
+                          yield_col: str = "yield") -> DataFrame:
+    """Next-round per-host politeness budgets from observed yield —
+    the feedback loop between crawl results and the scheduler: hosts
+    whose last rounds produced more of what the crawl wants (kept
+    pages, novel URLs, quality mass — the caller picks the metric)
+    earn a larger share of the next round's total fetch budget, while
+    every host keeps at least ``floor`` so low-yield hosts are probed,
+    not starved (the explore/exploit floor).
+
+    Allocation: with Y = Σ max(yield, 0) over hosts,
+    budget_h = floor + int((total_budget − floor·n_hosts) · y_h / Y),
+    then ``least(·, cap)`` when ``cap`` is set. Flooring the shares
+    UNDER-allocates by at most n_hosts−1 fetches rather than ever
+    overshooting ``total_budget``; Y == 0 (no yield anywhere) splits
+    the extra evenly. Deterministic in the data, partitioning-
+    invariant.
+
+    Scale shape: ONE 1-row aggregate (Y, n_hosts) then a pure map over
+    the host table — no join, no window, no sort; the output is the
+    ``(host, budget_per_round)`` dimension ``schedule_per_host``
+    broadcasts. Raises when ``total_budget`` cannot fund the floor."""
+    if floor < 0 or total_budget <= 0:
+        raise ValueError(f"need total_budget > 0 and floor >= 0, got "
+                         f"{total_budget}, {floor}")
+    y = F.greatest(F.col(yield_col).cast("double"), F.lit(0.0))
+    tot = host_yield.agg(F.sum(y).alias("y"),
+                         F.count("*").alias("n")).collect()[0]
+    n_hosts, total_y = int(tot["n"]), float(tot["y"] or 0.0)
+    if n_hosts == 0:
+        return host_yield.select(F.col(host_col).alias("host"),
+                                 F.lit(0).cast("int")
+                                 .alias("budget_per_round"))
+    extra = total_budget - floor * n_hosts
+    if extra < 0:
+        raise ValueError(
+            f"total_budget {total_budget} cannot fund floor {floor} "
+            f"for {n_hosts} hosts")
+    if total_y > 0:
+        share = F.floor(F.lit(float(extra)) * y / F.lit(total_y))
+    else:
+        share = F.lit(extra // n_hosts)
+    b = (F.lit(floor) + share).cast("int")
+    if cap is not None:
+        b = F.least(b, F.lit(int(cap)))
+    return host_yield.select(F.col(host_col).alias("host"),
+                             b.alias("budget_per_round"))

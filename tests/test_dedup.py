@@ -570,3 +570,35 @@ def test_ngram_novelty_mirror(spark):
         ngram_novelty(df, scope="nope")
     with pytest.raises(ValueError):
         ngram_novelty(df, by="nope")
+
+
+def test_contamination_report(spark):
+    """Per-eval-item leakage audit: collision doc/ngram counts exact vs
+    a hand-built fixture, clean items present with zeros, example doc
+    deterministic (min id), missing eval id column raises, corpus side
+    rides a broadcast join (never shuffled)."""
+    from data_crawler_spark.operators.dedup import contamination_report
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),        # hits e1 on 2 3-grams
+         (2, "zz alpha beta gamma qq"),        # hits e1 on 1 3-gram
+         (3, "totally clean document words")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [("e1", "alpha beta gamma delta"),
+         ("e2", "nothing here collides at all")],
+        "eval_id string, text string")
+
+    got = {r.eval_id: (r.n_docs, r.n_collision_ngrams, r.example_doc)
+           for r in contamination_report(docs.repartition(4), ev,
+                                         n=3).collect()}
+    # e1's 3-grams: "alpha beta gamma" (docs 1,2), "beta gamma delta"
+    # (doc 1) -> 2 docs, 2 colliding ngrams, example min id 1
+    assert got == {"e1": (2, 2, 1), "e2": (0, 0, None)}
+
+    with pytest.raises(ValueError, match="per-item id column"):
+        contamination_report(docs, ev.drop("eval_id"), n=3)
+
+    plan = (contamination_report(docs, ev, n=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan

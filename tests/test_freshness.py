@@ -311,3 +311,67 @@ def test_cache_control_multiple_lines_combine(spark):
     got = {r.url: r for r in revalidation_schedule(df).collect()}
     assert got["u1"].fresh_until == t1              # no-store honored
     assert str(got["u2"].fresh_until) == "2026-08-02 12:05:00"
+
+
+def test_capture_change_fraction(spark):
+    """change_frac is 0 for identical consecutive captures, ~1 for a
+    full rewrite, null for first captures / sub-shingle text, and
+    EXACTLY the independent per-capture signature agreement (pinning
+    the join + window wiring); layout-invariant."""
+    from data_crawler_spark.operators.dedup import minhash_signatures
+    from data_crawler_spark.operators.freshness import (
+        capture_change_fraction)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "crawler records every capture of the page text today")
+    half = ("the quick brown fox jumps over the lazy dog while a "
+            "totally different second half replaces the old ending "
+            "entirely now")
+    other = ("completely unrelated replacement content with none of "
+             "the previous words remaining anywhere in this document "
+             "at all whatsoever")
+    rows = [
+        ("com,a)/", "http://a.com/", "2024-01-01 00:00:00", base),
+        ("com,a)/", "http://a.com/", "2024-01-02 00:00:00", base),
+        ("com,a)/", "http://a.com/", "2024-01-03 00:00:00", half),
+        ("com,a)/", "http://a.com/", "2024-01-04 00:00:00", other),
+        ("com,b)/", "http://b.com/", "2024-01-01 00:00:00", base),
+        ("com,c)/", "http://c.com/", "2024-01-01 00:00:00", "too short"),
+        ("com,c)/", "http://c.com/", "2024-01-02 00:00:00", base),
+    ]
+    df = (spark.createDataFrame(
+        rows, "surt_key string, url string, warc_ts string, text string")
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp")))
+
+    got = {(r.surt_key, str(r.warc_ts)): r.change_frac
+           for r in capture_change_fraction(df.repartition(5)).collect()}
+    # first capture of each key: null
+    assert got[("com,a)/", "2024-01-01 00:00:00")] is None
+    assert got[("com,b)/", "2024-01-01 00:00:00")] is None
+    # identical consecutive captures: exactly 0
+    assert got[("com,a)/", "2024-01-02 00:00:00")] == 0.0
+    # full rewrite: (almost) every component disagrees
+    assert got[("com,a)/", "2024-01-04 00:00:00")] > 0.9
+    # partial rewrite sits strictly between
+    frac_half = got[("com,a)/", "2024-01-03 00:00:00")]
+    assert 0.05 < frac_half < 0.95
+    # sub-shingle first capture -> no signature -> next capture null
+    assert got[("com,c)/", "2024-01-01 00:00:00")] is None
+    assert got[("com,c)/", "2024-01-02 00:00:00")] is None
+
+    # exactness: the fraction equals the independently computed
+    # signature disagreement for the consecutive pair
+    caps = {str(r[2]): r[3] for r in rows if r[0] == "com,a)/"}
+    sig_df = spark.createDataFrame(
+        [(ts, t) for ts, t in caps.items()], "cid string, text string")
+    sigs = {r.cid: r.sig for r in
+            minhash_signatures(sig_df, id_col="cid").collect()}
+    ts_sorted = sorted(caps)
+    for prev_ts, ts in zip(ts_sorted, ts_sorted[1:]):
+        agree = sum(a == b for a, b in zip(sigs[prev_ts], sigs[ts]))
+        assert got[("com,a)/", ts)] == pytest.approx(1.0 - agree / 64)
+
+    # layout invariance
+    again = {(r.surt_key, str(r.warc_ts)): r.change_frac
+             for r in capture_change_fraction(df.repartition(1)).collect()}
+    assert again == got

@@ -96,3 +96,44 @@ def test_two_phase_seq_no_single_partition_exchange(spark):
         .executedPlan().toString()
     assert "SinglePartition" not in plan
     sched.unpersist()
+
+
+def test_adaptive_host_budgets(spark):
+    """Proportional-to-yield allocation with an explore floor: exact
+    hand-computed shares, never overshoots the total, cap applied,
+    zero-yield corpus splits evenly, negative yield clamps to 0,
+    infeasible floor raises; layout-invariant."""
+    from data_crawler_spark.operators.scheduler import adaptive_host_budgets
+
+    df = spark.createDataFrame(
+        [("a.com", 0.0), ("b.com", 10.0), ("c.com", 30.0)],
+        "host string, yield double")
+    got = {r.host: r.budget_per_round for r in
+           adaptive_host_budgets(df.repartition(3), 50, floor=2).collect()}
+    # extra = 50 - 6 = 44; shares floor(44*y/40): 0, 11, 33
+    assert got == {"a.com": 2, "b.com": 13, "c.com": 35}
+    assert sum(got.values()) <= 50
+
+    capped = {r.host: r.budget_per_round for r in
+              adaptive_host_budgets(df, 50, floor=2, cap=20).collect()}
+    assert capped == {"a.com": 2, "b.com": 13, "c.com": 20}
+
+    # zero yield everywhere: even split of the extra
+    zero = spark.createDataFrame([("a", 0.0), ("b", 0.0)],
+                                 "host string, yield double")
+    got0 = {r.host: r.budget_per_round for r in
+            adaptive_host_budgets(zero, 10, floor=1).collect()}
+    assert got0 == {"a": 5, "b": 5}
+
+    # negative yield clamps to zero, not negative budgets
+    neg = spark.createDataFrame([("a", -5.0), ("b", 5.0)],
+                                "host string, yield double")
+    gotn = {r.host: r.budget_per_round for r in
+            adaptive_host_budgets(neg, 10, floor=1).collect()}
+    assert gotn == {"a": 1, "b": 9}
+
+    import pytest as _p
+    with _p.raises(ValueError, match="cannot fund floor"):
+        adaptive_host_budgets(df, 5, floor=2)
+    with _p.raises(ValueError):
+        adaptive_host_budgets(df, 0)
