@@ -875,15 +875,22 @@ def cluster_survivors(comps: DataFrame, metrics: DataFrame | None = None,
     of members behind one template) never funnels through one window
     task.
 
-    ``metrics`` joins LEFT: a member with no metric row still
-    participates (its metric sorts null — LAST under ``F.desc``,
-    Spark's default — so metered members win, but a cluster whose
-    members all lack metrics still yields its min-id survivor instead
-    of silently vanishing)."""
+    ``metrics`` joins LEFT, and metered members ALWAYS outrank
+    unmetered ones regardless of the caller's sort direction (a
+    has-metric flag is prepended to the order — Spark's asc-nulls-
+    FIRST default would otherwise let a missing row beat every real
+    score under ``F.asc``): a cluster whose members all lack metrics
+    still yields its min-id survivor instead of silently vanishing."""
     from data_crawler_spark.operators.sampling import cap_per_group
 
-    m = comps if metrics is None else comps.join(metrics, id_col, "left")
-    kept = cap_per_group(m, cluster_col, 1, order_by=order_by,
+    if metrics is None:
+        m = comps
+        order = order_by
+    else:
+        m = comps.join(metrics.withColumn("_metered", F.lit(True)),
+                       id_col, "left")
+        order = [F.desc_nulls_last("_metered")] + list(order_by or [])
+    kept = cap_per_group(m, cluster_col, 1, order_by=order,
                          id_col=id_col)
     return kept.select(cluster_col, id_col)
 
@@ -962,6 +969,10 @@ def contamination_report(docs: DataFrame, eval_df: DataFrame,
         raise ValueError(
             f"eval_df needs a unique per-item id column "
             f"{eval_id_col!r} (got {eval_df.columns})")
+    if eval_id_col == id_col:
+        raise ValueError(
+            f"eval_id_col must differ from the corpus id column "
+            f"(both {id_col!r}) — alias one side first")
     ev = eval_df.select(F.col(eval_id_col),
                         F.col(eval_text_col).alias("_t"))
     ev_keys = (ngram_pos_rows(ev, eval_id_col, "_t", n)

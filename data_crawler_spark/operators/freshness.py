@@ -295,27 +295,40 @@ def capture_change_fraction(captures: DataFrame,
     ~1/sqrt(n_hashes)).
 
     Scale shape: the capture text crosses ONE Arrow signature sweep
-    (``dedup.minhash_signatures`` — shuffle-free at scan scale), then
-    only 8·n_hashes-byte signatures ride the capture-id join and the
-    per-key lag window; text is never shuffled and never compared
-    pairwise.
+    (``dedup.minhash_signatures`` — shuffle-free at scan scale) plus
+    the signature groupBy's (id, text) projection; after that ONLY
+    8·n_hashes-byte signatures plus the identity columns ride the
+    join and the per-key lag window — the result frame is SLIM
+    (identity + change_frac), so text never crosses an exchange and
+    is never compared pairwise. Callers join the result back on the
+    identity columns when they need the payload alongside.
 
-    Returns ``captures`` + ``change_frac`` (double; null for a key's
-    first capture or when either side has no shingles — text shorter
-    than ``shingle_n`` tokens). A capture is identified by
-    (key, ts[, url]) — the ``capture_intervals`` determinism rule; ties
-    beyond that collapse to one signature."""
+    Returns one row per capture — (key_col, ts_col[, url],
+    change_frac) — with change_frac double, null for a key's first
+    capture or when either side has no shingles (text shorter than
+    ``shingle_n`` tokens). A capture is identified by (key, ts[, url])
+    — the ``capture_intervals`` determinism rule; several rows sharing
+    that identity with DIFFERENT payloads collapse deterministically
+    to the lexicographically greatest text (layout-invariant, unlike
+    a dropDuplicates pick)."""
     from data_crawler_spark.operators.dedup import minhash_signatures
 
     has_url = "url" in captures.columns and key_col != "url"
-    cid_cols = [F.col(key_col), F.col(ts_col).cast("string")] \
-        + ([F.col("url")] if has_url else [])
-    src = captures.withColumn("_cap_id", F.concat_ws("\x1f", *cid_cols))
+    id_cols = [key_col, ts_col] + (["url"] if has_url else [])
+    # nulls coalesce to a sentinel so concat_ws cannot merge distinct
+    # identities (it silently SKIPS null fields)
+    cid_parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                 for c in id_cols]
+    slim = (captures
+            .select(*id_cols, F.col(text_col).alias("_t"))
+            .withColumn("_cap_id", F.concat_ws("\x1f", *cid_parts)))
+    uniq = slim.groupBy("_cap_id").agg(
+        F.max("_t").alias("_t"),
+        *[F.first(c).alias(c) for c in id_cols])
     sigs = minhash_signatures(
-        src.select("_cap_id", text_col).dropDuplicates(["_cap_id"]),
-        id_col="_cap_id", text_col=text_col, n_hashes=n_hashes,
-        shingle_n=shingle_n)
-    joined = src.join(sigs, "_cap_id", "left")
+        uniq.select("_cap_id", "_t"), id_col="_cap_id", text_col="_t",
+        n_hashes=n_hashes, shingle_n=shingle_n)
+    joined = uniq.drop("_t").join(sigs, "_cap_id", "left")
     order = [F.col(ts_col), F.col("url")] if has_url else [F.col(ts_col)]
     w = Window.partitionBy(key_col).orderBy(*order)
     prev = F.lag("sig").over(w)
@@ -326,4 +339,4 @@ def capture_change_fraction(captures: DataFrame,
     change = F.when(F.col("sig").isNotNull() & prev.isNotNull(),
                     F.lit(1.0) - n_eq / F.lit(float(n_hashes)))
     return (joined.withColumn("change_frac", change)
-            .drop("_cap_id", "sig"))
+            .select(*id_cols, "change_frac"))

@@ -161,8 +161,10 @@ def adaptive_host_budgets(host_yield: DataFrame, total_budget: int,
         share = F.floor(F.lit(float(extra)) * y / F.lit(total_y))
     else:
         share = F.lit(extra // n_hosts)
-    b = (F.lit(floor) + share).cast("int")
+    # long, not int: a dominant host's share of a multi-billion fetch
+    # budget overflows int32 (non-ANSI cast would wrap silently)
+    b = (F.lit(floor) + share).cast("long")
     if cap is not None:
-        b = F.least(b, F.lit(int(cap)))
+        b = F.least(b, F.lit(int(cap)).cast("long"))
     return host_yield.select(F.col(host_col).alias("host"),
                              b.alias("budget_per_round"))

@@ -781,7 +781,10 @@ class AnnIndex:
         m, k = meta["n_subspaces"], meta["n_centroids_fit"]
         self.cb = np.array([r.vec for r in cbs]).reshape(
             m, k, len(cbs[0].vec))
-        self._codes_version = meta["codes_version"]
+        # .get: a meta row written before version pinning existed opens
+        # at the latest codes version (the old behavior) instead of
+        # crashing with a KeyError
+        self._codes_version = meta.get("codes_version")
         self._codes = SnapshotTable(
             spark, state_dir, f"{name}_codes",
             StructType.fromJson(meta["codes_schema"]))
@@ -814,8 +817,7 @@ class AnnIndex:
                                   codes.schema)
         codes_tbl.write(codes, mode="overwrite")
         cls._publish_model(spark, state_dir, name, cent, cb,
-                           id_col, vec_col,
-                           codes_tbl.read().schema.jsonValue(),
+                           id_col, vec_col, codes.schema.jsonValue(),
                            codes_tbl.current_version())
         return cls(spark, state_dir, name)
 
@@ -866,7 +868,7 @@ class AnnIndex:
                             self._model.name[: -len("_model")],
                             self.cent, self.cb, self.id_col,
                             self.vec_col,
-                            self._codes.read(v).schema.jsonValue(), v)
+                            self._codes.schema.jsonValue(), v)
         self._codes_version = v
 
     def topk(self, queries: DataFrame, k: int = 5,

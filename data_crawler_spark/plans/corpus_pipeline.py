@@ -317,7 +317,12 @@ def write_training_shards(out: DataFrame, path: str,
     ``fmt="parquet"`` (default) for analytic re-reads; ``fmt="jsonl"``
     emits newline-delimited JSON (Spark's ``json`` source IS jsonl) —
     the layout most training loaders stream — with ``compression``
-    (e.g. "gzip") when set."""
+    (e.g. "gzip") when set.
+
+    A corpus packed with ``clean_corpus(shard_shuffle_seed=...)``
+    should pass ``sort_in_shard="shuffle_key"`` so rows inside each
+    shard stream in the shuffled order too (the default id sort would
+    re-cluster crawl-adjacent docs within the shard)."""
     missing = [c for c in partition_by if c not in out.columns]
     if missing:
         raise ValueError(

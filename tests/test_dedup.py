@@ -502,11 +502,13 @@ def test_cluster_survivors_policy(spark):
 
     # metrics joins LEFT: a cluster with NO metric rows still yields
     # its min-id survivor (instead of silently vanishing), and within
-    # a partly-metered cluster the metered member outranks the null
+    # a partly-metered cluster the metered member outranks the null —
+    # under BOTH sort directions (asc would otherwise put nulls first)
     partial = spark.createDataFrame([(3, 0.5)], "doc_id long, q double")
-    got = {(r.cluster_id, r.doc_id) for r in
-           cluster_survivors(comps, partial, [F.desc("q")]).collect()}
-    assert got == {(1, 3), (4, 4), (9, 9)}
+    for order in ([F.desc("q")], [F.asc("q")]):
+        got = {(r.cluster_id, r.doc_id) for r in
+               cluster_survivors(comps, partial, order).collect()}
+        assert got == {(1, 3), (4, 4), (9, 9)}, order
 
 
 def test_ngram_novelty_mirror(spark):
@@ -598,6 +600,10 @@ def test_contamination_report(spark):
 
     with pytest.raises(ValueError, match="per-item id column"):
         contamination_report(docs, ev.drop("eval_id"), n=3)
+    with pytest.raises(ValueError, match="must differ"):
+        contamination_report(
+            docs, ev.withColumnRenamed("eval_id", "doc_id"),
+            n=3, eval_id_col="doc_id")
 
     plan = (contamination_report(docs, ev, n=3)
             ._jdf.queryExecution().executedPlan().toString())

@@ -338,13 +338,25 @@ def test_capture_change_fraction(spark):
         ("com,b)/", "http://b.com/", "2024-01-01 00:00:00", base),
         ("com,c)/", "http://c.com/", "2024-01-01 00:00:00", "too short"),
         ("com,c)/", "http://c.com/", "2024-01-02 00:00:00", base),
+        # duplicate capture identity with DIFFERENT payloads: collapses
+        # deterministically to the lexicographically greatest text
+        # (base > other here), so the next capture scores 0 change
+        ("com,d)/", "http://d.com/", "2024-01-01 00:00:00", base),
+        ("com,d)/", "http://d.com/", "2024-01-01 00:00:00", other),
+        ("com,d)/", "http://d.com/", "2024-01-02 00:00:00", base),
     ]
     df = (spark.createDataFrame(
         rows, "surt_key string, url string, warc_ts string, text string")
         .withColumn("warc_ts", F.col("warc_ts").cast("timestamp")))
 
-    got = {(r.surt_key, str(r.warc_ts)): r.change_frac
-           for r in capture_change_fraction(df.repartition(5)).collect()}
+    out_rows = capture_change_fraction(df.repartition(5)).collect()
+    # SLIM contract: identity + change_frac only, one row per capture
+    # identity (the com,d duplicate collapsed)
+    assert set(out_rows[0].asDict()) == {"surt_key", "warc_ts", "url",
+                                         "change_frac"}
+    assert len(out_rows) == len(rows) - 1
+    got = {(r.surt_key, str(r.warc_ts)): r.change_frac for r in out_rows}
+    assert got[("com,d)/", "2024-01-02 00:00:00")] == 0.0
     # first capture of each key: null
     assert got[("com,a)/", "2024-01-01 00:00:00")] is None
     assert got[("com,b)/", "2024-01-01 00:00:00")] is None

@@ -132,6 +132,14 @@ def test_adaptive_host_budgets(spark):
             adaptive_host_budgets(neg, 10, floor=1).collect()}
     assert gotn == {"a": 1, "b": 9}
 
+    # multi-billion budgets must not wrap int32
+    big = {r.host: r.budget_per_round for r in
+           adaptive_host_budgets(
+               spark.createDataFrame([("x", 1.0)],
+                                     "host string, yield double"),
+               3_000_000_000, floor=0).collect()}
+    assert big == {"x": 3_000_000_000}
+
     import pytest as _p
     with _p.raises(ValueError, match="cannot fund floor"):
         adaptive_host_budgets(df, 5, floor=2)

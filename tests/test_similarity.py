@@ -425,14 +425,38 @@ def test_ann_index_build_load_query_add(spark, emb, tmp_path):
     # empty query set still typed correctly
     assert reloaded.topk(q.filter(F.lit(False))).count() == 0
 
+    post_add = {(r.query_id, r.rank, r.neighbor_id, r.adc_cosine)
+                for r in reloaded.topk(q, k=5, n_probe=6).collect()}
+
+    # a legacy meta row without codes_version (pre-pinning index)
+    # opens at the LATEST codes version instead of KeyError-ing —
+    # probed while latest codes are still consistent with the model
+    import json
+    rows_m = reloaded._model.read().collect()
+    meta = json.loads(next(r.s for r in rows_m if r.kind == "meta"))
+    pinned_version = meta.pop("codes_version")
+    legacy = [(r.kind, r.i, r.j, r.vec,
+               json.dumps(meta) if r.kind == "meta" else r.s)
+              for r in rows_m]
+    reloaded._model.write(
+        spark.createDataFrame(legacy, AnnIndex._MODEL_DDL),
+        mode="overwrite")
+    opened = AnnIndex(spark, state)
+    assert opened._codes_version is None
+    got_legacy = {(r.query_id, r.rank, r.neighbor_id, r.adc_cosine)
+                  for r in opened.topk(q, k=5, n_probe=6).collect()}
+    assert got_legacy == post_add
+    # restore the pinned meta for the crash-simulation below
+    AnnIndex._publish_model(
+        spark, state, "ann", opened.cent, opened.cb, "vec_id",
+        "embedding", opened._codes.schema.jsonValue(), pinned_version)
+
     # a crashed REBUILD (codes overwritten, model publish never ran)
     # must leave readers on the old consistent pairing: the meta row
     # pins the codes version, so old codebooks never score new codes
     from data_crawler_spark.operators.similarity import (_encode_codes,
                                                          _fit_quantizer,
                                                          fit_pq)
-    post_add = {(r.query_id, r.rank, r.neighbor_id, r.adc_cosine)
-                for r in reloaded.topk(q, k=5, n_probe=6).collect()}
     cent2 = _fit_quantizer(delta, 4, 2000, "vec_id", "embedding")
     cb2 = fit_pq(delta, 8, 16, 2000, "vec_id", "embedding")
     reloaded._codes.write(
