@@ -232,6 +232,66 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     return pairs.distinct() if dedup else pairs
 
 
+def _verify_candidates(df: DataFrame, cands: DataFrame, id_col: str,
+                       text_col: str, shingle_n: int,
+                       broadcast_max_pairs: int, finalize) -> DataFrame:
+    """Exact shingle-overlap verification of an LSH candidate-pair
+    stream, shared by minhash_near_dups (Jaccard) and
+    containment_pairs (asymmetric containment): re-shingle ONLY the
+    documents that appear in a candidate pair (semi-join on the
+    candidate id set, then one cached shingle pass), join the shingle
+    sets onto the pairs, and hand ``finalize`` a frame with columns
+    ``(id_a, id_b, inter, size_a, size_b)``. LSH keeps candidates a
+    tiny fraction of the corpus, so this is O(candidates), not two
+    more O(corpus) shingle sweeps.
+
+    ``cands`` must already be persisted by the caller; ``finalize``
+    must MATERIALIZE its result (localCheckpoint) — the shingle cache
+    is released as soon as it returns."""
+    # materialize the candidate cache in ONE pass before the verify
+    # stage forks it (cand_ids broadcast + verify left side): two
+    # branches racing an unfilled cache serialize on block locks and
+    # re-run the whole signature pipeline
+    n_cands = cands.count()
+    cand_ids = (cands.select(F.col("id_a").alias(id_col))
+                .unionByName(cands.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    # broadcast the candidate id set and shingle rows only while the
+    # candidate set is verifiably small (the LSH regime this plan is
+    # built for: the semi-join then never shuffles the corpus text).
+    # "candidates are a tiny fraction" is data-dependent, not
+    # guaranteed — a boilerplate-heavy corpus can make the candidate
+    # set corpus-scale, where a forced broadcast dies at the 8 GB
+    # table cap; past the cutoff the hints drop and Catalyst/AQE
+    # pick shuffle joins from measured sizes.
+    small = n_cands <= broadcast_max_pairs
+    maybe_b = F.broadcast if small else (lambda d: d)
+    # persist: BOTH builds below (sh_a / sh_b) drain this one cache
+    # instead of each re-running the semi-join + shingle pass over
+    # the corpus scan
+    sh = (df.join(maybe_b(cand_ids), id_col, "left_semi")
+          .select(F.col(id_col),
+                  shingles_col(F.col(text_col), shingle_n).alias("sh"))
+          .persist())
+    stats = (
+        cands
+        .join(maybe_b(sh.select(F.col(id_col).alias("id_a"),
+                                F.col("sh").alias("sh_a"))), "id_a")
+        .join(maybe_b(sh.select(F.col(id_col).alias("id_b"),
+                                F.col("sh").alias("sh_b"))), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("size_a", F.size("sh_a"))
+        .withColumn("size_b", F.size("sh_b"))
+    )
+    try:
+        return finalize(stats)
+    finally:
+        # in a finally: a verify/localCheckpoint failure must not
+        # leave the shingle cache (the largest cached object here)
+        # pinned for the rest of the session
+        sh.unpersist()
+
+
 def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 64,
                       n_bands: int = 16, threshold: float = 0.7,
@@ -239,13 +299,11 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       broadcast_max_pairs: int = 2_000_000) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded
     candidates -> exact shingle-Jaccard verification of candidates
-    (the verify join is on the candidate pairs only).
-
-    The verify stage re-shingles ONLY the documents that appear in a
-    candidate pair (semi-join on the candidate id set, then one cached
-    shingle pass): LSH keeps candidates a tiny fraction of the corpus,
-    so this is O(candidates), not two more O(corpus) shingle sweeps —
-    at sf0.1 this cut the end-to-end query ~30%."""
+    (the verify join is on the candidate pairs only; see
+    _verify_candidates for the shared plan shape). The union size is
+    derived arithmetically (|A|+|B|−|A∩B| — the shingle arrays are
+    distinct by construction) instead of materializing a union array
+    per pair."""
     rows = n_hashes // n_bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     # dedup=False: multi-band collisions ride into the verify join
@@ -254,61 +312,130 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     # stream. One wide shuffle+aggregate saved per run.
     cands = lsh_candidate_pairs(sigs, id_col, n_bands, rows,
                                 dedup=False).persist()
-    try:
-        # materialize the candidate cache in ONE pass before the verify
-        # stage forks it (cand_ids broadcast + verify left side): two
-        # branches racing an unfilled cache serialize on block locks and
-        # re-run the whole signature pipeline
-        n_cands = cands.count()
-        cand_ids = (cands.select(F.col("id_a").alias(id_col))
-                    .unionByName(cands.select(F.col("id_b").alias(id_col)))
-                    .distinct())
-        # broadcast the candidate id set and shingle rows only while the
-        # candidate set is verifiably small (the LSH regime this plan is
-        # built for: the semi-join then never shuffles the corpus text).
-        # "candidates are a tiny fraction" is data-dependent, not
-        # guaranteed — a boilerplate-heavy corpus can make the candidate
-        # set corpus-scale, where a forced broadcast dies at the 8 GB
-        # table cap; past the cutoff the hints drop and Catalyst/AQE
-        # pick shuffle joins from measured sizes.
-        small = n_cands <= broadcast_max_pairs
-        maybe_b = F.broadcast if small else (lambda d: d)
-        # persist: BOTH builds below (sh_a / sh_b) drain this one cache
-        # instead of each re-running the semi-join + shingle pass over
-        # the corpus scan
-        sh = (df.join(maybe_b(cand_ids), id_col, "left_semi")
-              .select(F.col(id_col),
-                      shingles_col(F.col(text_col), shingle_n).alias("sh"))
-              .persist())
-        verified = (
-            cands
-            .join(maybe_b(sh.select(F.col(id_col).alias("id_a"),
-                                    F.col("sh").alias("sh_a"))), "id_a")
-            .join(maybe_b(sh.select(F.col(id_col).alias("id_b"),
-                                    F.col("sh").alias("sh_b"))), "id_b")
-            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-            .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
-            .withColumn("jaccard",
-                        F.round(F.when(F.col("uni") > 0,
-                                       F.col("inter").cast("double") / F.col("uni"))
-                                .otherwise(F.lit(0.0)), 4))
-            .filter(F.col("jaccard") >= threshold)
-        )
+
+    def finalize(stats: DataFrame) -> DataFrame:
+        uni = F.col("size_a") + F.col("size_b") - F.col("inter")
+        verified = (stats
+                    .withColumn("jaccard",
+                                F.round(F.when(uni > 0,
+                                               F.col("inter").cast("double")
+                                               / uni)
+                                        .otherwise(F.lit(0.0)), 4))
+                    .filter(F.col("jaccard") >= threshold))
         # dropDuplicates: collapse multi-band candidate copies (same
         # pair, same jaccard) — over the small verified set, not the
         # candidate stream. localCheckpoint materializes it so the
         # candidate cache can be released before returning — repeated
         # invocations previously accumulated cached candidate blocks.
-        try:
-            return (verified.select("id_a", "id_b", "jaccard")
-                    .dropDuplicates(["id_a", "id_b"]).localCheckpoint())
-        finally:
-            # in a finally: a verify/localCheckpoint failure must not
-            # leave the shingle cache (the largest cached object here)
-            # pinned for the rest of the session
-            sh.unpersist()
+        return (verified.select("id_a", "id_b", "jaccard")
+                .dropDuplicates(["id_a", "id_b"]).localCheckpoint())
+
+    try:
+        return _verify_candidates(df, cands, id_col, text_col, shingle_n,
+                                  broadcast_max_pairs, finalize)
     finally:
         cands.unpersist()
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 64,
+                      n_bands: int = 32, threshold: float = 0.8,
+                      shingle_n: int = 3,
+                      broadcast_max_pairs: int = 2_000_000) -> DataFrame:
+    """Asymmetric containment near-dup detection (Broder 1997's
+    containment coefficient): pairs where one document's shingle set
+    is mostly inside the other's — the aggregator / quote-farm /
+    page-plus-boilerplate relation that symmetric Jaccard under-scores
+    (a 200-word article fully quoted inside a 5,000-word roundup has
+    C(article→roundup)=1.0 but Jaccard≈0.04).
+
+    Emits ``(id_a, id_b, containment_a, containment_b, jaccard)`` for
+    candidate pairs with ``max(containment_a, containment_b) >=
+    threshold``, where ``containment_a = |S_a ∩ S_b| / |S_a|`` (the
+    fraction of a's shingles also in b). All three values are EXACT —
+    computed from the verified shingle sets, not estimated from
+    signatures.
+
+    Candidate generation reuses the MinHash/LSH machinery, so recall
+    is governed by the JACCARD s-curve: a doc contained in one k×
+    its size has Jaccard ≈ 1/k, so the default banding is widened to
+    ``n_bands=32`` (rows_per_band=2 at 64 hashes — 50%-collision point
+    ≈ (1/32)^(1/2) ≈ 0.18), catching containments down to roughly a 5×
+    size ratio. Pairs beyond that ratio need more/wider bands
+    (``lsh_tune`` with a lower threshold) — an inherent limit of
+    Jaccard-LSH candidate generation, documented rather than hidden.
+    Same scale shape as minhash_near_dups: shuffle-free signatures,
+    bucket-join candidates, O(candidates) exact verify."""
+    rows = n_hashes // n_bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands, rows,
+                                dedup=False).persist()
+
+    def finalize(stats: DataFrame) -> DataFrame:
+        uni = F.col("size_a") + F.col("size_b") - F.col("inter")
+        inter_d = F.col("inter").cast("double")
+        verified = (
+            stats
+            # signature rows only exist for docs with >=1 shingle, so
+            # size_a/size_b >= 1 for every candidate; the guards keep
+            # the expressions total anyway
+            .withColumn("containment_a",
+                        F.round(F.when(F.col("size_a") > 0,
+                                       inter_d / F.col("size_a"))
+                                .otherwise(F.lit(0.0)), 4))
+            .withColumn("containment_b",
+                        F.round(F.when(F.col("size_b") > 0,
+                                       inter_d / F.col("size_b"))
+                                .otherwise(F.lit(0.0)), 4))
+            .withColumn("jaccard",
+                        F.round(F.when(uni > 0, inter_d / uni)
+                                .otherwise(F.lit(0.0)), 4))
+            .filter(F.greatest("containment_a", "containment_b")
+                    >= threshold))
+        return (verified.select("id_a", "id_b", "containment_a",
+                                "containment_b", "jaccard")
+                .dropDuplicates(["id_a", "id_b"]).localCheckpoint())
+
+    try:
+        return _verify_candidates(df, cands, id_col, text_col, shingle_n,
+                                  broadcast_max_pairs, finalize)
+    finally:
+        cands.unpersist()
+
+
+def lsh_tune(threshold: float, n_hashes: int,
+             fp_weight: float = 0.5) -> tuple[int, int]:
+    """Choose ``(n_bands, rows_per_band)`` for a target Jaccard
+    threshold: among all factorizations b·r = n_hashes, minimize the
+    weighted false-positive + false-negative mass of the LSH s-curve
+    P(candidate | s) = 1 − (1 − s^r)^b (the datasketch/ MMDS §3.4
+    optimizer, re-derived from the formula). FP mass = ∫₀^t P(s) ds,
+    FN mass = ∫_t^1 (1 − P(s)) ds, midpoint rule on a fixed 1000-point
+    grid — deterministic, pure driver-side math, no Spark.
+
+    ``fp_weight`` ∈ (0,1): weight on the false-positive integral
+    (1 − fp_weight goes to false negatives). Higher fp_weight → fewer
+    candidate pairs to verify exactly; lower → better recall.
+    Feeds minhash_near_dups / containment_pairs' (n_hashes, n_bands)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if not 0.0 < fp_weight < 1.0:
+        raise ValueError(f"fp_weight must be in (0,1), got {fp_weight}")
+    if n_hashes < 2:
+        raise ValueError(f"n_hashes must be >= 2, got {n_hashes}")
+    grid = (np.arange(1000, dtype=np.float64) + 0.5) / 1000.0
+    best: tuple[float, int, int] | None = None
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        p = 1.0 - (1.0 - grid ** r) ** b
+        fp = float(p[grid < threshold].sum()) / 1000.0
+        fn = float((1.0 - p)[grid >= threshold].sum()) / 1000.0
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]
 
 
 # ---------------------------------------------------------------------------

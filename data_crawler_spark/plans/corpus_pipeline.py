@@ -343,6 +343,161 @@ def write_training_shards(out: DataFrame, path: str,
         writer.json(path)
 
 
+def write_webdataset_shards(out: DataFrame, path: str, *,
+                            partition_by: tuple[str, ...] = ("split",
+                                                             "shard_id"),
+                            key_col: str = "doc_id",
+                            text_col: str = "text",
+                            meta_cols: tuple[str, ...] = (),
+                            bin_col: str | None = None,
+                            sort_in_shard: str = "doc_id",
+                            gzip_shards: bool = False) -> DataFrame:
+    """WebDataset sink: one POSIX ``.tar`` per (split, shard) whose
+    members are ``{key}.txt`` (the text), ``{key}.json`` (the
+    ``meta_cols``, when any) and ``{key}.bin`` (an opaque binary
+    column — the multimodal payload seam), samples adjacent and in
+    ``sort_in_shard`` order — the sequential-read training format
+    (Webdataset; the LAION layout). Tars are byte-stable: USTAR
+    entries with zeroed mtime/uid/gid and a fixed member order, and
+    ``gzip_shards`` writes ``.tar.gz`` with a zeroed gzip mtime — two
+    builds of the same corpus produce identical archives regardless of
+    input layout.
+
+    Plan shape mirrors write_training_shards: ONE repartition on the
+    partition columns, rows sorted inside each task by (partition
+    cols, sort key) so each shard's samples stream contiguously, then
+    an embarrassingly-parallel mapInArrow sink that rolls a new tar on
+    each group change and streams records straight to the target file
+    (a shard never materializes in executor memory). Layout:
+    ``col=value`` directories for all but the last partition column,
+    filename ``shard-%06d.tar`` when the last column is integral else
+    ``{value}.tar``. Like _export_sink, ``path`` must be a
+    task-writable shared filesystem and the returned manifest
+    ``(tar_file, n_samples, n_bytes)`` is lazy — run an action to
+    execute the export. Keys must be non-null (raises in-task) and
+    unique within their shard (upstream ids are deduped; duplicate
+    keys would collide at sample-grouping time in the reader); USTAR
+    caps member names at 100 bytes, so keys longer than ~95 chars
+    raise from tarfile."""
+    import gzip as _gzip
+    import json as _json
+    import tarfile
+    from pathlib import Path
+
+    import pyarrow as pa
+
+    missing = [c for c in (*partition_by, key_col, text_col, sort_in_shard,
+                           *(meta_cols or ()),
+                           *((bin_col,) if bin_col else ()))
+               if c not in out.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    root = Path(path)
+    root.mkdir(parents=True, exist_ok=True)
+    last_integral = out.schema[partition_by[-1]].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint")
+    suffix = ".tar.gz" if gzip_shards else ".tar"
+    cols = list(dict.fromkeys(
+        [*partition_by, key_col, text_col, *(meta_cols or ()),
+         *((bin_col,) if bin_col else ()), sort_in_shard]))
+    w = (out.select(*cols)
+         .repartition(*[F.col(c) for c in partition_by])
+         .sortWithinPartitions(*partition_by, sort_in_shard))
+    mschema = "tar_file string, n_samples long, n_bytes long"
+
+    def _fpath(gvals) -> Path:
+        dirs = [f"{c}={v}" for c, v in zip(partition_by[:-1], gvals[:-1])]
+        last = (f"shard-{int(gvals[-1]):06d}{suffix}" if last_integral
+                else f"{gvals[-1]}{suffix}")
+        return root.joinpath(*dirs, last)
+
+    def fn(batches):
+        import io
+        state = {"g": None, "tf": None, "fh": None, "raw": None,
+                 "n": 0, "path": None}
+        rows_out: list[tuple[str, int, int]] = []
+
+        def flush():
+            if state["g"] is None:
+                return
+            state["tf"].close()
+            if state["fh"] is not state["raw"]:
+                state["fh"].close()  # the gzip wrapper, before the file
+            state["raw"].close()
+            rows_out.append((str(state["path"]), state["n"],
+                             state["path"].stat().st_size))
+            state.update(g=None, tf=None, fh=None, raw=None, n=0,
+                         path=None)
+
+        def member(tf, name: str, data: bytes):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(data))
+
+        try:
+            for b in batches:
+                pdf = b.to_pandas()
+                for d in pdf.to_dict("records"):
+                    g = tuple(d[c] for c in partition_by)
+                    if g != state["g"]:
+                        flush()
+                        fpath = _fpath(g)
+                        fpath.parent.mkdir(parents=True, exist_ok=True)
+                        raw = open(fpath, "wb")
+                        fh = (_gzip.GzipFile(filename="", mode="wb",
+                                             fileobj=raw, mtime=0)
+                              if gzip_shards else raw)
+                        state.update(g=g, raw=raw, fh=fh, path=fpath,
+                                     tf=tarfile.open(
+                                         fileobj=fh, mode="w",
+                                         format=tarfile.USTAR_FORMAT))
+                    key = d[key_col]
+                    if key is None:
+                        raise ValueError(
+                            f"null {key_col} cannot name a webdataset "
+                            f"sample")
+                    key = str(key)
+                    member(state["tf"], f"{key}.txt",
+                           (d[text_col] or "").encode("utf-8"))
+                    if meta_cols:
+                        # numpy scalars -> native (json's `default` hook
+                        # would STRINGIFY np.int64 — it fires before ints
+                        # serialize); anything non-numeric falls to str
+                        meta = {c: (d[c].item()
+                                    if hasattr(d[c], "item") else d[c])
+                                for c in meta_cols}
+                        member(state["tf"], f"{key}.json",
+                               _json.dumps(meta, sort_keys=True,
+                                           ensure_ascii=False,
+                                           default=str).encode("utf-8"))
+                    if bin_col is not None and d[bin_col] is not None:
+                        member(state["tf"], f"{key}.bin",
+                               bytes(d[bin_col]))
+                    state["n"] += 1
+            flush()
+        except BaseException:
+            # close (don't flush) the in-flight handles so a failed
+            # task doesn't leak file descriptors; the partial tar on
+            # disk is overwritten ('wb') by the retry
+            for h in ("tf", "fh", "raw"):
+                try:
+                    if state[h] is not None:
+                        state[h].close()
+                except Exception:
+                    pass
+            raise
+        if rows_out:
+            yield pa.RecordBatch.from_pydict(
+                {"tar_file": [r[0] for r in rows_out],
+                 "n_samples": [r[1] for r in rows_out],
+                 "n_bytes": [r[2] for r in rows_out]})
+
+    return w.mapInArrow(fn, mschema)
+
+
 def shard_manifest(out: DataFrame,
                    partition_by: tuple[str, ...] = ("split", "shard_id"),
                    id_col: str = "doc_id", text_col: str = "text",

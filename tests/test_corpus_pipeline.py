@@ -614,3 +614,98 @@ def test_clean_corpus_shuffled_per_split_shards(spark):
                          split_fractions={"train": 0.7, "val": 0.3},
                          shard_budget=200, shard_shuffle_seed=7).collect()
     assert ({r.shuffle_key for r in other} != {r.shuffle_key for r in out})
+
+
+def _read_tar(path):
+    import tarfile
+
+    out = []
+    with tarfile.open(path, "r:*") as tf:
+        for m in tf.getmembers():
+            out.append((m.name, tf.extractfile(m).read(),
+                        m.mtime, m.uid, m.gid))
+    return out
+
+
+def test_webdataset_roundtrip(spark, tmp_path):
+    """One tar per (split, shard), samples adjacent in sort order,
+    .txt/.json/.bin members round-trip, null binary skipped, numpy
+    metadata serializes as JSON numbers, zeroed tar headers."""
+    import json
+
+    from data_crawler_spark.plans.corpus_pipeline import \
+        write_webdataset_shards
+
+    rows = [
+        ("d1", "alpha text", "train", 0, "en", 7, bytearray(b"\x00\x01")),
+        ("d0", "beta text", "train", 0, "de", 3, None),
+        ("d2", "gamma", "train", 1, "en", 9, bytearray(b"xyz")),
+        ("d3", "delta", "val", 0, "fr", 1, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, text string, split string, shard_id int, "
+              "lang string, n_tokens long, payload binary")
+    out = tmp_path / "wds"
+    man = write_webdataset_shards(
+        df, str(out), meta_cols=("lang", "n_tokens"), bin_col="payload")
+    got = {r.tar_file: (r.n_samples, r.n_bytes) for r in man.collect()}
+    t00 = out / "split=train" / "shard-000000.tar"
+    t01 = out / "split=train" / "shard-000001.tar"
+    tv0 = out / "split=val" / "shard-000000.tar"
+    assert set(got) == {str(t00), str(t01), str(tv0)}
+    assert got[str(t00)] == (2, t00.stat().st_size)
+
+    members = _read_tar(t00)
+    # d0 sorts before d1; json follows txt; d0's null payload skipped
+    assert [m[0] for m in members] == [
+        "d0.txt", "d0.json", "d1.txt", "d1.json", "d1.bin"]
+    as_dict = {m[0]: m[1] for m in members}
+    assert as_dict["d0.txt"] == b"beta text"
+    assert json.loads(as_dict["d1.json"]) == {"lang": "en", "n_tokens": 7}
+    assert as_dict["d1.bin"] == b"\x00\x01"
+    assert all(m[2:] == (0, 0, 0) for m in members)  # mtime/uid/gid
+    assert [m[0] for m in _read_tar(t01)] == ["d2.txt", "d2.json",
+                                              "d2.bin"]
+
+
+def test_webdataset_byte_stable_and_gzip(spark, tmp_path):
+    """Two builds of the same corpus from different input layouts
+    produce byte-identical archives; gzip_shards round-trips."""
+    from data_crawler_spark.plans.corpus_pipeline import \
+        write_webdataset_shards
+
+    rows = [(f"d{i:03d}", f"text {i} " * (i % 5 + 1), "train", i % 3)
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, text string, split string, shard_id int")
+    a, b, g = tmp_path / "a", tmp_path / "b", tmp_path / "g"
+    write_webdataset_shards(df, str(a)).collect()
+    write_webdataset_shards(df.repartition(11), str(b)).collect()
+    files_a = sorted(p.relative_to(a) for p in a.rglob("*.tar"))
+    assert files_a == sorted(p.relative_to(b) for p in b.rglob("*.tar"))
+    for rel in files_a:
+        assert (a / rel).read_bytes() == (b / rel).read_bytes(), rel
+
+    write_webdataset_shards(df, str(g), gzip_shards=True).collect()
+    gz = sorted(g.rglob("*.tar.gz"))
+    assert len(gz) == 3
+    keys_plain = [m[0] for m in _read_tar(a / "split=train" /
+                                          "shard-000000.tar")]
+    assert [m[0] for m in _read_tar(gz[0])] == keys_plain
+
+
+def test_webdataset_validation(spark, tmp_path):
+    from data_crawler_spark.plans.corpus_pipeline import \
+        write_webdataset_shards
+
+    df = spark.createDataFrame(
+        [("d1", "t", "train", 0)],
+        "doc_id string, text string, split string, shard_id int")
+    with pytest.raises(ValueError, match="columns not in frame"):
+        write_webdataset_shards(df, str(tmp_path / "x"),
+                                meta_cols=("nope",))
+    null_key = spark.createDataFrame(
+        [(None, "t", "train", 0)],
+        "doc_id string, text string, split string, shard_id int")
+    with pytest.raises(Exception, match="null doc_id"):
+        write_webdataset_shards(null_key, str(tmp_path / "y")).collect()

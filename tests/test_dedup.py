@@ -608,3 +608,113 @@ def test_contamination_report(spark):
     plan = (contamination_report(docs, ev, n=3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_containment_pairs_mirror(spark):
+    """Asymmetric containment: a short article fully quoted inside a
+    long roundup is found at containment 1.0 even though its Jaccard
+    is far below any near-dup threshold; values are EXACT vs a
+    pure-Python shingle mirror and the emitted set is a subset of the
+    mirror's above-threshold pairs (verification is exact, so zero
+    false positives by construction); layout-invariant."""
+    import itertools
+    import re
+
+    from data_crawler_spark.operators.dedup import containment_pairs
+
+    article = " ".join(f"story{i} word{i * 7 % 13}" for i in range(20))
+    extra = " ".join(f"roundup{i} filler{i * 5 % 11}" for i in range(40))
+    texts = {
+        1: article,                                   # contained in 2
+        2: article + " " + extra,                     # the aggregator
+        3: " ".join(f"other{i}" for i in range(30)),  # unrelated
+        4: " ".join(article.split()[:20]),            # half the article
+    }
+
+    def sh(t):
+        toks = re.findall(r"[A-Za-z0-9]+", t.lower())
+        return {" ".join(toks[p:p + 3]) for p in range(len(toks) - 2)}
+
+    def mirror(th):
+        out = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = sh(texts[a]), sh(texts[b])
+            inter = len(sa & sb)
+            ca, cb = inter / len(sa), inter / len(sb)
+            j = inter / len(sa | sb)
+            if max(ca, cb) >= th:
+                out[(a, b)] = (round(ca, 4), round(cb, 4), round(j, 4))
+        return out
+
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    want = mirror(0.8)
+    assert (1, 2) in want and want[(1, 2)][0] == 1.0  # planted
+    assert want[(1, 2)][2] < 0.5  # Jaccard alone would miss it
+    for src in (df, df.repartition(7)):
+        got = {(r.id_a, r.id_b): (r.containment_a, r.containment_b,
+                                  r.jaccard)
+               for r in containment_pairs(src, threshold=0.8).collect()}
+        # exact verify => no false positives; values exact where found
+        assert set(got) <= set(want)
+        for pair, vals in got.items():
+            assert vals == want[pair], pair
+        # the planted containment must be recalled (J ~ 0.33 is far
+        # above the 32-band/2-row s-curve's ~0.18 midpoint)
+        assert (1, 2) in got
+
+
+def test_containment_vs_minhash_jaccard_parity(docs):
+    """On the module corpus, containment_pairs' jaccard column agrees
+    exactly with minhash_near_dups for every pair both emit (shared
+    verify path)."""
+    from data_crawler_spark.operators.dedup import containment_pairs
+
+    nd = {(r.id_a, r.id_b): r.jaccard
+          for r in minhash_near_dups(docs, threshold=0.5).collect()}
+    cp = {(r.id_a, r.id_b): r.jaccard
+          for r in containment_pairs(docs, threshold=0.5).collect()}
+    common = set(nd) & set(cp)
+    assert (1, 2) in common
+    for pair in common:
+        assert nd[pair] == cp[pair]
+
+
+def test_lsh_tune():
+    """(bands, rows) from the s-curve optimizer: valid factorization,
+    argmin agrees with an independent finer-grid enumeration, fp/fn
+    weighting shifts the curve the right way, midpoint lands near the
+    threshold, and validation raises."""
+    from data_crawler_spark.operators.dedup import lsh_tune
+
+    def err_on(b, r, th, w, npts):
+        import numpy as np
+        g = (np.arange(npts) + 0.5) / npts
+        p = 1.0 - (1.0 - g ** r) ** b
+        return (w * p[g < th].sum() / npts
+                + (1 - w) * (1 - p)[g >= th].sum() / npts)
+
+    for th, nh in ((0.5, 64), (0.8, 128), (0.7, 64), (0.3, 32)):
+        b, r = lsh_tune(th, nh)
+        assert b * r == nh
+        # independent 4000-point enumeration: chosen pair is optimal
+        # (within grid tolerance)
+        errs = {(nb, nh // nb): err_on(nb, nh // nb, th, 0.5, 4000)
+                for nb in range(1, nh + 1) if nh % nb == 0}
+        assert errs[(b, r)] <= min(errs.values()) + 1e-3
+        # the 50%-collision point sits near the target threshold
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - th) < 0.2, (th, nh, b, r, mid)
+
+    # FP-averse tuning pushes the curve right (more rows per band)
+    assert lsh_tune(0.5, 64, fp_weight=0.9)[1] >= \
+        lsh_tune(0.5, 64, fp_weight=0.1)[1]
+
+    import pytest as _pytest
+    for bad in ((0.0, 64), (1.0, 64)):
+        with _pytest.raises(ValueError):
+            lsh_tune(*bad)
+    with _pytest.raises(ValueError):
+        lsh_tune(0.5, 64, fp_weight=1.0)
+    with _pytest.raises(ValueError):
+        lsh_tune(0.5, 1)
