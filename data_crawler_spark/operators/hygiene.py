@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["sniff_charset_col", "decode_pages", "soft404_col",
-           "drop_soft404"]
+           "drop_soft404", "media_class_col", "filter_media"]
 
 _SNIFF_BYTES = 1024
 # charsets the tolerant decoder accepts; anything else falls back
@@ -137,3 +137,52 @@ def drop_soft404(df: DataFrame, text_col: str = "text",
              if title_col and title_col in df.columns else None)
     return df.where(~F.coalesce(
         soft404_col(F.col(text_col), title, min_tokens), F.lit(False)))
+
+
+def media_class_col(content_type: Column) -> Column:
+    """Fetched ``Content-Type`` header -> coarse media class the
+    pipeline routes on: ``html`` (text/html, application/xhtml+xml),
+    ``text`` (other text/*, JSON, XML, feeds), ``image`` / ``audio``
+    / ``video`` (by top-level type), ``pdf``, ``other`` (any other
+    declared type), ``unknown`` (null/empty header). Parameters after
+    ';' (charset etc.) and surrounding whitespace are ignored; case-
+    insensitive per RFC 9110. Pure map — the post-fetch complement to
+    links.asset_url_filter's pre-fetch extension gate: html/text
+    continues to extraction, image/audio/video feeds the multimodal
+    table, pdf/other is a routing decision the caller owns."""
+    mt = F.lower(F.trim(F.split_part(content_type, F.lit(";"), F.lit(1))))
+    top = F.split_part(mt, F.lit("/"), F.lit(1))
+    return (
+        F.when(content_type.isNull() | (F.trim(content_type) == ""),
+               "unknown")
+        .when(mt.isin("text/html", "application/xhtml+xml"), "html")
+        .when((top == "text")
+              | mt.isin("application/json", "application/xml",
+                        "application/rss+xml", "application/atom+xml",
+                        "application/ld+json"), "text")
+        .when(top == "image", "image")
+        .when(top == "audio", "audio")
+        .when(top == "video", "video")
+        .when(mt == "application/pdf", "pdf")
+        .otherwise("other"))
+
+
+def filter_media(pages: DataFrame,
+                 classes: tuple[str, ...] = ("html", "text"),
+                 content_type_col: str = "content_type",
+                 keep_unknown: bool = True) -> DataFrame:
+    """Keep only pages whose fetched Content-Type falls in
+    ``classes`` — the post-fetch gate that stops image bytes from
+    riding into text extraction (an extension gate can't catch a
+    ``/download?id=7`` endpoint serving a zip). ``keep_unknown``
+    retains pages with no Content-Type header (common on old servers;
+    the charset sniff + extraction still handle them) — set False for
+    a strict pipeline. Pure map over the page scan."""
+    valid = {"html", "text", "image", "audio", "video", "pdf", "other",
+             "unknown"}
+    bad = set(classes) - valid
+    if bad:
+        raise ValueError(f"unknown media classes: {sorted(bad)}")
+    want = set(classes) | ({"unknown"} if keep_unknown else set())
+    cls = media_class_col(F.col(content_type_col))
+    return pages.filter(cls.isin(*sorted(want)))

@@ -65,6 +65,60 @@ def is_http_col(url: Column) -> Column:
     return url.startswith("http://") | url.startswith("https://")
 
 
+# Known non-HTML asset extensions (the Nutch/Heritrix-style default
+# suffix blocklist, public knowledge): a text crawl drops these from
+# the frontier BEFORE they consume fetch budget; a media crawl routes
+# them to the multimodal path instead. Deny-SET gating keeps the
+# extension heuristic safe — "/release/v1.2" parses extension "2",
+# which is simply not in the set.
+ASSET_EXTENSIONS = frozenset({
+    # images
+    "gif", "jpg", "jpeg", "png", "bmp", "webp", "ico", "svg", "tif",
+    "tiff", "avif", "heic",
+    # audio / video
+    "mp3", "wav", "ogg", "oga", "flac", "aac", "m4a", "mid",
+    "mp4", "m4v", "mkv", "avi", "mov", "wmv", "flv", "webm", "mpg",
+    "mpeg", "3gp",
+    # styles / scripts / fonts
+    "css", "js", "mjs", "woff", "woff2", "ttf", "otf", "eot",
+    # archives / packages / binaries
+    "zip", "gz", "tgz", "bz2", "xz", "7z", "rar", "tar", "jar", "war",
+    "exe", "bin", "dmg", "iso", "apk", "msi", "deb", "rpm", "swf",
+    # documents (non-HTML)
+    "pdf", "doc", "docx", "xls", "xlsx", "ppt", "pptx", "odt", "ods",
+    "odp", "ps", "eps", "epub",
+})
+
+
+def url_extension_col(url: Column) -> Column:
+    """Lowercased filename extension of a URL's path's last segment
+    ('' when none): the token after the final '.' of the final '/'
+    segment, 1-6 chars of [a-z0-9]. Query/fragment never contribute
+    (path_col excludes them); a trailing-slash or extensionless path
+    yields ''. Pure map — safe to apply to the full frontier stream."""
+    seg = F.element_at(F.split(path_col(url), "/"), -1)
+    return F.lower(F.regexp_extract(seg, r"\.([A-Za-z0-9]{1,6})$", 1))
+
+
+def asset_url_filter(candidates: DataFrame, url_col: str = "url",
+                     extensions: frozenset[str] = ASSET_EXTENSIONS,
+                     keep_assets: bool = False) -> DataFrame:
+    """Gate frontier candidates on known non-HTML asset extensions —
+    the cheapest fetch-budget saver a text crawl has (every dropped
+    .jpg/.zip is a politeness slot given to a page that can yield
+    text or links). ``keep_assets=True`` inverts the gate, SELECTING
+    asset URLs — the discovery feed for a media/multimodal crawl.
+
+    Pure map over the candidate stream (an in-set check against a
+    literal array; zero Exchange / zero Python): content-type is not
+    known before the fetch, so extension gating is the pre-fetch
+    heuristic and ``hygiene.media_class_col`` (on the fetched
+    Content-Type) is the post-fetch truth."""
+    ext = url_extension_col(F.col(url_col))
+    is_asset = ext.isin(*sorted(extensions)) if extensions else F.lit(False)
+    return candidates.filter(is_asset if keep_assets else ~is_asset)
+
+
 # Second-level labels that act as public suffixes under a 2-letter
 # country TLD (the tldextract-style fallback heuristic: "bbc.co.uk"
 # registers at three labels, "example.de" at two). A deliberate

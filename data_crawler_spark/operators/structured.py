@@ -27,7 +27,8 @@ from data_crawler_spark.operators.links import (canonicalize_col,
 __all__ = ["jsonld_col", "jsonld_objects", "meta_entries_col",
            "page_meta", "canonical_url_col", "canonical_dedup",
            "robots_directives_col", "noindex_filter",
-           "apply_meta_nofollow"]
+           "apply_meta_nofollow", "hreflang_entries",
+           "language_variant_clusters"]
 
 _JSONLD_RE = (r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json'
               r'["\'][^>]*>(.*?)</script>')
@@ -206,3 +207,72 @@ def apply_meta_nofollow(edges: DataFrame, pages: DataFrame,
           .filter(robots_directives_col(F.col(html_col))["nofollow"])
           .select(F.col(url_col).alias("_nf_src")))
     return (edges.join(nf, edges[src_col] == nf["_nf_src"], "left_anti"))
+
+
+_LINK_TAG_RE = r"(?is)<link\b[^>]*>"
+
+
+def hreflang_entries(pages: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """Per-page language alternates: every ``<link rel=alternate
+    hreflang=... href=...>`` as ``(url, hreflang, alt_url)`` rows —
+    hreflang lowercased (BCP 47 tags incl. ``x-default``), href
+    resolved against the page URL and run through the frontier's
+    canonicalizer. ``rel`` must carry the token ``alternate``
+    (token-list match — ``rel="alternate stylesheet"`` without
+    hreflang never gets here because hreflang is required non-empty).
+    Native regex + explode, pure map + one narrow explode — html
+    never leaves the scan."""
+    s = F.col(html_col).cast("string")
+    tags = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(F.regexp_extract_all(s, F.lit(_LINK_TAG_RE), 0))
+        .alias("tag"))
+    rel = F.lower(_attr(F.col("tag"), "rel"))
+    hl = F.lower(_attr(F.col("tag"), "hreflang"))
+    href = _attr(F.col("tag"), "href")
+    resolved = F.when(href.rlike(r"(?i)^https?://"), href) \
+        .otherwise(resolve_href_col(F.col("url"), href))
+    return (tags
+            .filter(rel.rlike(r"(^|\s)alternate(\s|$)")
+                    & (hl != "") & (href != ""))
+            .select("url", hl.alias("hreflang"),
+                    canonicalize_col(resolved).alias("alt_url")))
+
+
+def language_variant_clusters(pages: DataFrame, url_col: str = "url",
+                              html_col: str = "html",
+                              max_iter: int = 25) -> DataFrame:
+    """Group pages that are language variants of one another —
+    ``(url, cluster_id)`` where cluster_id is the min URL in the
+    hreflang-connected component (pages declaring no alternates are
+    singletons). Translations are invisible to textual near-dup (zero
+    shingle overlap across languages) yet are the same *content* —
+    this is the explicit publisher-declared signal a multilingual
+    corpus uses for language-balanced sampling (cap per cluster, not
+    per page) and leakage-free splits (a cluster never straddles
+    train/eval).
+
+    Cluster over the union of captured URLs and all declared alt
+    URLs, so two captured variants still land in one cluster when
+    only a third, uncaptured variant links them both. Edges are the
+    tiny hreflang pair set; components converge in O(log diameter)
+    pointer-jumping rounds (dedup.connected_components); the page
+    table contributes only its url column."""
+    from data_crawler_spark.operators.dedup import connected_components
+
+    entries = hreflang_entries(pages, url_col, html_col)
+    caught = pages.select(F.col(url_col).alias("url"))
+    vertices = (caught
+                .unionByName(entries.select("url"))
+                .unionByName(entries.select(F.col("alt_url").alias("url")))
+                .distinct())
+    edges = (entries.filter(F.col("url") != F.col("alt_url"))
+             .select(F.col("url").alias("id_a"),
+                     F.col("alt_url").alias("id_b"))
+             .distinct())
+    comps = connected_components(vertices, edges, id_col="url",
+                                 max_iter=max_iter)
+    # report clusters for the CAPTURED pages (alt-only vertices served
+    # to connect components; they are not corpus rows)
+    return comps.join(caught, "url", "left_semi")

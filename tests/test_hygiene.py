@@ -100,3 +100,51 @@ def test_bom_consumed_so_duplicates_fingerprint_equal(spark):
            for r in decode_pages(df).collect()}
     assert got[1][0] == got[2][0] == got[3][0] == body.encode()
     assert got[2][1] == "utf-8" and got[3][1] == "utf-16le"
+
+
+def test_media_class_and_filter(spark):
+    """Content-Type -> media class: parameters/case/whitespace
+    ignored, class boundaries right, filter_media keeps the asked
+    classes (+unknown by default), pure map."""
+    from pyspark.sql import functions as F
+
+    from data_crawler_spark.operators.hygiene import (filter_media,
+                                                      media_class_col)
+
+    rows = [
+        (1, "text/html; charset=utf-8", "html"),
+        (2, "Application/XHTML+XML", "html"),
+        (3, "text/plain", "text"),
+        (4, "application/json", "text"),
+        (5, "image/png", "image"),
+        (6, "AUDIO/mpeg ; x=y", "audio"),
+        (7, "video/mp4", "video"),
+        (8, "application/pdf", "pdf"),
+        (9, "application/octet-stream", "other"),
+        (10, None, "unknown"),
+        (11, "  ", "unknown"),
+        (12, "application/rss+xml", "text"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ct) for i, ct, _ in rows], "id long, content_type string")
+    got = {r.id: r.c for r in df.select(
+        "id", media_class_col(F.col("content_type")).alias("c"))
+        .collect()}
+    assert got == {i: want for i, _, want in rows}
+
+    kept = {r.id for r in filter_media(df).collect()}
+    assert kept == {1, 2, 3, 4, 10, 11, 12}
+    strict = {r.id for r in filter_media(df, keep_unknown=False)
+              .collect()}
+    assert strict == {1, 2, 3, 4, 12}
+    media = {r.id for r in filter_media(
+        df, classes=("image", "audio", "video")).collect()}
+    assert media == {5, 6, 7, 10, 11}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown media classes"):
+        filter_media(df, classes=("htlm",))
+
+    plan = filter_media(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan

@@ -291,3 +291,80 @@ def test_unquoted_attr_values(spark):
     assert ("viewport", "width=device-width") in pairs
     assert (r["d"]["noindex"], r["d"]["nofollow"]) == (True, True)
     assert r["c"] == "http://u.test/canon"
+
+
+def test_hreflang_entries_forms(spark):
+    """All three attribute quote forms, relative href resolution +
+    canonicalization, token-list rel matching, case folding; pages
+    without alternates emit nothing; html never leaves the scan
+    (pure map + explode — no Exchange/Python)."""
+    from pyspark.sql import functions as F
+
+    from data_crawler_spark.operators.structured import hreflang_entries
+
+    pages = [
+        ("http://a.com/en/p",
+         '<link rel="alternate" hreflang="de" href="http://a.com/de/p">'
+         "<link rel='alternate' hreflang='FR' href='/fr/p'>"
+         '<link rel=alternate hreflang=x-default href=../p>'
+         '<link rel="alternate stylesheet" hreflang="xx" href="/s.css">'
+         '<link rel="stylesheet" href="/style.css">'
+         '<link rel="alternate" type="application/rss+xml" href="/feed">'),
+        ("http://b.com/solo", "<p>no links</p>"),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    got = {(r.url, r.hreflang, r.alt_url)
+           for r in hreflang_entries(df).collect()}
+    assert got == {
+        ("http://a.com/en/p", "de", "http://a.com/de/p"),
+        ("http://a.com/en/p", "fr", "http://a.com/fr/p"),
+        ("http://a.com/en/p", "x-default", "http://a.com/p"),
+        # rel token-list: "alternate stylesheet" DOES carry the
+        # alternate token and an hreflang, so it is (correctly) kept
+        ("http://a.com/en/p", "xx", "http://a.com/s.css"),
+    }
+
+    plan = hreflang_entries(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_language_variant_clusters(spark):
+    """Captured variants cluster through an UNCAPTURED hub (the
+    x-default page links both), unrelated pages stay singletons,
+    alt-only vertices don't appear in the output, layout-invariant."""
+    from data_crawler_spark.operators.structured import \
+        language_variant_clusters
+
+    hub_links = ('<link rel="alternate" hreflang="en" '
+                 'href="http://s.com/en">'
+                 '<link rel="alternate" hreflang="de" '
+                 'href="http://s.com/de">')
+    pages = [
+        # en and de each declare only the uncaptured x-default hub
+        ("http://s.com/en", '<link rel="alternate" hreflang="x-default"'
+                            ' href="http://s.com/">'),
+        ("http://s.com/de", '<link rel="alternate" hreflang="x-default"'
+                            ' href="http://s.com/">'),
+        ("http://other.com/q", "<p>plain page</p>"),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    for src in (df, df.repartition(5)):
+        got = {r.url: r.cluster_id
+               for r in language_variant_clusters(src).collect()}
+        # min url over {s.com/, s.com/de, s.com/en} is the hub itself
+        assert got == {
+            "http://s.com/en": "http://s.com/",
+            "http://s.com/de": "http://s.com/",
+            "http://other.com/q": "http://other.com/q",
+        }
+    # hub page text never captured -> not a row in the output
+    assert "http://s.com/" not in got
+
+    # sanity: hub_links present on a captured hub merges the same way
+    df2 = spark.createDataFrame(
+        [("http://s.com/", hub_links), *pages[:2]],
+        "url string, html string")
+    got2 = {r.url: r.cluster_id
+            for r in language_variant_clusters(df2).collect()}
+    assert set(got2.values()) == {"http://s.com/"}

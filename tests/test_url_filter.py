@@ -336,3 +336,42 @@ def test_host_suffixes_keep_ported_entry(spark):
     kept = [r.url for r in host_blocklist_filter(
         urls, ["evil.com:8080"]).collect()]
     assert kept == ["http://evil.com/x"]
+
+
+def test_asset_url_filter(spark):
+    """Extension gate: known asset extensions drop (or invert-select),
+    versioned paths / query strings / extensionless URLs survive, and
+    the gate is a pure map (zero Exchange / zero Python)."""
+    from pyspark.sql import functions as F
+
+    from data_crawler_spark.operators.links import (asset_url_filter,
+                                                    url_extension_col)
+
+    rows = [
+        (1, "http://a.com/pic.JPG"),            # asset (case-folded)
+        (2, "http://a.com/doc.pdf?dl=1"),       # asset; query ignored
+        (3, "http://a.com/page.html"),          # html keeps
+        (4, "http://a.com/release/v1.2"),       # ext "2" not in set
+        (5, "http://a.com/api/data.json"),      # json not an asset ext
+        (6, "http://a.com/dir/"),               # trailing slash: no ext
+        (7, "http://a.com/archive.tar.gz"),     # last ext wins: gz
+        (8, "http://a.com/page.php#frag.png"),  # fragment ignored
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    exts = {r.id: r.e for r in df.select(
+        "id", url_extension_col(F.col("url")).alias("e")).collect()}
+    assert exts == {1: "jpg", 2: "pdf", 3: "html", 4: "2", 5: "json",
+                    6: "", 7: "gz", 8: "php"}
+    kept = {r.id for r in asset_url_filter(df).collect()}
+    assert kept == {3, 4, 5, 6, 8}
+    assets = {r.id for r in asset_url_filter(df, keep_assets=True)
+              .collect()}
+    assert assets == {1, 2, 7}
+    # custom deny set
+    assert {r.id for r in asset_url_filter(
+        df, extensions=frozenset({"php"})).collect()} == \
+        {1, 2, 3, 4, 5, 6, 7}
+
+    plan = asset_url_filter(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
