@@ -7,7 +7,7 @@ spec in sources/web.py::BUDGET_BY_DELAY and oracle/crawler.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,3 +69,130 @@ def host_session_blocks(scheduled: DataFrame, gap_rounds: int = 2) -> DataFrame:
             .agg(F.min("round").alias("session_start"),
                  F.max("round").alias("session_end"),
                  F.sum("n_scheduled").alias("n_in_session")))
+
+
+# ---------------------------------------------------------------------------
+# Fetch-status feedback: error-aware host backoff (RFC 9110 Retry-After)
+# ---------------------------------------------------------------------------
+
+def fetch_status_class_col(status: Column) -> Column:
+    """HTTP status code -> the coarse class the crawl loop routes on:
+    ``ok`` (2xx), ``redirect`` (3xx), ``gone`` (404/410 — drop the
+    URL, don't retry), ``throttled`` (429 Too Many Requests / 503
+    Service Unavailable — the server is TELLING us to slow down),
+    ``client_error`` (other 4xx), ``server_error`` (other 5xx),
+    ``unknown`` (null / out-of-range — connection-level failures a
+    fetcher logs without a status). Pure map."""
+    s = status.cast("int")
+    return (
+        F.when(s.isNull(), "unknown")
+        .when(s.isin(429, 503), "throttled")
+        .when((s >= 200) & (s < 300), "ok")
+        .when((s >= 300) & (s < 400), "redirect")
+        .when(s.isin(404, 410), "gone")
+        .when((s >= 400) & (s < 500), "client_error")
+        .when((s >= 500) & (s < 600), "server_error")
+        .otherwise("unknown"))
+
+
+def retry_after_until_col(retry_after: Column, fetched_at: Column) -> Column:
+    """RFC 9110 §10.2.3 ``Retry-After`` -> the absolute timestamp the
+    server asked us to wait until: the header is EITHER delta-seconds
+    or an IMF-fixdate — delta is anchored at ``fetched_at``. Null when
+    absent or unparsable (try_cast / try_to_timestamp; the day-of-week
+    prefix is stripped and the zone parsed with 'zzz', both per
+    freshness.cache_directives_col's parsing rules)."""
+    ra = F.trim(retry_after.cast("string"))
+    delta = F.nullif(ra, F.lit("")).try_cast("long")
+    http_date = F.try_to_timestamp(
+        F.regexp_replace(ra, r"^[A-Za-z]+,\s*", ""),
+        F.lit("dd MMM yyyy HH:mm:ss zzz"))
+    return F.when(
+        delta.isNotNull(),
+        F.timestamp_add("SECOND", delta, fetched_at.cast("timestamp"))
+    ).otherwise(http_date)
+
+
+def host_backoff(fetches: DataFrame, now, *, host_col: str = "host",
+                 status_col: str = "status",
+                 retry_after_col: str | None = None,
+                 fetched_at_col: str | None = None,
+                 base_backoff_s: int = 60,
+                 max_backoff_s: int = 3600,
+                 error_threshold: float = 0.5) -> DataFrame:
+    """Per-host backoff table from a round's fetch log — the
+    error-side politeness feedback loop (adaptive_host_budgets is the
+    yield side): a host that throttled us (429/503) or mostly failed
+    (server-error fraction >= ``error_threshold``) gets a
+    ``backoff_until`` timestamp the scheduler must respect.
+
+    The penalty is exponential in the host's error count —
+    ``least(base_backoff_s * 2^min(n_err - 1, 20), max_backoff_s)``
+    seconds from ``now`` (the Heritrix-style retry ramp, capped so one
+    bad round never parks a host for a week) — and an explicit
+    ``Retry-After`` always wins when it asks for MORE than the ramp:
+    ``backoff_until = greatest(now + penalty, max Retry-After)``.
+    Hosts with no throttle signal and an error fraction below the
+    threshold emit no row (the output is a sparse dimension, like the
+    hosts table itself).
+
+    Scale shape: one map-side-partial groupBy on host — the fetch log
+    is scanned once, output is O(hosts-in-trouble). Deterministic in
+    the data; ``now`` is a datetime or ISO string (the
+    recrawl_priority convention)."""
+    if not 0.0 < error_threshold <= 1.0:
+        raise ValueError(
+            f"error_threshold must be in (0,1], got {error_threshold}")
+    if base_backoff_s <= 0 or max_backoff_s < base_backoff_s:
+        raise ValueError(
+            f"need 0 < base_backoff_s <= max_backoff_s, got "
+            f"{base_backoff_s}, {max_backoff_s}")
+    cls = fetch_status_class_col(F.col(status_col))
+    explicit = (
+        retry_after_until_col(
+            F.col(retry_after_col),
+            F.col(fetched_at_col) if fetched_at_col else F.lit(now))
+        if retry_after_col else F.lit(None).cast("timestamp"))
+    # only a throttle response's Retry-After is a backoff instruction
+    # (on a 3xx it means "poll the redirect target later", not "slow
+    # down" — RFC 9110 lists both uses)
+    per = fetches.select(
+        F.col(host_col).alias("host"), cls.alias("cls"),
+        F.when(cls == "throttled", explicit).alias("ra"))
+    agg = per.groupBy("host").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("cls") == "throttled").alias("n_throttled"),
+        F.count_if(F.col("cls").isin("throttled", "server_error"))
+        .alias("n_err"),
+        F.max("ra").alias("explicit_until"))
+    troubled = agg.filter(
+        (F.col("n_throttled") > 0)
+        | (F.col("n_err") >= F.lit(float(error_threshold)) * F.col("n")))
+    penalty_s = F.least(
+        F.lit(base_backoff_s)
+        * F.pow(F.lit(2.0), F.least(F.col("n_err") - 1, F.lit(20))
+                .cast("double")),
+        F.lit(float(max_backoff_s))).cast("long")
+    ramp_until = F.timestamp_add(
+        "SECOND", penalty_s, F.lit(now).cast("timestamp"))
+    return troubled.select(
+        "host", "n_err", "n_throttled",
+        F.greatest(ramp_until, F.col("explicit_until"))
+        .alias("backoff_until"))
+
+
+def apply_backoff(hosts: DataFrame, backoffs: DataFrame, now) -> DataFrame:
+    """Fold a ``host_backoff`` table into the scheduler's hosts
+    dimension: a host whose ``backoff_until`` is still in the future
+    at ``now`` gets ``budget_per_round = 0`` this round (scheduled
+    nothing, stays in the frontier — the budget comes back the round
+    the backoff expires). Broadcast join against the sparse backoff
+    dimension + pure map, the apply_crawl_delay shape."""
+    b = F.broadcast(backoffs.select("host", "backoff_until"))
+    active = (F.col("backoff_until").isNotNull()
+              & (F.col("backoff_until") > F.lit(now).cast("timestamp")))
+    return (hosts.join(b, "host", "left")
+            .withColumn("budget_per_round",
+                        F.when(active, F.lit(0))
+                        .otherwise(F.col("budget_per_round")))
+            .drop("backoff_until"))

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def mixture_rates(counts: dict[str, int],
+def mixture_rates(counts: dict[str, float],
                   weights: dict[str, float] | None = None,
                   temperature: float | None = None) -> dict[str, float]:
     """Per-group keep rates from observed ``counts`` and either explicit
@@ -87,16 +87,32 @@ def sample_corpus_mixture(df: DataFrame, group_col: str = "lang",
                           id_col: str = "doc_id",
                           weights: dict[str, float] | None = None,
                           temperature: float | None = None,
-                          seed: int = 0) -> DataFrame:
+                          seed: int = 0,
+                          weight_col: str | None = None) -> DataFrame:
     """Downsample ``df`` so ``group_col``'s mixture matches ``weights``
     (or the ``temperature``-annealed observed mixture) in expectation.
     Returns the surviving rows with their group's ``sample_rate``
     appended. One count job over the groups; the filter itself is a
     shuffle-free map (literal rate lookup + hash compare), deterministic
-    in (id, seed) alone."""
+    in (id, seed) alone.
+
+    ``weight_col`` switches the mixture's UNIT from documents to that
+    column's mass — published LM mixtures (Pile, Llama, PaLM) specify
+    TOKEN proportions, and doc-proportions only match them when every
+    group's mean doc length is equal. With ``weight_col="n_tokens"``
+    the group masses are Σ tokens and the kept set matches ``weights``
+    in expected token mass (the keep decision stays per-doc and
+    length-independent, so within a group the rate applies uniformly;
+    negative/null weights count as 0 toward the mass)."""
+    mass = (F.greatest(F.coalesce(F.col(weight_col).cast("double"),
+                                  F.lit(0.0)), F.lit(0.0))
+            if weight_col else F.lit(1.0))
     counts = {r["g"]: r["c"]
               for r in df.groupBy(F.col(group_col).alias("g"))
-                         .agg(F.count("*").alias("c")).collect()}
+                         .agg(F.sum(mass).alias("c")).collect()}
+    # a group whose entire mass is 0 can't be scaled to any target —
+    # same drop semantics as an absent group
+    counts = {g: c for g, c in counts.items() if c and c > 0}
     # a null group (unlabeled docs — langid emits null for empty text)
     # is rate-0 by definition and must not bind the mixture scale; it
     # also cannot be a create_map key (Spark rejects null map keys)

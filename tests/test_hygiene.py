@@ -148,3 +148,71 @@ def test_media_class_and_filter(spark):
     plan = filter_media(df)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# decompress_payloads
+# ---------------------------------------------------------------------------
+
+def test_decompress_payloads_roundtrip(spark):
+    import gzip
+    import zlib
+
+    from data_crawler_spark.operators.hygiene import decompress_payloads
+
+    plain = b"<urlset><url><loc>http://a.com/</loc></url></urlset>"
+    rows = [("gz", gzip.compress(plain)),
+            ("zl", zlib.compress(plain)),
+            ("raw", plain),
+            ("corrupt", b"\x1f\x8b" + b"\x00" * 10),
+            ("null", None)]
+    df = spark.createDataFrame(rows, "id string, payload binary")
+    got = {r["id"]: r for r in
+           decompress_payloads(df, "payload").collect()}
+    assert bytes(got["gz"]["payload"]) == plain
+    assert got["gz"]["payload_codec"] == "gzip"
+    assert bytes(got["zl"]["payload"]) == plain
+    assert got["zl"]["payload_codec"] == "zlib"
+    assert bytes(got["raw"]["payload"]) == plain
+    assert got["raw"]["payload_codec"] == "raw"
+    assert got["corrupt"]["payload"] is None
+    assert got["corrupt"]["payload_codec"] == "corrupt"
+    assert got["null"]["payload"] is None
+    assert got["null"]["payload_codec"] is None
+
+
+def test_decompress_bomb_guard(spark):
+    import gzip
+
+    from data_crawler_spark.operators.hygiene import decompress_payloads
+
+    # 200 MB of zeros compresses to ~200 KB; the cap must refuse it
+    # without materializing the plaintext
+    bomb = gzip.compress(b"\x00" * (200 << 20))
+    assert len(bomb) < (1 << 20)
+    df = spark.createDataFrame([("b", bomb)], "id string, payload binary")
+    r = decompress_payloads(df, "payload", max_bytes=1 << 20).first()
+    assert r["payload"] is None and r["payload_codec"] == "too_big"
+    with pytest.raises(ValueError):
+        decompress_payloads(df, "payload", max_bytes=0)
+
+
+def test_decompress_gzipped_sitemap_end_to_end(spark):
+    import gzip
+
+    from data_crawler_spark.operators.hygiene import decompress_payloads
+    from data_crawler_spark.operators.links import sitemap_urls
+
+    xml = (b"<?xml version='1.0'?><urlset>"
+           b"<url><loc>HTTP://A.com/x</loc></url>"
+           b"<url><loc>http://a.com/y?b=2&amp;a=1</loc></url></urlset>")
+    df = spark.createDataFrame(
+        [("http://a.com/sitemap.xml.gz", gzip.compress(xml))],
+        "url string, payload binary")
+    pages = decompress_payloads(df, "payload").select(
+        "url", F.decode("payload", "UTF-8").alias("body"))
+    got = sorted(r["url"] for r in
+                 sitemap_urls(pages, xml_col="body").collect())
+    # the frontier canonicalizer lowercases scheme/host and decodes the
+    # XML entity; it deliberately preserves query-param order
+    assert got == ["http://a.com/x", "http://a.com/y?b=2&a=1"]

@@ -64,3 +64,105 @@ def test_session_gap_off_by_one(spark):
     # rounds 1,3 stay one session (1 idle round); round 7 splits
     # (3 idle rounds >= 2)
     assert spans == [(1, 3), (7, 7)]
+
+
+# ---------------------------------------------------------------------------
+# fetch-status backoff (fetch_status_class_col / host_backoff)
+# ---------------------------------------------------------------------------
+
+from data_crawler_spark.operators.politeness import (  # noqa: E402
+    apply_backoff,
+    fetch_status_class_col,
+    host_backoff,
+    retry_after_until_col,
+)
+
+NOW = "2026-01-10 12:00:00"
+
+
+def test_fetch_status_classes(spark):
+    cases = [(200, "ok"), (204, "ok"), (301, "redirect"), (304, "redirect"),
+             (404, "gone"), (410, "gone"), (403, "client_error"),
+             (429, "throttled"), (503, "throttled"), (500, "server_error"),
+             (502, "server_error"), (None, "unknown"), (999, "unknown")]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "status int")
+    got = [r["c"] for r in
+           df.select(fetch_status_class_col(F.col("status")).alias("c"))
+           .collect()]
+    assert got == [c for _, c in cases]
+
+
+def test_retry_after_parse(spark):
+    rows = [("120", "2026-01-10 12:00:00"),             # delta-seconds
+            ("Sat, 10 Jan 2026 13:30:00 GMT", None),    # IMF-fixdate
+            ("garbage", None),                          # unparsable
+            (None, None)]                               # absent
+    df = spark.createDataFrame(rows, "ra string, at string")
+    got = df.select(
+        retry_after_until_col(F.col("ra"), F.col("at").cast("timestamp"))
+        .cast("string").alias("t")).collect()
+    assert got[0]["t"] == "2026-01-10 12:02:00"
+    assert got[1]["t"] == "2026-01-10 13:30:00"
+    assert got[2]["t"] is None and got[3]["t"] is None
+
+
+def _fetches(spark, rows):
+    return spark.createDataFrame(
+        rows, "host string, status int, retry_after string, "
+              "fetched_at string").withColumn(
+        "fetched_at", F.col("fetched_at").cast("timestamp"))
+
+
+def test_host_backoff_ramp_and_retry_after(spark):
+    rows = [
+        # a.com: healthy
+        ("a.com", 200, None, None), ("a.com", 404, None, None),
+        # b.com: throttled once -> base penalty 60s (n_err=1 -> 2^0)
+        ("b.com", 200, None, None), ("b.com", 429, None, None),
+        # c.com: 3 server errors of 4 -> err_frac 0.75 >= 0.5,
+        # penalty = 60 * 2^2 = 240s
+        ("c.com", 500, None, None), ("c.com", 502, None, None),
+        ("c.com", 503, None, None), ("c.com", 200, None, None),
+        # d.com: throttled with explicit Retry-After BEYOND the ramp
+        ("d.com", 429, "7200", "2026-01-10 12:00:00"),
+    ]
+    got = {r["host"]: r for r in host_backoff(
+        _fetches(spark, rows), NOW, retry_after_col="retry_after",
+        fetched_at_col="fetched_at").collect()}
+    assert "a.com" not in got            # healthy host emits no row
+    assert str(got["b.com"]["backoff_until"]) == "2026-01-10 12:01:00"
+    assert str(got["c.com"]["backoff_until"]) == "2026-01-10 12:04:00"
+    # explicit 7200s > capped ramp (60*2^0=60s) -> Retry-After wins
+    assert str(got["d.com"]["backoff_until"]) == "2026-01-10 14:00:00"
+    assert got["c.com"]["n_err"] == 3 and got["c.com"]["n_throttled"] == 1
+
+
+def test_host_backoff_cap_and_threshold(spark):
+    rows = ([("x.com", 500, None, None)] * 30
+            + [("y.com", 500, None, None)]
+            + [("y.com", 200, None, None)] * 9)
+    got = {r["host"]: r for r in host_backoff(
+        _fetches(spark, rows), NOW, base_backoff_s=60,
+        max_backoff_s=600).collect()}
+    # 60 * 2^20 >> 600 -> capped at 600s
+    assert str(got["x.com"]["backoff_until"]) == "2026-01-10 12:10:00"
+    # y.com err_frac 0.1 < 0.5 and no throttle -> no row
+    assert "y.com" not in got
+    with pytest.raises(ValueError):
+        host_backoff(_fetches(spark, rows), NOW, error_threshold=0.0)
+    with pytest.raises(ValueError):
+        host_backoff(_fetches(spark, rows), NOW, base_backoff_s=0)
+
+
+def test_apply_backoff(spark):
+    hosts = spark.createDataFrame(
+        [("a.com", 8), ("b.com", 4), ("c.com", 2)],
+        "host string, budget_per_round int")
+    backoffs = spark.createDataFrame(
+        [("b.com", "2026-01-10 13:00:00"),   # still active at NOW
+         ("c.com", "2026-01-10 11:00:00")],  # expired
+        "host string, backoff_until string").withColumn(
+        "backoff_until", F.col("backoff_until").cast("timestamp"))
+    got = {r["host"]: r["budget_per_round"]
+           for r in apply_backoff(hosts, backoffs, NOW).collect()}
+    assert got == {"a.com": 8, "b.com": 0, "c.com": 2}

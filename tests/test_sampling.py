@@ -361,3 +361,45 @@ def test_shuffle_key_col_mirror_unique_and_seeded(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_sample_corpus_mixture_token_weighted(spark):
+    # en docs are 10x longer than fr docs: doc-proportion and
+    # token-proportion mixtures disagree, token mode must follow tokens
+    rows = ([(i, "en", 1000) for i in range(100)]
+            + [(1000 + i, "fr", 100) for i in range(100)])
+    df = (spark.createDataFrame(rows, "doc_id long, lang string, "
+                                      "n_tokens long")
+          .repartition(8))
+    w = {"en": 0.5, "fr": 0.5}
+    out = sample_corpus_mixture(df, weights=w, seed=5,
+                                weight_col="n_tokens")
+    got = {(r.doc_id, r.sample_rate) for r in out.collect()}
+
+    # mirror: token masses are 100k (en) / 10k (fr); fr binds at
+    # scale 10k/0.5 = 20k -> en keeps 10k of 100k tokens (rate 0.1)
+    rates = mixture_rates({"en": 100_000.0, "fr": 10_000.0}, weights=w)
+    assert rates == {"en": 0.1, "fr": 1.0}
+    expected = set()
+    for doc_id, lang, _ in rows:
+        r = rates[lang]
+        if r >= 1.0 or _u(doc_id, 5) < r:
+            expected.add((doc_id, r))
+    assert got == expected
+    # doc-unit mode on the same frame picks DIFFERENT rates (both
+    # groups have 100 docs -> rate 0.5/0.5 scale -> both 1.0)
+    doc_out = sample_corpus_mixture(df, weights=w, seed=5)
+    assert {r.sample_rate for r in doc_out.collect()} == {1.0}
+
+
+def test_sample_corpus_mixture_zero_mass_group(spark):
+    rows = ([(1, "en", 50), (2, "en", 50),
+             (3, "xx", 0), (4, "xx", None), (5, "xx", -3)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                     "n_tokens long")
+    out = sample_corpus_mixture(df, weights={"en": 1.0, "xx": 1.0},
+                                weight_col="n_tokens")
+    # xx has zero total mass -> cannot meet any target -> dropped,
+    # en (the only weighted group with mass) keeps everything
+    got = {(r.doc_id, r.sample_rate) for r in out.collect()}
+    assert got == {(1, 1.0), (2, 1.0)}
