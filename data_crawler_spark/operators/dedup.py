@@ -537,28 +537,67 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
             .select(F.col(id_col), F.coalesce("sim", F.lit(0)).alias("sim")))
 
 
+def hamming_near_dups(hashes: DataFrame, id_col: str = "doc_id",
+                      hash_col: str = "sim", max_hamming: int = 3,
+                      n_chunks: int | None = None) -> DataFrame:
+    """EXACT hamming-neighbor pairs over any 64-bit hash column
+    (SimHash text signatures, perceptual image hashes, ...) without an
+    all-pairs join: split the 64 bits into ``n_chunks`` contiguous
+    blocking keys — by pigeonhole, any pair within hamming <=
+    n_chunks−1 agrees exactly on at least one chunk — bucket-join on
+    (chunk, value), verify bit_count(xor) on the candidates. Exact
+    (zero false negatives) whenever ``n_chunks > max_hamming``, which
+    the default (max_hamming+1) guarantees; recall is structural, not
+    probabilistic, unlike MinHash banding. More chunks = shorter keys
+    = bigger buckets, so at high ``max_hamming`` expect the candidate
+    set (and the one shuffle) to grow — the standard tradeoff."""
+    n_chunks = n_chunks if n_chunks is not None else max_hamming + 1
+    if not 1 <= n_chunks <= 64:
+        raise ValueError(f"n_chunks must be in [1, 64], got {n_chunks}")
+    if n_chunks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs n_chunks > max_hamming for exactness, "
+            f"got {n_chunks} <= {max_hamming}")
+    base, rem = divmod(64, n_chunks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_chunks)]
+    offs, o = [], 0
+    for w in widths:
+        offs.append(o)
+        o += w
+    h = F.col(hash_col)
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned(h, offs[c])
+                 .bitwiseAND(F.lit((1 << widths[c]) - 1)).alias("ck"))
+        for c in range(n_chunks)
+    ])
+    ex = (hashes.select(F.col(id_col), h.alias("_h"),
+                        F.explode(chunks).alias("b"))
+          .select(id_col, "_h", "b.chunk", "b.ck"))
+    left = ex.select(F.col(id_col).alias("id_a"),
+                     F.col("_h").alias("h_a"), "chunk", "ck")
+    right = ex.select(F.col(id_col).alias("id_b"),
+                      F.col("_h").alias("h_b"), "chunk", "ck")
+    cands = (left.join(right, ["chunk", "ck"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "h_a", "h_b").distinct())
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cands.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup: 4 16-bit chunks as blocking keys (any pair
     within hamming<=3 shares at least one exact chunk — pigeonhole), then
-    verify hamming distance on candidates via bit_count(xor)."""
+    verify hamming distance on candidates via bit_count(xor). The
+    blocking is hamming_near_dups (shared with perceptual-hash media
+    dedup); n_chunks=4 keeps the historical 16-bit chunk layout — and
+    stays exact for any max_hamming <= 3."""
     sh = simhash_signatures(df, id_col, text_col)
-    chunks = F.array(*[
-        F.struct(F.lit(c).alias("chunk"),
-                 F.shiftrightunsigned("sim", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"))
-        for c in range(4)
-    ])
-    ex = sh.select(id_col, "sim", F.explode(chunks).alias("b")) \
-           .select(id_col, "sim", "b.chunk", "b.ck")
-    left = ex.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "chunk", "ck")
-    right = ex.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "chunk", "ck")
-    cands = (left.join(right, ["chunk", "ck"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sim_a", "sim_b").distinct())
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (cands.withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    return hamming_near_dups(sh, id_col, "sim", max_hamming,
+                             n_chunks=max(4, max_hamming + 1))
 
 
 # ---------------------------------------------------------------------------

@@ -122,3 +122,104 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         .select("media_id", F.posexplode(idx).alias("pos", "frame_idx"))
         .select("media_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing: DCT pHash + hamming near-dup over media payloads
+# ---------------------------------------------------------------------------
+
+_PHASH_N = 32  # grayscale side length the DCT runs on (standard pHash)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (the standard image-hash
+    transform), as a plain numpy matmul — no scipy in this container."""
+    k = np.arange(n, dtype=np.float64)
+    m = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+_DCT32 = _dct_matrix(_PHASH_N)
+
+
+def phash64(gray: np.ndarray) -> int:
+    """The REAL pHash math (the part that is pure published algorithm,
+    independent of any codec): 32x32 grayscale -> 2-D DCT-II -> keep
+    the 8x8 low-frequency block -> threshold each coefficient at the
+    median of the 63 AC coefficients (DC excluded from the median — it
+    is pure mean brightness; its own bit uses the same threshold) ->
+    64 bits, bit i = coefficient_i > median. A uniform brightness
+    shift changes ONLY the DC coefficient, so at most one bit moves —
+    the invariance that makes pHash a *perceptual* hash. Returns a
+    signed int64 (Spark's long), row-major bit order."""
+    if gray.shape != (_PHASH_N, _PHASH_N):
+        raise ValueError(
+            f"phash64 wants a {_PHASH_N}x{_PHASH_N} grayscale array, "
+            f"got {gray.shape}")
+    d = _DCT32 @ gray.astype(np.float64) @ _DCT32.T
+    block = d[:8, :8].ravel()
+    med = np.median(block[1:])
+    bits = np.uint64(0)
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(bits))
+
+
+def _fake_gray(payload: bytes) -> np.ndarray:
+    """Deterministic pseudo-grayscale for the stubbed codec seam: the
+    payload bytes tiled into a 32x32 float array. Identical bytes give
+    identical 'images' — the property the plumbing tests need."""
+    if not payload:
+        return np.zeros((_PHASH_N, _PHASH_N))
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    return np.resize(arr, _PHASH_N * _PHASH_N).reshape(_PHASH_N, _PHASH_N)
+
+
+def phash_media(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """(media_id, phash) per payload — the 64-bit perceptual hash a
+    media crawl dedups on. The codec step (bytes -> 32x32 grayscale)
+    is the same strict/fake seam as decode_and_featurize (a real
+    deployment plugs PIL/ffmpeg in at ``_fake_gray``'s position); the
+    DCT/median/threshold math downstream of the seam is the real
+    published algorithm and is tested directly on synthetic grayscale.
+    One Arrow-batched mapInPandas pass; payload bytes never shuffle —
+    only (media_id, phash) leaves the scan. Null payloads -> null
+    phash."""
+    if decode not in ("fake", "strict"):
+        raise ValueError(
+            f"decode must be 'fake' or 'strict', got {decode!r}")
+    if decode == "strict":
+        raise NotImplementedError(
+            "real media decoding requires codec libraries not "
+            "present in this environment; use decode='fake' for "
+            "the deterministic stand-in")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "phash": pd.array(
+                    [phash64(_fake_gray(bytes(p))) if p is not None
+                     else None for p in pdf["payload"]],
+                    dtype="Int64"),
+            })
+
+    return (media.select("media_id", "payload")
+            .mapInPandas(fn, "media_id long, phash long"))
+
+
+def media_near_dups(media: DataFrame, max_hamming: int = 6,
+                    decode: str = "fake") -> DataFrame:
+    """Perceptual near-duplicate media pairs: phash_media then EXACT
+    hamming blocking (dedup.hamming_near_dups — by pigeonhole,
+    max_hamming+1 chunks guarantee zero false negatives), the image
+    analogue of simhash_near_dups. Emits (id_a, id_b, hamming) with
+    id_a < id_b; the payload bytes feed exactly one Arrow stage and
+    never ride the blocking shuffle."""
+    from data_crawler_spark.operators.dedup import hamming_near_dups
+
+    hashes = phash_media(media, decode).where(F.col("phash").isNotNull())
+    return hamming_near_dups(hashes, "media_id", "phash", max_hamming)

@@ -879,3 +879,73 @@ class AnnIndex:
         return _ivfpq_query(self._codes.read(self._codes_version),
                             self.cent, self.cb, queries, k, n_probe,
                             self.id_col, self.vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Reference-centroid quality scoring (the "looks like the curated set"
+# embedding gate: Gopher/FineWeb-style wiki-similarity filtering)
+# ---------------------------------------------------------------------------
+
+def reference_centroid(reference: DataFrame,
+                       vec_col: str = "embedding") -> np.ndarray:
+    """Elementwise mean of a reference embedding set, computed
+    DISTRIBUTED (posexplode -> one map-side-partial groupBy(pos) ->
+    collect d rows): the curated set is usually small, but nothing
+    here requires it to fit anywhere — shuffle rows are (pos, sum,
+    count) partials and the driver receives exactly ``dim`` doubles.
+    Null vectors are ignored; raises on an empty/all-null reference or
+    mixed dimensions (a mean across dimensions is meaningless)."""
+    rows = (reference.where(F.col(vec_col).isNotNull())
+            .select(F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("pos").agg(F.avg("v").alias("m"),
+                                F.count("*").alias("n"))
+            .collect())
+    if not rows:
+        raise ValueError("reference set has no non-null vectors")
+    ns = {r["n"] for r in rows}
+    if len(ns) != 1:
+        raise ValueError(
+            "reference vectors have mixed dimensions "
+            f"(per-position counts {sorted(ns)})")
+    out = np.zeros(len(rows))
+    for r in rows:
+        out[r["pos"]] = r["m"]
+    return out
+
+
+def centroid_similarity(corpus: DataFrame, reference: DataFrame,
+                        vec_col: str = "embedding",
+                        out_col: str = "ref_sim") -> DataFrame:
+    """Append cosine(doc embedding, reference-set centroid) — the
+    embedding-space quality signal published pipelines use as "does
+    this page look like the curated corpus" (the model-free cousin of
+    the NB classifier gate; FineWeb/DataComp-style centroid scoring).
+    One aggregate for the centroid, then a PURE MAP over the corpus
+    (the centroid rides the plan as a d-element literal array) — the
+    corpus is never shuffled, joined, or collected. Null/zero vectors
+    score null."""
+    c = reference_centroid(reference, vec_col)
+    nc = float(np.linalg.norm(c))
+    if nc == 0.0:
+        raise ValueError("reference centroid is the zero vector — "
+                         "cosine to it is undefined")
+    lit = F.array(*[F.lit(float(x)) for x in (c / nc)])
+    v = F.col(vec_col)
+    sim = F.when(v.isNotNull() & (norm_col(v) > 0),
+                 dot_col(v, lit) / norm_col(v))
+    return corpus.withColumn(out_col, sim)
+
+
+def reference_similarity_filter(corpus: DataFrame, reference: DataFrame,
+                                threshold: float,
+                                vec_col: str = "embedding",
+                                keep_below: bool = False) -> DataFrame:
+    """Gate the corpus on centroid similarity: keep docs with
+    ``ref_sim >= threshold`` (or BELOW it with ``keep_below=True`` —
+    the dissimilar side is how you mine hard negatives / novelty).
+    Docs with null/zero embeddings are dropped either way (no score =
+    no evidence). Same pure-map shape as centroid_similarity."""
+    scored = centroid_similarity(corpus, reference, vec_col, "_ref_sim")
+    keep = (F.col("_ref_sim") < threshold if keep_below
+            else F.col("_ref_sim") >= threshold)
+    return scored.where(keep).drop("_ref_sim")

@@ -117,3 +117,66 @@ def split_leakage(splits: DataFrame, pairs: DataFrame,
            .filter(~F.col("split_a").eqNullSafe(F.col("split_b"))
                    | F.col("split_a").isNull()))
     return out.select(id_a, id_b, "split_a", "split_b")
+
+
+def threshold_curve(df: DataFrame, score_col: str,
+                    n_bins: int = 100,
+                    weight_col: str | None = None,
+                    lo: float | None = None,
+                    hi: float | None = None) -> DataFrame:
+    """The filter-tradeoff curve a data card plots before anyone picks
+    a threshold: for each candidate cutoff t, how many documents (and
+    how much ``weight_col`` mass — tokens, bytes) survive
+    ``score >= t``. Returns ``n_bins`` rows ``(threshold, n_docs,
+    frac_docs, mass, frac_mass)`` where row t counts score >= t,
+    thresholds are the ``n_bins`` left edges of an equal-width grid
+    over [lo, hi) (bounds from one min/max pass when not given; scores
+    above hi count toward every row, scores below lo toward none —
+    with data-derived bounds nothing is outside).
+
+    Scale shape: ONE map-side-partial groupBy over the corpus scan
+    into <= n_bins partial rows, cumulated driver-side — O(n_bins)
+    output, the gate_pass_rates pattern. Null scores are excluded
+    (they'd survive no cutoff; count them with gate_pass_rates if the
+    null rate matters)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    rows = df.where(s.isNotNull())
+    if lo is None or hi is None:
+        mm = rows.agg(F.min(s).alias("lo"), F.max(s).alias("hi")).first()
+        lo = float(mm["lo"]) if lo is None else float(lo)
+        hi = float(mm["hi"]) if hi is None else float(hi)
+    if not hi > lo:
+        # degenerate range (constant scores / empty input): one bin
+        # holding everything at threshold lo
+        hi = lo + 1.0
+    width = (hi - lo) / n_bins
+    mass = (F.greatest(F.coalesce(F.col(weight_col).cast("double"),
+                                  F.lit(0.0)), F.lit(0.0))
+            if weight_col else F.lit(1.0))
+    binned = (rows.groupBy(
+        F.least(F.greatest(F.floor((s - F.lit(lo)) / F.lit(width)),
+                           F.lit(-1)),
+                F.lit(n_bins - 1)).cast("int").alias("bin"))
+        .agg(F.count("*").alias("n"), F.sum(mass).alias("m"))
+        .collect())
+    n_by = {r["bin"]: int(r["n"]) for r in binned}
+    m_by = {r["bin"]: float(r["m"]) for r in binned}
+    total_n = sum(n_by.values())
+    total_m = sum(m_by.values())
+    out, cn, cm = [], 0, 0.0
+    # suffix-cumulate from the top bin down: row for threshold t
+    # counts every score in bins >= t's bin (bin -1 = below lo, never
+    # counted)
+    for b in range(n_bins - 1, -1, -1):
+        cn += n_by.get(b, 0)
+        cm += m_by.get(b, 0.0)
+        out.append((lo + b * width, cn,
+                    cn / total_n if total_n else 0.0,
+                    cm, cm / total_m if total_m else 0.0))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        list(reversed(out)),
+        "threshold double, n_docs long, frac_docs double, "
+        "mass double, frac_mass double")

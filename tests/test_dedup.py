@@ -718,3 +718,50 @@ def test_lsh_tune():
         lsh_tune(0.5, 64, fp_weight=1.0)
     with _pytest.raises(ValueError):
         lsh_tune(0.5, 1)
+
+
+# ---------------------------------------------------------------------------
+# hamming_near_dups (generalized 64-bit hamming blocking)
+# ---------------------------------------------------------------------------
+
+def test_hamming_near_dups_exact_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from data_crawler_spark.operators.dedup import hamming_near_dups
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(64) for _ in range(20)]
+    vals = list(base)
+    for h in base[:10]:            # planted near neighbors
+        flip = h
+        for _ in range(rng.randrange(1, 7)):
+            flip ^= 1 << rng.randrange(64)
+        vals.append(flip)
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows = [(i, signed(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, sim long")
+    for max_h in (1, 3, 6):
+        got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+               hamming_near_dups(df, max_hamming=max_h).collect()}
+        exp = set()
+        for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2):
+            d = bin(a ^ b).count("1")
+            if d <= max_h:
+                exp.add((i, j, d))
+        assert got == exp, max_h
+
+
+def test_hamming_near_dups_validation(spark):
+    from data_crawler_spark.operators.dedup import hamming_near_dups
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, sim long")
+    with pytest.raises(ValueError):
+        hamming_near_dups(df, max_hamming=4, n_chunks=4)  # pigeonhole
+    with pytest.raises(ValueError):
+        hamming_near_dups(df, n_chunks=0)
+    with pytest.raises(ValueError):
+        hamming_near_dups(df, n_chunks=65)

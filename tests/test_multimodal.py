@@ -106,3 +106,64 @@ def test_null_payload_and_decode_validation(spark):
         decode_and_featurize(media, decode="Strict")
     with pytest.raises(NotImplementedError):
         decode_and_featurize(media, decode="strict")
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (phash64 math + media plumbing)
+# ---------------------------------------------------------------------------
+
+def test_phash64_math_properties():
+    import numpy as np
+
+    from data_crawler_spark.operators.multimodal import phash64
+
+    rng = np.random.default_rng(11)
+    img = rng.uniform(0, 255, (32, 32))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h = phash64(img)
+    assert phash64(img.copy()) == h                     # deterministic
+    # uniform brightness shift moves only the DC coefficient -> at
+    # most one bit differs (the defining perceptual invariance)
+    assert ham(h, phash64(img + 40.0)) <= 1
+    # small noise -> small hamming; unrelated image -> large
+    noisy = img + rng.uniform(-4, 4, (32, 32))
+    other = rng.uniform(0, 255, (32, 32))
+    assert ham(h, phash64(noisy)) <= 10
+    assert ham(h, phash64(other)) > 16
+    with pytest.raises(ValueError):
+        phash64(np.zeros((16, 16)))
+
+
+def test_phash_media_and_near_dups(spark):
+    from data_crawler_spark.operators.multimodal import (media_near_dups,
+                                                         phash_media)
+
+    import numpy as np
+
+    # non-degenerate payload: a periodic ramp tiles into an image whose
+    # low-frequency AC coefficients are ALL exactly at the median, so
+    # any perturbation flips half the bits — random bytes give the
+    # spread a real image has
+    blob = bytes(np.random.default_rng(7).integers(0, 256, 2048,
+                                                   dtype=np.uint8))
+    near = bytearray(blob)
+    near[100] ^= 0x01                 # tiny payload perturbation
+    rows = [(1, "image", blob, None),
+            (2, "image", bytes(near), None),   # near dup of 1
+            (3, "image", blob[::-1], None),      # different
+            (4, "image", None, None)]            # failed fetch
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, "
+              "meta string")
+    hashes = {r["media_id"]: r["phash"]
+              for r in phash_media(media).collect()}
+    assert hashes[4] is None
+    assert hashes[1] != hashes[3]
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             media_near_dups(media, max_hamming=16).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    with pytest.raises(NotImplementedError):
+        phash_media(media, decode="strict")

@@ -469,3 +469,66 @@ def test_ann_index_build_load_query_add(spark, emb, tmp_path):
 
     with pytest.raises(ValueError, match="no committed ANN index"):
         AnnIndex(spark, str(tmp_path / "nowhere"))
+
+
+# ---------------------------------------------------------------------------
+# reference-centroid quality scoring
+# ---------------------------------------------------------------------------
+
+def test_centroid_similarity_mirror(spark):
+    from data_crawler_spark.operators.similarity import (
+        centroid_similarity, reference_centroid,
+        reference_similarity_filter)
+
+    rng = np.random.default_rng(5)
+    ref_vecs = rng.normal(size=(7, 8))
+    corpus_vecs = rng.normal(size=(40, 8))
+    ref = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(ref_vecs)],
+        "id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus_vecs)]
+        + [(99, None), (98, [0.0] * 8)],
+        "doc_id long, embedding array<double>")
+
+    c = reference_centroid(ref)
+    assert np.allclose(c, ref_vecs.mean(axis=0))
+
+    got = {r["doc_id"]: r["ref_sim"] for r in
+           centroid_similarity(corpus, ref).collect()}
+    cn = c / np.linalg.norm(c)
+    for i, v in enumerate(corpus_vecs):
+        exp = float(v @ cn / np.linalg.norm(v))
+        assert abs(got[i] - exp) < 1e-9, i
+    assert got[99] is None and got[98] is None   # null / zero vectors
+
+    thr = float(np.median([got[i] for i in range(40)]))
+    kept = {r["doc_id"] for r in
+            reference_similarity_filter(corpus, ref, thr).collect()}
+    assert kept == {i for i in range(40) if got[i] >= thr}
+    below = {r["doc_id"] for r in
+             reference_similarity_filter(corpus, ref, thr,
+                                         keep_below=True).collect()}
+    assert below == {i for i in range(40) if got[i] < thr}
+    assert 99 not in kept | below and 98 not in kept | below
+
+
+def test_reference_centroid_validation(spark):
+    from data_crawler_spark.operators.similarity import (
+        centroid_similarity, reference_centroid)
+
+    empty = spark.createDataFrame([], "id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        reference_centroid(empty)
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        reference_centroid(mixed)
+    zero = spark.createDataFrame(
+        [(1, [1.0, -1.0]), (2, [-1.0, 1.0])],
+        "id long, embedding array<double>")
+    corpus = spark.createDataFrame([(1, [1.0, 1.0])],
+                                   "doc_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        centroid_similarity(corpus, zero)

@@ -146,3 +146,57 @@ def test_split_leakage_surfaces_missing_ids(spark):
     assert got == {("a", "c"): ("train", "test"),
                    ("a", "ghost"): ("train", None),
                    ("g1", "g2"): (None, None)}
+
+
+# ---------------------------------------------------------------------------
+# threshold_curve
+# ---------------------------------------------------------------------------
+
+def test_threshold_curve_mirror(spark):
+    import random
+
+    from data_crawler_spark.operators.stats import threshold_curve
+
+    rng = random.Random(3)
+    rows = [(i, rng.uniform(0.0, 1.0), rng.randrange(1, 500))
+            for i in range(300)] + [(999, None, 50)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, "
+                                     "n_tokens long")
+    n_bins = 20
+    curve = threshold_curve(df, "score", n_bins=n_bins,
+                            weight_col="n_tokens",
+                            lo=0.0, hi=1.0).collect()
+    assert len(curve) == n_bins
+    scored = [(s, w) for _, s, w in rows if s is not None]
+    total_n, total_m = len(scored), sum(w for _, w in scored)
+    for r in curve:
+        t = r["threshold"]
+        n = sum(1 for s, _ in scored if s >= t)
+        m = float(sum(w for s, w in scored if s >= t))
+        assert r["n_docs"] == n, t
+        assert abs(r["mass"] - m) < 1e-6, t
+        assert abs(r["frac_docs"] - n / total_n) < 1e-12
+        assert abs(r["frac_mass"] - m / total_m) < 1e-9
+    # thresholds ascend, survivors monotonically shrink
+    ts = [r["threshold"] for r in curve]
+    assert ts == sorted(ts)
+    ns = [r["n_docs"] for r in curve]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_threshold_curve_auto_bounds_and_degenerate(spark):
+    from data_crawler_spark.operators.stats import threshold_curve
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)],
+                               "doc_id long, score double")
+    curve = threshold_curve(df, "score", n_bins=9).collect()
+    # auto bounds [0, 9): bin width 1, every row keeps score >= i
+    assert [r["n_docs"] for r in curve] == list(range(10, 1, -1))
+    # constant scores: single meaningful bin, everything survives
+    const = spark.createDataFrame([(i, 2.5) for i in range(4)],
+                                  "doc_id long, score double")
+    c2 = threshold_curve(const, "score", n_bins=5).collect()
+    assert c2[0]["n_docs"] == 4 and c2[0]["threshold"] == 2.5
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        threshold_curve(df, "score", n_bins=0)
