@@ -20,8 +20,9 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MEDIA_SCHEMA = (
     "media_id long, media_type string, payload binary, "
@@ -178,16 +179,19 @@ def _fake_gray(payload: bytes) -> np.ndarray:
     return np.resize(arr, _PHASH_N * _PHASH_N).reshape(_PHASH_N, _PHASH_N)
 
 
-def phash_media(media: DataFrame, decode: str = "fake") -> DataFrame:
-    """(media_id, phash) per payload — the 64-bit perceptual hash a
-    media crawl dedups on. The codec step (bytes -> 32x32 grayscale)
-    is the same strict/fake seam as decode_and_featurize (a real
-    deployment plugs PIL/ffmpeg in at ``_fake_gray``'s position); the
+def phash_media(media: DataFrame, decode: str = "fake",
+                id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """(id, phash) per payload — the 64-bit perceptual hash a media
+    crawl dedups on. The codec step (bytes -> 32x32 grayscale) is the
+    same strict/fake seam as decode_and_featurize (a real deployment
+    plugs PIL/ffmpeg in at ``_fake_gray``'s position); the
     DCT/median/threshold math downstream of the seam is the real
     published algorithm and is tested directly on synthetic grayscale.
     One Arrow-batched mapInPandas pass; payload bytes never shuffle —
-    only (media_id, phash) leaves the scan. Null payloads -> null
-    phash."""
+    only (id, phash) leaves the scan. Null payloads -> null phash.
+    ``id_col``'s type is carried from the input schema (long media
+    ids, string media URLs — both work)."""
     if decode not in ("fake", "strict"):
         raise ValueError(
             f"decode must be 'fake' or 'strict', got {decode!r}")
@@ -197,22 +201,29 @@ def phash_media(media: DataFrame, decode: str = "fake") -> DataFrame:
             "present in this environment; use decode='fake' for "
             "the deterministic stand-in")
 
+    id_type = media.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("phash", T.LongType()),
+    ])
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
-                "media_id": pdf["media_id"],
+                id_col: pdf[id_col],
                 "phash": pd.array(
                     [phash64(_fake_gray(bytes(p))) if p is not None
-                     else None for p in pdf["payload"]],
+                     else None for p in pdf[payload_col]],
                     dtype="Int64"),
             })
 
-    return (media.select("media_id", "payload")
-            .mapInPandas(fn, "media_id long, phash long"))
+    return (media.select(id_col, payload_col)
+            .mapInPandas(fn, out_schema))
 
 
 def media_near_dups(media: DataFrame, max_hamming: int = 6,
-                    decode: str = "fake") -> DataFrame:
+                    decode: str = "fake", id_col: str = "media_id",
+                    payload_col: str = "payload") -> DataFrame:
     """Perceptual near-duplicate media pairs: phash_media then EXACT
     hamming blocking (dedup.hamming_near_dups — by pigeonhole,
     max_hamming+1 chunks guarantee zero false negatives), the image
@@ -221,5 +232,178 @@ def media_near_dups(media: DataFrame, max_hamming: int = 6,
     never ride the blocking shuffle."""
     from data_crawler_spark.operators.dedup import hamming_near_dups
 
-    hashes = phash_media(media, decode).where(F.col("phash").isNotNull())
-    return hamming_near_dups(hashes, "media_id", "phash", max_hamming)
+    hashes = (phash_media(media, decode, id_col, payload_col)
+              .where(F.col("phash").isNotNull()))
+    return hamming_near_dups(hashes, id_col, "phash", max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Image-text pairs: <img alt> mining -> caption rules -> paired corpus
+# (the LAION recipe, Schuhmann et al. 2022: alt-text pairs from Common
+# Crawl, rule-gated, CLIP-score filtered, image-deduped)
+# ---------------------------------------------------------------------------
+
+_IMG_TAG_RE = r"(?is)<img\b[^>]*>"
+
+# generic alt texts that caption nothing (the CC3M/LAION-style deny
+# set): lowercased exact match after whitespace collapse
+GENERIC_CAPTIONS = frozenset({
+    "image", "img", "photo", "picture", "pic", "logo", "icon",
+    "banner", "thumbnail", "thumb", "spacer", "graphic", "untitled",
+    "alt", "photo of", "image of", "no image", "image not found",
+})
+
+
+def _caption_clean_col(c: Column) -> Column:
+    """Entity-decode + Unicode-whitespace collapse + strip — the alt
+    attribute arrives HTML-escaped and newline-wrapped."""
+    from data_crawler_spark.operators.links import _decode_entities
+    from data_crawler_spark.operators.text import UNICODE_WS
+
+    collapsed = F.regexp_replace(_decode_entities(c),
+                                 f"[{UNICODE_WS}]+", " ")
+    return F.regexp_replace(collapsed, "^ | $", "")
+
+
+def img_entries_col(html: Column) -> Column:
+    """html -> array<struct<src, alt, title>> of the document's
+    ``<img>`` tags in document order — native regexp extraction with
+    the structured-data module's three-quote-form attribute grammar
+    (double/single/unquoted; real pages mix all three). Absent
+    attributes are empty strings; alt/title are entity-decoded and
+    whitespace-collapsed, src only entity-decoded (URLs keep their
+    bytes for the canonicalizer)."""
+    from data_crawler_spark.operators.links import _decode_entities
+    from data_crawler_spark.operators.structured import _attr
+    from data_crawler_spark.operators.text import ws_strip_col
+
+    tags = F.regexp_extract_all(html.cast("string"),
+                                F.lit(_IMG_TAG_RE), 0)
+    return F.transform(tags, lambda tag: F.struct(
+        ws_strip_col(_decode_entities(F.coalesce(_attr(tag, "src"),
+                                                 F.lit("")))).alias("src"),
+        _caption_clean_col(F.coalesce(_attr(tag, "alt"),
+                                      F.lit(""))).alias("alt"),
+        _caption_clean_col(F.coalesce(_attr(tag, "title"),
+                                      F.lit(""))).alias("title"),
+    ))
+
+
+def image_caption_pairs(pages: DataFrame, url_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """(page_url, img_idx, media_url, caption, title) per ``<img>``
+    with a non-empty src that resolves to http(s) — the raw pair
+    stream a LAION-style multimodal corpus starts from. ``caption`` is
+    the alt text (possibly empty — gate with caption_rules, which is a
+    separate op so the pass/fail accounting stays inspectable);
+    media_url is resolved against the page URL and canonicalized with
+    the frontier's own canonicalizer, so the pair stream joins the
+    media crawl's fetch log BY KEY. data:/javascript: URIs keep their
+    scheme through resolve and fall to the http(s) filter.
+
+    Pure map + explode over the page scan — zero Exchange, zero
+    Python (plan-tested); html never leaves the scan."""
+    from data_crawler_spark.operators.links import (canonicalize_col,
+                                                    is_http_col,
+                                                    resolve_href_col)
+
+    e = F.col("_e")
+    media_url = canonicalize_col(
+        resolve_href_col(F.col("page_url"), e["src"]))
+    return (pages
+            .select(F.col(url_col).alias("page_url"),
+                    F.posexplode(img_entries_col(F.col(html_col)))
+                    .alias("img_idx", "_e"))
+            .where(e["src"] != "")
+            .select("page_url", "img_idx",
+                    media_url.alias("media_url"),
+                    e["alt"].alias("caption"),
+                    e["title"].alias("title"))
+            .where(is_http_col(F.col("media_url"))))
+
+
+def caption_rules(pairs: DataFrame, caption_col: str = "caption",
+                  min_chars: int = 5, max_chars: int = 1000,
+                  min_words: int = 1) -> DataFrame:
+    """LAION-style caption quality gate: per-pair metrics, one boolean
+    per rule, and the conjunction ``caption_keep`` — the gopher_rules
+    shape, so gate_pass_rates reports removal per rule unchanged.
+    Rules: length bounds (LAION-400M drops alt < 5 chars), a word
+    minimum, at least one Unicode letter (digits-and-punct alts are
+    dimensions or filenames), not a bare URL, and not a generic
+    placeholder ("image", "logo", ... — exact lowercase match). Pure
+    map, native expressions only; language/NSFW/CLIP gates are the
+    sibling ops (langid, classifier, clip_score_filter)."""
+    from data_crawler_spark.operators.text import ws_split_col
+
+    c = F.col(caption_col)
+    n_chars = F.length(c)
+    n_words = F.size(ws_split_col(c))
+    r_len = (n_chars >= min_chars) & (n_chars <= max_chars)
+    r_words = n_words >= min_words
+    r_letter = c.rlike(r"\p{L}")
+    r_not_url = ~c.rlike(r"(?i)^https?://\S+$")
+    r_not_generic = ~F.lower(c).isin(*sorted(GENERIC_CAPTIONS))
+    return (pairs
+            .withColumn("n_chars", n_chars)
+            .withColumn("n_words", n_words)
+            .withColumn("rule_len", r_len)
+            .withColumn("rule_words", r_words)
+            .withColumn("rule_letter", r_letter)
+            .withColumn("rule_not_url", r_not_url)
+            .withColumn("rule_not_generic", r_not_generic)
+            .withColumn("caption_keep",
+                        r_len & r_words & r_letter & r_not_url
+                        & r_not_generic))
+
+
+def image_text_corpus(pairs: DataFrame, media: DataFrame,
+                      max_hamming: int = 6, decode: str = "fake",
+                      media_url_col: str = "media_url",
+                      payload_col: str = "payload") -> DataFrame:
+    """Compose gated (page_url, media_url, caption) pairs with the
+    media crawl's fetched payloads into a deduplicated image-text
+    corpus: one row per surviving (image cluster, caption), ready for
+    write_webdataset_shards(key_col='sample_id', text_col='caption',
+    bin_col='payload').
+
+    Pipeline (the LAION dedup step done on perceptual identity, not
+    URL identity): (1) pHash near-dup pairs over the media table
+    (payload crosses ONE Arrow stage; only (url, hash) rides the
+    blocking shuffle); (2) connected components over the hamming
+    pairs — labels are min vertex ids, so each cluster's label IS its
+    representative URL; (3) pair stream remapped onto representatives
+    (inner join: pairs whose image was never fetched drop — there is
+    nothing to train on) and collapsed to distinct (media_url,
+    caption) with the min page_url kept for provenance; (4) surviving
+    representatives' payloads joined back — payload bytes cross
+    exactly one exchange, AFTER dedup pruned the set. sample_id =
+    zero-padded hex of xxhash64(media_url, caption) — deterministic,
+    64-bit (collisions negligible below ~10^9 pairs; the webdataset
+    writer raises on in-shard key collisions rather than merging).
+
+    Contract: ``media`` has one row per ``media_url_col`` (a fetch
+    log's latest-capture view; duplicate rows would duplicate
+    samples)."""
+    from data_crawler_spark.operators.dedup import connected_components
+
+    nd = media_near_dups(media, max_hamming, decode,
+                         id_col=media_url_col, payload_col=payload_col)
+    verts = media.select(media_url_col).distinct()
+    clusters = connected_components(verts, nd, id_col=media_url_col)
+    remapped = (pairs
+                .join(clusters, media_url_col)
+                .groupBy(F.col("cluster_id").alias(media_url_col),
+                         "caption")
+                .agg(F.min("page_url").alias("page_url")))
+    rep_payloads = (media
+                    .join(clusters.where(
+                        F.col(media_url_col) == F.col("cluster_id"))
+                        .select(media_url_col), media_url_col, "left_semi")
+                    .select(media_url_col, payload_col))
+    sample_id = F.lpad(
+        F.hex(F.xxhash64(F.col(media_url_col), F.col("caption"))),
+        16, "0")
+    return (remapped.join(rep_payloads, media_url_col)
+            .select(sample_id.alias("sample_id"), media_url_col,
+                    "caption", "page_url", payload_col))

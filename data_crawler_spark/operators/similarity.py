@@ -949,3 +949,37 @@ def reference_similarity_filter(corpus: DataFrame, reference: DataFrame,
     keep = (F.col("_ref_sim") < threshold if keep_below
             else F.col("_ref_sim") >= threshold)
     return scored.where(keep).drop("_ref_sim")
+
+
+# ---------------------------------------------------------------------------
+# Embedding pair similarity (the CLIP-score gate: LAION filters pairs
+# whose image and text embeddings disagree)
+# ---------------------------------------------------------------------------
+
+def embedding_pair_similarity(df: DataFrame,
+                              vec_a: str = "image_embedding",
+                              vec_b: str = "text_embedding",
+                              out_col: str = "pair_sim") -> DataFrame:
+    """Append cosine(vec_a, vec_b) per row — the CLIP-score signal
+    multimodal pipelines gate pairs on (LAION keeps image-text pairs
+    with CLIP cosine above ~0.28). The embeddings come from an
+    external encoder (model inference is out of scope for the engine);
+    given the two columns, the score is a PURE MAP over the scan —
+    no shuffle, no Python, no join. Rows where either vector is null,
+    zero, or of mismatched dimension score null (no evidence)."""
+    a, b = F.col(vec_a), F.col(vec_b)
+    denom = norm_col(a) * norm_col(b)
+    sim = F.when(a.isNotNull() & b.isNotNull()
+                 & (F.size(a) == F.size(b)) & (denom > 0),
+                 dot_col(a, b) / denom)
+    return df.withColumn(out_col, sim)
+
+
+def clip_score_filter(df: DataFrame, threshold: float,
+                      vec_a: str = "image_embedding",
+                      vec_b: str = "text_embedding") -> DataFrame:
+    """Keep rows whose embedding pair cosine >= threshold; rows with
+    no score (null/zero/mismatched vectors) are dropped — an ungateable
+    pair is not evidence of alignment. Pure map."""
+    scored = embedding_pair_similarity(df, vec_a, vec_b, "_pair_sim")
+    return scored.where(F.col("_pair_sim") >= threshold).drop("_pair_sim")

@@ -167,3 +167,117 @@ def test_phash_media_and_near_dups(spark):
     assert (1, 2) in pairs and (1, 3) not in pairs
     with pytest.raises(NotImplementedError):
         phash_media(media, decode="strict")
+
+
+# ---------------------------------------------------------------------------
+# image-text pairs (img extraction -> caption rules -> paired corpus)
+# ---------------------------------------------------------------------------
+
+def test_image_caption_pairs_extraction_and_plan(spark):
+    from data_crawler_spark.operators.multimodal import image_caption_pairs
+
+    html = (
+        '<p>x</p>'
+        '<img src="/a.jpg" alt="A &quot;red&quot; car &amp; a bike">'
+        "<IMG SRC='b.png' ALT='  spaced\n  alt  ' title='t1'>"
+        '<img src=c.gif>'                                  # unquoted, no alt
+        '<img src="//cdn.example.net/d.webp" alt="proto-relative">'
+        '<img src="data:image/png;base64,AAAA" alt="inline">'
+        '<img alt="no src at all">'
+        '<img src="javascript:void(0)" alt="js">'
+        '<img src="HTTPS://Other.EXAMPLE.com/E.jpg" alt="abs">'
+    )
+    pages = spark.createDataFrame(
+        [("https://example.com/dir/page.html", html)],
+        "url string, html string")
+    got = {r["media_url"]: r for r in
+           image_caption_pairs(pages).collect()}
+    assert set(got) == {
+        "https://example.com/a.jpg",
+        "https://example.com/dir/b.png",
+        "https://example.com/dir/c.gif",
+        "https://cdn.example.net/d.webp",
+        "https://other.example.com/E.jpg",
+    }
+    a = got["https://example.com/a.jpg"]
+    assert a["caption"] == 'A "red" car & a bike'
+    assert a["page_url"] == "https://example.com/dir/page.html"
+    assert a["img_idx"] == 0
+    b = got["https://example.com/dir/b.png"]
+    assert b["caption"] == "spaced alt" and b["title"] == "t1"
+    assert got["https://example.com/dir/c.gif"]["caption"] == ""
+    # pure map + explode: html fuses into the scan
+    txt = (image_caption_pairs(pages)._jdf.queryExecution()
+           .executedPlan().toString())
+    assert "Exchange" not in txt
+    assert "Python" not in txt
+
+
+def test_caption_rules_mirror(spark):
+    from data_crawler_spark.operators.multimodal import caption_rules
+
+    rows = [
+        (1, "a photograph of a striped cat"),   # keep
+        (2, "img"),                              # too short + generic
+        (3, "Logo"),                             # generic (case-folded)
+        (4, "https://example.com/x.jpg"),        # bare URL
+        (5, "1024"),                             # no letter
+        (6, "x" * 2000),                         # too long
+        (7, ""),                                 # empty
+    ]
+    df = spark.createDataFrame(rows, "pair_id long, caption string")
+    got = {r["pair_id"]: r for r in caption_rules(df).collect()}
+    assert got[1]["caption_keep"]
+    assert got[1]["n_words"] == 6 and got[1]["n_chars"] == 29
+    assert not got[2]["caption_keep"] and not got[2]["rule_len"]
+    assert not got[2]["rule_not_generic"]
+    assert not got[3]["rule_not_generic"] and got[3]["rule_letter"]
+    assert not got[4]["rule_not_url"] and got[4]["rule_len"]
+    assert not got[5]["rule_letter"]
+    assert not got[6]["rule_len"] and got[6]["rule_words"]
+    assert not got[7]["caption_keep"] and got[7]["n_words"] == 0
+
+
+def test_image_text_corpus_end_to_end(spark):
+    import numpy as np
+
+    from data_crawler_spark.operators.multimodal import image_text_corpus
+
+    blob = bytes(np.random.default_rng(9).integers(0, 256, 2048,
+                                                   dtype=np.uint8))
+    near = bytearray(blob)
+    near[7] ^= 0x01
+    other = blob[::-1]
+    url_a = "https://a.example.com/cat.jpg"
+    url_b = "https://b.example.com/cat-copy.jpg"   # near-dup of a
+    url_c = "https://c.example.com/dog.jpg"
+    url_d = "https://d.example.com/never-fetched.jpg"
+    media = spark.createDataFrame(
+        [(url_a, blob), (url_b, bytes(near)), (url_c, other)],
+        "media_url string, payload binary")
+    pairs = spark.createDataFrame(
+        [("https://p1.com/", url_a, "a cat"),
+         ("https://p2.com/", url_b, "a cat"),      # collapses with ^
+         ("https://p2.com/", url_b, "feline"),
+         ("https://p3.com/", url_c, "a dog"),
+         ("https://p4.com/", url_d, "missing")],   # unfetched -> drops
+        "page_url string, media_url string, caption string")
+    out = image_text_corpus(pairs, media, max_hamming=16).collect()
+    rep_ab = min(url_a, url_b)
+    got = {(r["media_url"], r["caption"]): r for r in out}
+    assert set(got) == {(rep_ab, "a cat"), (rep_ab, "feline"),
+                        (url_c, "a dog")}
+    # provenance = min page_url across the collapsed pair copies
+    assert got[(rep_ab, "a cat")]["page_url"] == "https://p1.com/"
+    # payload is the REPRESENTATIVE's bytes
+    assert bytes(got[(rep_ab, "a cat")]["payload"]) == blob
+    assert bytes(got[(url_c, "a dog")]["payload"]) == bytes(other)
+    # sample ids: 16-hex, deterministic, unique
+    sids = [r["sample_id"] for r in out]
+    assert len(set(sids)) == 3
+    assert all(len(s) == 16 for s in sids)
+    out2 = image_text_corpus(pairs.repartition(7), media.repartition(5),
+                             max_hamming=16).collect()
+    assert {(r["media_url"], r["caption"], r["sample_id"])
+            for r in out2} == {(r["media_url"], r["caption"],
+                                r["sample_id"]) for r in out}

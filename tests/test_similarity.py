@@ -532,3 +532,34 @@ def test_reference_centroid_validation(spark):
                                    "doc_id long, embedding array<double>")
     with pytest.raises(ValueError):
         centroid_similarity(corpus, zero)
+
+
+# ---------------------------------------------------------------------------
+# embedding pair similarity (CLIP-score gate)
+# ---------------------------------------------------------------------------
+
+def test_embedding_pair_similarity_mirror(spark):
+    from data_crawler_spark.operators.similarity import (
+        clip_score_filter, embedding_pair_similarity)
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(20, 2, 6))
+    rows = [(i, [float(x) for x in a], [float(x) for x in b])
+            for i, (a, b) in enumerate(vecs)]
+    rows += [(90, None, [1.0] * 6),            # null a
+             (91, [1.0] * 6, [0.0] * 6),        # zero b
+             (92, [1.0, 2.0], [1.0] * 6)]       # dim mismatch
+    df = spark.createDataFrame(
+        rows, "pair_id long, image_embedding array<double>, "
+              "text_embedding array<double>")
+    got = {r["pair_id"]: r["pair_sim"] for r in
+           embedding_pair_similarity(df).collect()}
+    for i, (a, b) in enumerate(vecs):
+        exp = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(got[i] - exp) < 1e-9, i
+    assert got[90] is None and got[91] is None and got[92] is None
+
+    thr = float(np.median([got[i] for i in range(20)]))
+    kept = {r["pair_id"] for r in clip_score_filter(df, thr).collect()}
+    assert kept == {i for i in range(20) if got[i] >= thr}
+    assert kept.isdisjoint({90, 91, 92})
