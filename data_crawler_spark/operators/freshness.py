@@ -340,3 +340,44 @@ def capture_change_fraction(captures: DataFrame,
                     F.lit(1.0) - n_eq / F.lit(float(n_hashes)))
     return (joined.withColumn("change_frac", change)
             .select(*id_cols, "change_frac"))
+
+
+def recrawl_candidates(index: DataFrame, now,
+                       default_changes_per_day: float = 1.0,
+                       sitemap: DataFrame | None = None,
+                       stale_priority: float = 1.0) -> DataFrame:
+    """The seam between the freshness estimators and the politeness
+    scheduler: CDX capture history (+ optionally sitemap_staleness
+    output) -> one candidate row per known URL, shaped for
+    schedule_per_host / schedule_per_host_salted:
+    ``(url, host, depth, discovered_round, priority, p_changed)``.
+
+    priority = p_changed (the measured probability the page changed
+    since its last capture — Cho–Garcia-Molina via change_rate +
+    recrawl_priority); when a ``sitemap`` staleness frame says the
+    publisher CLAIMS the page is newer than our capture, priority is
+    lifted to at least ``stale_priority`` (claims rank ahead of
+    estimates, but a measured p_changed above the lift still wins).
+    depth/discovered_round are 0: a recrawl re-fetches a known root of
+    its own history, and the scheduler's tie-break ordering stays
+    total. Same shuffle shape as change_rate (one exchange on
+    surt_key) plus a left join on the O(sitemap) staleness frame."""
+    from data_crawler_spark.operators.links import host_col
+
+    rates = recrawl_priority(change_rate(index), now,
+                             default_changes_per_day)
+    prio = F.col("p_changed")
+    if sitemap is not None:
+        stale = (sitemap.where("stale")
+                 .select("url", F.lit(True).alias("_stale")))
+        rates = rates.join(stale, "url", "left")
+        prio = F.when(F.col("_stale"),
+                      F.greatest(prio, F.lit(float(stale_priority)))
+                      ).otherwise(prio)
+    return (rates
+            .select("url",
+                    host_col(F.col("url")).alias("host"),
+                    F.lit(0).alias("depth"),
+                    F.lit(0).alias("discovered_round"),
+                    prio.alias("priority"),
+                    "p_changed"))

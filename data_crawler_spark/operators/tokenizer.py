@@ -531,3 +531,43 @@ def byte_bpe_decode(tokens: list[str]) -> str:
     round-trips case, whitespace, and any unicode exactly."""
     data = bytes(_U2B[u] for t in tokens for u in t)
     return data.decode("utf-8")
+
+
+def encoding_stats(df: DataFrame, tokens_col: str = "tokens",
+                   text_col: str = "text",
+                   group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Tokenizer-quality report over an ENCODED corpus (the dataset-
+    card numbers a tokenizer choice is judged on): per group —
+    ``n_docs, n_tokens, n_bytes, bytes_per_token`` (compression:
+    UTF-8 bytes each token carries; higher = better for a byte-priced
+    context window) and ``fertility`` (tokens per whitespace word,
+    Ács' metric — multilingual tokenizers are compared on it; lower =
+    fewer splits per word). One map-side-partial aggregation over the
+    scan — O(groups) output, no join, no window. Null token arrays /
+    texts count as empty."""
+    from data_crawler_spark.operators.text import ws_split_col
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.coalesce(F.size(tokens_col), F.lit(0))
+    staged = df.select(
+        *group_cols,
+        toks.alias("_ntok"),
+        F.octet_length(t).alias("_nbytes"),
+        F.size(ws_split_col(t)).alias("_nwords"))
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("_ntok").alias("n_tokens"),
+        F.sum("_nbytes").alias("n_bytes"),
+        F.sum("_nwords").alias("n_words"),
+    ]
+    out = (staged.groupBy(*group_cols).agg(*aggs) if group_cols
+           else staged.agg(*aggs))
+    return (out
+            .withColumn("bytes_per_token",
+                        F.when(F.col("n_tokens") > 0,
+                               F.round(F.col("n_bytes")
+                                       / F.col("n_tokens"), 4)))
+            .withColumn("fertility",
+                        F.when(F.col("n_words") > 0,
+                               F.round(F.col("n_tokens")
+                                       / F.col("n_words"), 4))))

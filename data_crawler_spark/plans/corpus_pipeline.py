@@ -752,3 +752,62 @@ class IncrementalCorpusCleaner:
         except Exception:
             self.rollback(v0)
             raise
+
+
+def dataset_card(docs: DataFrame, text_col: str = "text",
+                 lang_col: str | None = None,
+                 url_col: str | None = None,
+                 tokens_col: str | None = None,
+                 top_k: int = 10,
+                 exact_distinct: bool = False) -> dict:
+    """The data-card record for a published corpus (Gebru et al.'s
+    datasheets; what Dolma/FineWeb ship next to the shards), as plain
+    driver-side values: global corpus_stats; the top-``top_k``
+    languages with their per-language stats (``lang_col``); the
+    top-``top_k`` registrable domains by doc count (``url_col``);
+    pass rates for every boolean gate column already on the frame
+    (``rule_*`` / ``*_keep`` — gopher/c4/repetition/caption outputs
+    ride along uninvoked); and tokenizer encoding stats when
+    ``tokens_col`` is given.
+
+    Every section is a map-side-partial aggregate with O(top_k) or
+    O(rules) output — safe to run on the full corpus; nothing here is
+    a sampling estimate except corpus_stats' HLL distinct (swap with
+    ``exact_distinct=True`` at fixture scale). Returns a nested dict
+    (JSON-ready; Row values converted)."""
+    from ..operators.links import registered_domain_col
+    from ..operators.stats import corpus_stats, gate_pass_rates
+    from ..operators.tokenizer import encoding_stats
+
+    card: dict = {
+        "n_input_columns": len(docs.columns),
+        "stats": corpus_stats(docs, text_col,
+                              exact_distinct=exact_distinct)
+        .first().asDict(),
+    }
+    if lang_col is not None:
+        rows = (corpus_stats(docs, text_col, group_cols=(lang_col,),
+                             exact_distinct=exact_distinct)
+                .orderBy(F.desc("n_docs"), F.asc(lang_col))
+                .limit(top_k).collect())
+        card["languages"] = [r.asDict() for r in rows]
+    if url_col is not None:
+        rows = (docs
+                .groupBy(registered_domain_col(F.col(url_col))
+                         .alias("domain"))
+                .count()
+                .orderBy(F.desc("count"), F.asc("domain"))
+                .limit(top_k).collect())
+        card["top_domains"] = [{"domain": r["domain"],
+                                "n_docs": r["count"]} for r in rows]
+    gate_cols = tuple(
+        name for name, dtype in docs.dtypes
+        if dtype == "boolean"
+        and (name.startswith("rule_") or name.endswith("_keep")))
+    if gate_cols:
+        card["gate_pass_rates"] = (gate_pass_rates(docs, gate_cols)
+                                   .first().asDict())
+    if tokens_col is not None:
+        card["encoding"] = (encoding_stats(docs, tokens_col, text_col)
+                            .first().asDict())
+    return card

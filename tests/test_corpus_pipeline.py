@@ -709,3 +709,55 @@ def test_webdataset_validation(spark, tmp_path):
         "doc_id string, text string, split string, shard_id int")
     with pytest.raises(Exception, match="null doc_id"):
         write_webdataset_shards(null_key, str(tmp_path / "y")).collect()
+
+
+# ---------------------------------------------------------------------------
+# dataset_card
+# ---------------------------------------------------------------------------
+
+def test_dataset_card_sections(spark):
+    from data_crawler_spark.operators.stats import corpus_stats
+    from data_crawler_spark.plans.corpus_pipeline import dataset_card
+
+    rows = [
+        (1, "https://a.example.com/x", "en", "one two three",
+         ["one", " two", " three"], True, True),
+        (2, "https://b.example.com/y", "en", "one two three",
+         ["one", " two", " three"], True, False),
+        (3, "https://sub.b.example.com/z", "de", "vier fünf",
+         ["vier", " fünf"], False, True),
+        (4, "https://c.other.org/w", "fr", "six", ["six"], True, True),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, lang string, text string, "
+              "tokens array<string>, rule_ok boolean, "
+              "caption_keep boolean")
+    card = dataset_card(docs, lang_col="lang", url_col="url",
+                        tokens_col="tokens", top_k=2,
+                        exact_distinct=True)
+
+    exp_stats = corpus_stats(docs, exact_distinct=True).first().asDict()
+    assert card["stats"] == exp_stats
+    assert card["stats"]["n_docs"] == 4
+    assert card["stats"]["dup_rate"] == 0.25      # docs 1+2 identical
+
+    langs = card["languages"]
+    assert [r["lang"] for r in langs] == ["en", "de"]   # top_k=2, desc
+    assert langs[0]["n_docs"] == 2
+
+    # registrable domains: example.com holds 3 docs across subdomains
+    assert card["top_domains"] == [
+        {"domain": "example.com", "n_docs": 3},
+        {"domain": "other.org", "n_docs": 1}]
+
+    gates = card["gate_pass_rates"]
+    assert gates["rule_ok_pass_rate"] == 0.75
+    assert gates["caption_keep_pass_rate"] == 0.75
+
+    enc = card["encoding"]
+    assert enc["n_tokens"] == 9 and enc["n_docs"] == 4
+    assert enc["fertility"] == 1.0                # 9 tokens / 9 words
+
+    # optional sections stay absent when not requested
+    minimal = dataset_card(docs.select("doc_id", "text"))
+    assert set(minimal) == {"n_input_columns", "stats"}

@@ -387,3 +387,63 @@ def test_capture_change_fraction(spark):
     again = {(r.surt_key, str(r.warc_ts)): r.change_frac
              for r in capture_change_fraction(df.repartition(1)).collect()}
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# recrawl_candidates (freshness -> scheduler seam)
+# ---------------------------------------------------------------------------
+
+def test_recrawl_candidates_shape_and_boost(spark, idx):
+    from data_crawler_spark.operators.freshness import recrawl_candidates
+
+    now = _hours(48)
+    base = {r["url"]: r for r in
+            recrawl_candidates(idx, now).collect()}
+    pri = {r["url"]: r["p_changed"]
+           for r in recrawl_priority(change_rate(idx), now).collect()}
+    assert set(base) == set(pri)
+    for url, r in base.items():
+        assert r["priority"] == pytest.approx(pri[url], rel=1e-12)
+        assert r["depth"] == 0 and r["discovered_round"] == 0
+        assert url.startswith(f"https://{r['host']}/")
+
+    # publisher-claimed staleness lifts priority to the floor; other
+    # rows are untouched; a measured p above the floor would win
+    stale = spark.createDataFrame(
+        [("https://static.com/", True), ("https://fast.com/", False)],
+        "url string, stale boolean")
+    boosted = {r["url"]: r["priority"] for r in
+               recrawl_candidates(idx, now, sitemap=stale,
+                                  stale_priority=0.9).collect()}
+    assert boosted["https://static.com/"] == pytest.approx(0.9)
+    assert boosted["https://fast.com/"] == pytest.approx(
+        pri["https://fast.com/"], rel=1e-12)
+    assert boosted["https://hot.com/"] == pytest.approx(
+        pri["https://hot.com/"], rel=1e-12)
+    # hot's measured p (~1) beats a low floor
+    stale_hot = spark.createDataFrame([("https://hot.com/", True)],
+                                      "url string, stale boolean")
+    b2 = {r["url"]: r["priority"] for r in
+          recrawl_candidates(idx, now, sitemap=stale_hot,
+                             stale_priority=0.1).collect()}
+    assert b2["https://hot.com/"] == pytest.approx(
+        pri["https://hot.com/"], rel=1e-12)
+
+
+def test_recrawl_candidates_feed_scheduler(spark):
+    from data_crawler_spark.operators.freshness import recrawl_candidates
+    from data_crawler_spark.operators.scheduler import schedule_per_host
+
+    # two urls on ONE host with different change histories: budget 1
+    # must pick the faster-changing page
+    rows = [
+        *[(f"https://multi.com/fast", _hours(i), d)
+          for i, d in enumerate([b"a", b"b", b"c"])],
+        *[(f"https://multi.com/slow", _hours(10 * i), b"s")
+          for i in range(3)],
+    ]
+    cands = recrawl_candidates(_index(spark, rows), _hours(30))
+    hosts = spark.createDataFrame([("multi.com", 1)],
+                                  "host string, budget_per_round int")
+    got = schedule_per_host(cands, hosts).collect()
+    assert [r["url"] for r in got] == ["https://multi.com/fast"]

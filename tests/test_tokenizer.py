@@ -450,3 +450,45 @@ def test_byte_pretokenize_engine_agreement_codepoint_sweep(spark):
     bad = [(r.text, r.g, pre.findall(r.text)) for r in got
            if r.cp not in skew_set and r.g != pre.findall(r.text)]
     assert not bad, f"{len(bad)} disagreeing codepoints, first: {bad[:5]!r}"
+
+
+# ---------------------------------------------------------------------------
+# encoding_stats (tokenizer data-card numbers)
+# ---------------------------------------------------------------------------
+
+def test_encoding_stats_mirror(spark):
+    from data_crawler_spark.operators.tokenizer import encoding_stats
+
+    rows = [
+        ("en", "hello wide world", ["hel", "lo", " wide", " world"]),
+        ("en", "naïve café", ["na", "ïve", " ca", "fé"]),
+        ("de", "donau dampf schiff", ["don", "au", " dampf", " schi",
+                                      "ff"]),
+        ("de", "", []),
+        ("xx", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "lang string, text string, tokens array<string>")
+
+    def exp(subset):
+        n_tok = sum(len(t) if t else 0 for _, _, t in subset)
+        n_bytes = sum(len(x.encode("utf-8")) if x else 0
+                      for _, x, _ in subset)
+        n_words = sum(len(x.split()) if x else 0 for _, x, _ in subset)
+        return (len(subset), n_tok, n_bytes, n_words,
+                round(n_bytes / n_tok, 4) if n_tok else None,
+                round(n_tok / n_words, 4) if n_words else None)
+
+    g = encoding_stats(df).first()
+    assert (g["n_docs"], g["n_tokens"], g["n_bytes"], g["n_words"],
+            g["bytes_per_token"], g["fertility"]) == exp(rows)
+
+    per = {r["lang"]: r for r in
+           encoding_stats(df, group_cols=("lang",)).collect()}
+    for lang in ("en", "de", "xx"):
+        sub = [r for r in rows if r[0] == lang]
+        r = per[lang]
+        assert (r["n_docs"], r["n_tokens"], r["n_bytes"], r["n_words"],
+                r["bytes_per_token"], r["fertility"]) == exp(sub), lang
+    assert per["xx"]["bytes_per_token"] is None
+    assert per["xx"]["fertility"] is None
