@@ -407,3 +407,122 @@ def image_text_corpus(pairs: DataFrame, media: DataFrame,
     return (remapped.join(rep_payloads, media_url_col)
             .select(sample_id.alias("sample_id"), media_url_col,
                     "caption", "page_url", payload_col))
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: frame-sampled perceptual hashes + shared-frame overlap
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 1024   # frame_sample_plan's frame-count rule: len//1024+1
+
+
+def frame_hashes(media: DataFrame, every_n: int = 10,
+                 decode: str = "fake",
+                 id_col: str = "media_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """(id, frame_idx, phash) per sampled frame of each video payload —
+    frame_sample_plan's sampling rule (every ``every_n``-th of
+    ``len//1024+1`` frames) with the frame DECODED and pHashed in the
+    same pass. The codec seam is the usual strict/fake pair: a real
+    deployment decodes frame ``k`` with ffmpeg where the fake path
+    reads the payload's k-th 1024-byte slice through ``_fake_gray``
+    (deterministic: equal payload bytes -> equal frame hashes — the
+    property the overlap tests need). One Arrow stage; payload bytes
+    never shuffle — ~16 bytes per sampled frame leave the scan."""
+    if decode not in ("fake", "strict"):
+        raise ValueError(
+            f"decode must be 'fake' or 'strict', got {decode!r}")
+    if decode == "strict":
+        raise NotImplementedError(
+            "real video decoding requires codec libraries not "
+            "present in this environment; use decode='fake' for "
+            "the deterministic stand-in")
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    id_type = media.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                n_frames = len(b) // _FRAME_BYTES + 1
+                for k in range(0, n_frames, every_n):
+                    frame = b[k * _FRAME_BYTES:(k + 1) * _FRAME_BYTES]
+                    ids.append(mid)
+                    idxs.append(k)
+                    hashes.append(phash64(_fake_gray(frame)))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                "frame_idx": pd.array(idxs, dtype="Int32"),
+                "phash": pd.array(hashes, dtype="Int64"),
+            })
+
+    return (media.select(id_col, payload_col)
+            .mapInPandas(fn, out_schema))
+
+
+def video_near_dups(media: DataFrame, max_hamming: int = 6,
+                    min_overlap: float = 0.5, every_n: int = 10,
+                    decode: str = "fake", id_col: str = "media_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """Near-duplicate video pairs by sampled-frame overlap — the
+    re-encode/re-upload detection a video crawl dedups on: two videos
+    are near-dups when a large fraction of one's sampled frames
+    perceptually match frames of the other. Emits ``(id_a, id_b,
+    matched_a, matched_b, frames_a, frames_b, overlap)`` with
+    ``overlap = max(matched_a/frames_a, matched_b/frames_b)`` — a
+    CONTAINMENT score, so a clip cut out of a longer video still
+    surfaces (the dedup.containment_pairs rationale, one modality
+    over) — filtered to ``overlap >= min_overlap``.
+
+    Plan shape: one Arrow pass (frame_hashes), exact hamming blocking
+    over the frame keys (hamming_near_dups on (id, frame_idx)
+    structs — pigeonhole, zero false negatives), then a count-distinct
+    per video pair and a broadcast-joinable O(videos) frame-count
+    table. Payloads never shuffle; everything past the scan is 16-24
+    byte rows. A popular identical frame (black intro) inflates its
+    bucket — the documented hamming-blocking tradeoff; raise
+    ``max_hamming`` chunks or pre-drop such frames upstream if it
+    bites."""
+    from data_crawler_spark.operators.dedup import hamming_near_dups
+
+    fh = frame_hashes(media, every_n, decode, id_col, payload_col)
+    keyed = fh.select(
+        F.struct(F.col(id_col).alias("vid"),
+                 F.col("frame_idx").alias("fi")).alias("fkey"),
+        "phash")
+    fpairs = (hamming_near_dups(keyed, "fkey", "phash", max_hamming)
+              .where(F.col("id_a.vid") != F.col("id_b.vid")))
+    # canonical orientation: pair key = (min vid, max vid); count the
+    # DISTINCT matched frames on each side
+    a_first = F.col("id_a.vid") < F.col("id_b.vid")
+    lo = F.when(a_first, F.col("id_a")).otherwise(F.col("id_b"))
+    hi = F.when(a_first, F.col("id_b")).otherwise(F.col("id_a"))
+    matched = (fpairs
+               .select(lo["vid"].alias("id_a"), lo["fi"].alias("fa"),
+                       hi["vid"].alias("id_b"), hi["fi"].alias("fb"))
+               .groupBy("id_a", "id_b")
+               .agg(F.count_distinct("fa").alias("matched_a"),
+                    F.count_distinct("fb").alias("matched_b")))
+    counts = fh.groupBy(F.col(id_col).alias("_v")) \
+               .agg(F.count("*").alias("_n"))
+    ca = counts.select(F.col("_v").alias("id_a"),
+                       F.col("_n").alias("frames_a"))
+    cb = counts.select(F.col("_v").alias("id_b"),
+                       F.col("_n").alias("frames_b"))
+    out = (matched.join(F.broadcast(ca), "id_a")
+           .join(F.broadcast(cb), "id_b"))
+    overlap = F.greatest(
+        F.col("matched_a") / F.col("frames_a"),
+        F.col("matched_b") / F.col("frames_b"))
+    return (out.withColumn("overlap", F.round(overlap, 6))
+            .where(F.col("overlap") >= min_overlap))

@@ -281,3 +281,71 @@ def test_image_text_corpus_end_to_end(spark):
     assert {(r["media_url"], r["caption"], r["sample_id"])
             for r in out2} == {(r["media_url"], r["caption"],
                                 r["sample_id"]) for r in out}
+
+
+# ---------------------------------------------------------------------------
+# video near-dup (frame-sampled perceptual hashes + overlap)
+# ---------------------------------------------------------------------------
+
+def test_frame_hashes_mirror(spark):
+    import numpy as np
+
+    from data_crawler_spark.operators.multimodal import (_fake_gray,
+                                                         frame_hashes,
+                                                         phash64)
+
+    rng = np.random.default_rng(21)
+    v1 = bytes(rng.integers(0, 256, 5000, dtype=np.uint8))   # 5 frames
+    v2 = bytes(rng.integers(0, 256, 100, dtype=np.uint8))    # 1 frame
+    media = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, None)],
+        "media_id long, payload binary")
+    got = {(r["media_id"], r["frame_idx"]): r["phash"]
+           for r in frame_hashes(media, every_n=2).collect()}
+    exp = {}
+    for mid, b in ((1, v1), (2, v2)):
+        for k in range(0, len(b) // 1024 + 1, 2):
+            exp[(mid, k)] = phash64(_fake_gray(b[k * 1024:(k + 1) * 1024]))
+    assert got == exp                       # null payload emits nothing
+    assert {(1, 0), (1, 2), (1, 4), (2, 0)} == set(got)
+    with pytest.raises(NotImplementedError):
+        frame_hashes(media, decode="strict")
+    with pytest.raises(ValueError):
+        frame_hashes(media, every_n=0)
+
+
+def test_video_near_dups_overlap(spark):
+    import numpy as np
+
+    from data_crawler_spark.operators.multimodal import video_near_dups
+
+    rng = np.random.default_rng(22)
+    base = bytes(rng.integers(0, 256, 40960, dtype=np.uint8))  # 41 frames
+    # re-encode stand-in: a few bytes perturbed in two sampled frames
+    ham = bytearray(base)
+    ham[0] ^= 0x01
+    ham[10240] ^= 0x01
+    # clip: the first quarter of base (containment case)
+    clip = base[:10240]
+    unrelated = bytes(rng.integers(0, 256, 40960, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, base), (2, bytes(ham)), (3, clip), (4, unrelated)],
+        "media_id long, payload binary")
+    out = {(r["id_a"], r["id_b"]): r for r in
+           video_near_dups(media, max_hamming=16, min_overlap=0.5,
+                           every_n=10).collect()}
+    # 1 vs 2: every sampled frame matches (perturbations are tiny)
+    r12 = out[(1, 2)]
+    assert r12["overlap"] == 1.0
+    assert r12["frames_a"] == 5 and r12["frames_b"] == 5
+    # 1 vs 3: the clip's sampled frames (0, 10) are base's frames ->
+    # containment 1.0 on the clip side even though base matches 2/5
+    r13 = out[(1, 3)]
+    assert r13["frames_b"] == 2 and r13["matched_b"] == 2
+    assert r13["overlap"] == 1.0
+    assert (1, 4) not in out and (2, 4) not in out
+    # threshold: demanding >1.0-side coverage of BASE drops the clip
+    strict = {(r["id_a"], r["id_b"]) for r in
+              video_near_dups(media, max_hamming=16, min_overlap=0.9,
+                              every_n=10).collect()}
+    assert (1, 2) in strict and (1, 3) in strict  # max() is containment
