@@ -1159,3 +1159,95 @@ def contamination_report(docs: DataFrame, eval_df: DataFrame,
             .withColumn("n_collision_ngrams",
                         F.coalesce("n_collision_ngrams", F.lit(0))
                         .cast("long")))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# local fingerprinting algorithm)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        w: int = 4) -> DataFrame:
+    """(id, pos, fp_hash): winnowed fingerprints over the token k-gram
+    hash stream — in every window of ``w`` consecutive k-gram hashes,
+    select the minimum (RIGHTMOST occurrence on ties, the paper's
+    robust-winnowing rule), then dedupe selections. The guarantee:
+    any shared token run of length >= w + k − 1 yields at least one
+    shared fingerprint, and nothing shorter than k ever matches —
+    position-robust local dedup evidence where MinHash gives only a
+    whole-document estimate.
+
+    Everything is doc-local native expressions (tokenize once, hash
+    the k-gram windows, slide the w-window min — both arrays bound as
+    lambda variables, so per-position work is O(w), not a
+    re-tokenization). Output rows are (id, int, long): ~20 bytes per
+    fingerprint leave the scan, text never rides a shuffle. Expected
+    density is 2/(w+1) fingerprints per token."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    toks = tokens_col(F.col(text_col))
+    hashes = _bind(toks, lambda t: F.when(
+        F.size(t) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(t) - k),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, k)))),
+    ).otherwise(F.expr("array()").cast("array<bigint>")))
+
+    def select_mins(hs: Column) -> Column:
+        win_starts = F.when(
+            F.size(hs) >= w, F.sequence(F.lit(0), F.size(hs) - w)
+        ).otherwise(F.expr("array()").cast("array<int>"))
+
+        def pick(p: Column) -> Column:
+            s = F.slice(hs, p + 1, w)
+            minv = F.array_min(s)
+            # rightmost occurrence of the min inside the window
+            # (array_position is 1-based first match; reverse flips it)
+            sel = p + (F.lit(w) - F.array_position(F.reverse(s), minv)) \
+                .cast("int")
+            return F.struct(sel.alias("pos"), minv.alias("fp_hash"))
+
+        return F.array_distinct(F.transform(win_starts, pick))
+
+    fps = _bind(hashes, select_mins)
+    return (df.select(F.col(id_col), F.explode(fps).alias("fp"))
+            .select(id_col, F.col("fp.pos").alias("pos"),
+                    F.col("fp.fp_hash").alias("fp_hash")))
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 5, w: int = 4,
+                         min_shared: int = 2, max_df: int = 50) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints: (id_a, id_b,
+    shared_fps, overlap) with overlap = shared / min(|fps_a|, |fps_b|)
+    — the MOSS containment-style score, so a short document pasted
+    into a long one still scores ~1.
+
+    Scale shape: fingerprints appearing in more than ``max_df``
+    documents are dropped BEFORE the self-join (boilerplate hashes —
+    headers, license blurbs — otherwise explode the pair count
+    quadratically; the same document-frequency cap mirror_candidates
+    uses), so the join fans out at most max_df² per surviving hash.
+    Per-doc totals stay uncapped — the denominator counts the real
+    fingerprint mass. Every shuffled row is (hash, id) or smaller."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    distinct = fps.select(F.col(id_col).alias("_id"), "fp_hash").distinct()
+    totals = distinct.groupBy("_id").agg(F.count("*").alias("_n"))
+    rare = distinct.join(
+        distinct.groupBy("fp_hash").agg(F.countDistinct("_id").alias("_df"))
+        .filter(F.col("_df") <= max_df).select("fp_hash"),
+        "fp_hash", "left_semi")
+    a = rare.select(F.col("fp_hash"), F.col("_id").alias("id_a"))
+    b = rare.select(F.col("fp_hash"), F.col("_id").alias("id_b"))
+    pairs = (a.join(b, "fp_hash").filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("shared_fps"))
+             .filter(F.col("shared_fps") >= min_shared))
+    return (pairs
+            .join(totals.select(F.col("_id").alias("id_a"),
+                                F.col("_n").alias("_na")), "id_a")
+            .join(totals.select(F.col("_id").alias("id_b"),
+                                F.col("_n").alias("_nb")), "id_b")
+            .select("id_a", "id_b", "shared_fps",
+                    F.round(F.col("shared_fps") /
+                            F.least("_na", "_nb"), 6).alias("overlap")))

@@ -196,3 +196,43 @@ def apply_backoff(hosts: DataFrame, backoffs: DataFrame, now) -> DataFrame:
                         F.when(active, F.lit(0))
                         .otherwise(F.col("budget_per_round")))
             .drop("backoff_until"))
+
+
+def apply_ip_politeness(hosts: DataFrame, resolved: DataFrame,
+                        budget_col: str = "budget_per_round") -> DataFrame:
+    """Fold shared-IP politeness into the hosts dimension: virtual
+    hosting means N polite per-HOST budgets can still stack into one
+    impolite per-SERVER load (Heritrix's queue-assignment-by-IP
+    politeness mode exists for exactly this). Given ``resolved``
+    (host, ip) — DNS resolution is the fetcher's external seam — hosts
+    sharing an IP share ONE budget: the MINIMUM any member claimed
+    (members' budgets already fold robots Crawl-delay/backoff, and a
+    shared server is entitled to the strictest of those promises),
+    split evenly with the remainder going to lexicographically
+    smallest hosts, so the group total never exceeds the group
+    budget and the split is deterministic. Hosts with no resolved IP
+    (or a null ip) keep their own budget unchanged.
+
+    Shape: the hosts dimension is O(hosts) slim rows; one equi-join
+    with the resolution map, one per-ip window over group sizes that
+    are almost always 1 — nothing corpus-scale moves."""
+    r = resolved.where(F.col("ip").isNotNull()) \
+                .select(F.col("host").alias("_h"), "ip") \
+                .dropDuplicates(["_h"])
+    joined = hosts.join(r, hosts["host"] == F.col("_h"), "left").drop("_h")
+    # unresolved hosts get SINGLETON window groups (keyed on their own
+    # host) — partitioning the window on raw ip would funnel every
+    # null-ip host through one task at scale
+    gkey = F.coalesce(F.col("ip"), F.concat(F.lit("\x00host:"), F.col("host")))
+    grp = Window.partitionBy(gkey)
+    w = Window.partitionBy(gkey).orderBy(F.asc("host"))
+    cap = F.min(budget_col).over(grp)
+    n = F.count("*").over(grp)
+    rank = F.row_number().over(w)
+    share = (F.floor(cap / n)
+             + F.when(rank <= cap % n, F.lit(1)).otherwise(F.lit(0)))
+    return (joined.withColumn(
+        budget_col,
+        F.when(F.col("ip").isNull(), F.col(budget_col))
+         .otherwise(share.cast("long")))
+        .drop("ip"))

@@ -273,3 +273,29 @@ def apply_crawl_delay(hosts: DataFrame, delays: DataFrame,
     return (hosts.join(d, "host", "left")
             .withColumn("budget_per_round", newb)
             .drop("_robots_delay"))
+
+
+def robots_refresh_candidates(captures: DataFrame, now,
+                              ttl_hours: float = 24.0,
+                              host_col: str = "host",
+                              fetched_at_col: str = "fetched_at") -> DataFrame:
+    """Hosts whose robots.txt capture is past its cache lifetime —
+    (host, last_fetch, age_hours) for every host whose LATEST robots
+    fetch is older than ``ttl_hours`` at ``now``. RFC 9309 §2.4 allows
+    caching robots.txt up to 24 hours (the standard crawler default);
+    gating rounds against rules older than that risks fetching pages a
+    publisher has since disallowed. Feed the output into the fetch
+    scheduler as /robots.txt seed URLs ahead of the host's page budget.
+
+    One map-side-partial max per host over the (host, ts) projection —
+    O(hosts) output, the capture text never reads."""
+    if ttl_hours <= 0:
+        raise ValueError(f"ttl_hours must be > 0, got {ttl_hours}")
+    now_ts = F.lit(now).cast("timestamp")
+    latest = (captures.groupBy(F.col(host_col).alias("host"))
+              .agg(F.max(F.col(fetched_at_col).cast("timestamp"))
+                   .alias("last_fetch")))
+    age_h = (now_ts.cast("double") - F.col("last_fetch").cast("double")) / 3600.0
+    return (latest.select("host", "last_fetch",
+                          F.round(age_h, 6).alias("age_hours"))
+            .where(F.col("age_hours") > ttl_hours))

@@ -327,3 +327,29 @@ def dsir_select(corpus: DataFrame, target: DataFrame, k: int,
                 .drop("_gumbel_key").localCheckpoint())
     finally:
         feats.unpersist()
+
+
+def sample_exact_k(df: DataFrame, k: int, id_col: str = "doc_id",
+                   seed: int = 0) -> DataFrame:
+    """Deterministic uniform sample of EXACTLY ``k`` rows (all rows if
+    the corpus is smaller) — the eval-set / human-audit draw where the
+    mixture sampler's per-doc rate semantics (expected, not exact,
+    counts) are the wrong tool. The sample is the k smallest values of
+    a seeded per-id hash order, so it is a fixed function of (ids,
+    seed): identical on any partitioning or cluster size, and nested
+    (the k=100 sample contains the k=50 sample for the same seed).
+
+    Scale shape: ``orderBy(key).limit(k)`` plans as
+    TakeOrderedAndProject — each partition keeps a local top-k, never
+    a global sort. The key is domain-separated ("samplek:") from the
+    mixture/split/shuffle folds so sharing a seed with those can't
+    correlate the draw with survivorship or shard order (the
+    shuffle_key_col lesson). For a per-GROUP exact draw, feed this
+    key to ``cap_per_group`` as an ascending metric instead."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    key = F.xxhash64(F.concat_ws(
+        ":", F.lit("samplek"), F.col(id_col).cast("string"),
+        F.lit(str(int(seed)))))
+    return (df.withColumn("_sk", key).orderBy(F.asc("_sk"), F.asc(id_col))
+            .limit(k).drop("_sk"))

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from data_crawler_spark.operators.text import token_count_col, tokens_col
 
 __all__ = ["term_postings", "bm25_topk", "positional_postings",
-           "phrase_matches", "tfidf_top_terms"]
+           "phrase_matches", "tfidf_top_terms", "SearchIndex"]
 
 
 def term_postings(corpus: DataFrame, id_col: str = "doc_id",
@@ -144,7 +144,14 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame,
     hit = term_postings(corpus, id_col, text_col).join(
         F.broadcast(q_terms.select("term").distinct()), "term",
         "left_semi").localCheckpoint()
+    return _bm25_rank(hit, q_terms, n_docs, avg_len, k, k1, b)
 
+
+def _bm25_rank(hit: DataFrame, q_terms: DataFrame, n_docs: int,
+               avg_len: float, k: int, k1: float, b: float) -> DataFrame:
+    """Score + rank over query-vocabulary-pruned postings ``hit``
+    ((term, doc_id, tf, doc_len), unique per (term, doc)) — the shared
+    back half of ``bm25_topk`` and ``SearchIndex.topk``."""
     # postings are unique per (term, doc): df = row count per term
     df_by_term = hit.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
@@ -204,3 +211,186 @@ def tfidf_top_terms(corpus: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("doc_id", "term", "tfidf", "rank"))
+
+
+class SearchIndex:
+    """Persistent BM25 index: build ONCE over the corpus (the postings
+    pass — the only stage that reads text), commit the postings and
+    corpus stats as snapshot tables, and answer any number of later
+    query batches by scanning ONLY the query terms' postings rows.
+    The AnnIndex serving shape applied to full-text search: rebuilding
+    postings per query batch re-tokenizes the corpus; an index
+    amortizes it to once per corpus version, and ``add()`` keeps day-2
+    deltas O(delta).
+
+    Layout under ``state_dir``: ``{name}_postings`` ((term, doc_id,
+    tf, doc_len) — versioned, crash-safe, time-travelable) and
+    ``{name}_stats`` (one JSON meta row). The stats commit is the
+    ATOMIC pointer swap: its row pins the postings VERSION it was
+    computed against and readers open exactly that version, so a
+    crash between the postings write and the stats write (build or
+    add) leaves the old stats+old-postings pairing fully consistent —
+    never new postings scored with stale document counts."""
+
+    _STATS_DDL = "kind string, s string"
+
+    def __init__(self, spark, state_dir, name: str = "bm25"):
+        """Open an EXISTING index (see ``SearchIndex.build``)."""
+        import json as _json
+
+        from pyspark.sql.types import _parse_datatype_string
+
+        from data_crawler_spark.plans.snapshots import SnapshotTable
+
+        self.spark = spark
+        self._stats = SnapshotTable(
+            spark, state_dir, f"{name}_stats",
+            _parse_datatype_string(self._STATS_DDL))
+        rows = self._stats.read().collect()
+        meta_s = next((r.s for r in rows if r.kind == "meta"), None)
+        if meta_s is None:
+            raise ValueError(
+                f"no committed search index under {state_dir}/{name}_stats"
+                f" — build one with SearchIndex.build(...)")
+        meta = _json.loads(meta_s)
+        self.id_col, self.text_col = meta["id_col"], meta["text_col"]
+        self.n_docs, self.total_len = meta["n_docs"], meta["total_len"]
+        self._postings_version = meta["postings_version"]
+        self._postings = SnapshotTable(
+            spark, state_dir, f"{name}_postings",
+            _parse_datatype_string(meta["postings_ddl"]))
+        self._state_dir, self._name = state_dir, name
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def build(cls, spark, state_dir, corpus: DataFrame,
+              id_col: str = "doc_id", text_col: str = "text",
+              name: str = "bm25") -> "SearchIndex":
+        """One postings pass over ``corpus`` + one stats aggregate,
+        both committed; returns the opened index."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        from data_crawler_spark.plans.snapshots import SnapshotTable
+
+        id_dt = corpus.schema[id_col].dataType.simpleString()
+        ddl = f"term string, doc_id {id_dt}, tf bigint, doc_len bigint"
+        postings_tbl = SnapshotTable(spark, state_dir, f"{name}_postings",
+                                     _parse_datatype_string(ddl))
+        p = term_postings(corpus, id_col, text_col).select(
+            "term", "doc_id", F.col("tf").cast("long"),
+            F.col("doc_len").cast("long"))
+        v = postings_tbl.write(p, mode="overwrite")
+        consts = corpus.agg(
+            F.count("*").alias("n"),
+            F.sum(token_count_col(F.col(text_col))).alias("tl")).first()
+        cls._commit_stats(spark, state_dir, name, {
+            "id_col": id_col, "text_col": text_col,
+            "n_docs": int(consts["n"]), "total_len": int(consts["tl"] or 0),
+            "postings_version": v, "postings_ddl": ddl})
+        return cls(spark, state_dir, name)
+
+    @classmethod
+    def _commit_stats(cls, spark, state_dir, name, meta: dict) -> None:
+        import json as _json
+
+        from pyspark.sql.types import _parse_datatype_string
+
+        from data_crawler_spark.plans.snapshots import SnapshotTable
+
+        tbl = SnapshotTable(spark, state_dir, f"{name}_stats",
+                            _parse_datatype_string(cls._STATS_DDL))
+        tbl.write(spark.createDataFrame([("meta", _json.dumps(meta))],
+                                        cls._STATS_DDL), mode="overwrite")
+
+    def add(self, delta: DataFrame) -> None:
+        """Index a day-2 delta: O(delta) postings append + stats
+        update. Re-adding an already-indexed doc id raises — duplicate
+        postings rows would double-count tf and df silently (the
+        IncrementalMinHashIndex guard). The id check scans only the
+        column-pruned doc_id column of the committed postings."""
+        ids = F.broadcast(delta.select(F.col(self.id_col).alias("doc_id"))
+                          .distinct())
+        dup = (self._postings.read(self._postings_version)
+               .join(ids, "doc_id", "left_semi").limit(1).count())
+        if dup:
+            raise ValueError("SearchIndex.add: delta contains doc ids "
+                             "already indexed")
+        p = term_postings(delta, self.id_col, self.text_col).select(
+            "term", "doc_id", F.col("tf").cast("long"),
+            F.col("doc_len").cast("long"))
+        v = self._postings.write(p, mode="append")
+        consts = delta.agg(
+            F.count("*").alias("n"),
+            F.sum(token_count_col(F.col(self.text_col))).alias("tl")).first()
+        self.n_docs += int(consts["n"])
+        self.total_len += int(consts["tl"] or 0)
+        self._postings_version = v
+        self._commit_stats(self.spark, self._state_dir, self._name, {
+            "id_col": self.id_col, "text_col": self.text_col,
+            "n_docs": self.n_docs, "total_len": self.total_len,
+            "postings_version": v,
+            "postings_ddl": ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in self._postings.schema.fields)})
+
+    # -- queries ----------------------------------------------------------
+
+    def topk(self, queries: DataFrame, k: int = 10,
+             query_id_col: str = "query_id", query_col: str = "query",
+             k1: float = 1.2, b: float = 0.75) -> DataFrame:
+        """(query_id, doc_id, score, rank) — identical semantics and
+        values to ``bm25_topk`` over the indexed corpus, but the plan
+        reads the committed postings (pruned to the query vocabulary
+        by a broadcast semi-join) instead of re-tokenizing text."""
+        if not self.n_docs or not self.total_len:
+            raise ValueError("SearchIndex.topk: empty index")
+        q_terms = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.array_distinct(tokens_col(F.col(query_col))))
+            .alias("term"))
+        hit = (self._postings.read(self._postings_version)
+               .join(F.broadcast(q_terms.select("term").distinct()),
+                     "term", "left_semi").localCheckpoint())
+        avg_len = self.total_len / self.n_docs
+        return _bm25_rank(hit, q_terms, self.n_docs, avg_len, k, k1, b)
+
+
+def mine_hard_negatives(corpus: DataFrame, pairs: DataFrame,
+                        n_neg: int = 4, depth: int = 50,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        query_id_col: str = "query_id",
+                        query_col: str = "query",
+                        pos_id_col: str = "pos_doc_id",
+                        index: "SearchIndex | None" = None) -> DataFrame:
+    """BM25 hard negatives for retrieval training pairs (the DPR /
+    sentence-transformers recipe: the best negatives are documents the
+    lexical ranker scores HIGH that are not labeled positive): given
+    ``pairs`` (query_id, query, pos_doc_id — multiple positives per
+    query fold naturally), return (query_id, doc_id, score, neg_rank)
+    — the top ``n_neg`` BM25 hits per query AFTER removing every
+    labeled positive, re-ranked 1..n_neg.
+
+    ``depth`` is the BM25 pool mined per query before positives are
+    removed — it must exceed n_neg + the max positives per query or a
+    heavily-labeled query comes back short. Pass ``index=`` (a built
+    SearchIndex) to mine from committed postings instead of
+    re-tokenizing the corpus. Scale shape: everything after the BM25
+    stage runs on O(queries × depth) rows — one anti-join against the
+    positive labels, one per-query window."""
+    if n_neg < 1 or depth < n_neg:
+        raise ValueError(f"need 1 <= n_neg <= depth, got {n_neg}/{depth}")
+    queries = pairs.select(F.col(query_id_col).alias("query_id"),
+                           F.col(query_col).alias("query")).distinct()
+    if index is not None:
+        pool = index.topk(queries, k=depth)
+    else:
+        pool = bm25_topk(corpus, queries, id_col=id_col, text_col=text_col,
+                         k=depth)
+    pos = pairs.select(F.col(query_id_col).alias("query_id"),
+                       F.col(pos_id_col).alias("doc_id"))
+    neg = pool.join(pos, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    return (neg.withColumn("neg_rank", F.row_number().over(w))
+            .where(F.col("neg_rank") <= n_neg)
+            .select("query_id", "doc_id", "score", "neg_rank"))

@@ -983,3 +983,165 @@ def clip_score_filter(df: DataFrame, threshold: float,
     pair is not evidence of alignment. Pure map."""
     scored = embedding_pair_similarity(df, vec_a, vec_b, "_pair_sim")
     return scored.where(F.col("_pair_sim") >= threshold).drop("_pair_sim")
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+# CCMatrix / ParaCrawl recipe for mining parallel sentences from a
+# multilingual web crawl)
+# ---------------------------------------------------------------------------
+
+def _cross_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                id_col: str, vec_col: str) -> DataFrame:
+    """Cross-table exact kNN: ``cosine_topk_bruteforce`` minus the
+    self-pair filter — across two INDEPENDENT id spaces (src vs tgt
+    sentences) an id collision is not a self-match, and dropping it
+    would silently lose a candidate translation. Same contract:
+    (query_id, neighbor_id, cosine, rank), query side broadcast."""
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col).alias("qv"),
+                                   norm_col(F.col(vec_col)).alias("qn")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"),
+                      norm_col(F.col(vec_col)).alias("cn"))
+    scored = q.crossJoin(c).select(
+        "query_id", "neighbor_id",
+        F.round(_paired_cosine(), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
+                threshold: float = 1.05, margin: str = "ratio",
+                strategy: str = "max", id_col: str = "vec_id",
+                vec_col: str = "embedding", knn=None) -> DataFrame:
+    """Mine candidate translation pairs from two monolingual embedding
+    tables (multilingual encoder such as LASER/LaBSE — inference is the
+    documented external seam) with margin-based scoring
+    (Artetxe & Schwenk 2019):
+
+        margin(x, y) = cos(x, y)  RELATIVE TO  the mean cosine of each
+        side's k nearest neighbors — a pair only counts if it stands
+        out from its neighborhoods, which kills the hub sentences that
+        plain cosine thresholds mis-mine.
+
+    ``margin``: 'ratio' (cos / avg — the paper's best), 'distance'
+    (cos − avg), or 'absolute' (plain cos). ``strategy``: 'forward'
+    (each src keeps its best-margin tgt), 'backward' (symmetric),
+    'intersection' (mutual best), 'max' (union of both directions'
+    bests — the paper's top scorer). Output: (src_id, tgt_id, cosine,
+    margin_score), filtered to margin_score >= threshold.
+
+    Scale: the only heavy stage is kNN. ``knn`` defaults to the exact
+    broadcast brute force (fine when one side fits a broadcast); at
+    corpus scale pass a wrapper over ``ivf_topk``/``AnnIndex.topk`` —
+    everything downstream runs on O((n_src + n_tgt) * k) 24-byte rows:
+    two map-side-partial mean aggregates, equi-joins on the id, and
+    per-id windows. Text and vectors never ride those shuffles.
+    """
+    if margin not in ("ratio", "distance", "absolute"):
+        raise ValueError(f"unknown margin {margin!r}")
+    if strategy not in ("forward", "backward", "intersection", "max"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    do_knn = knn or (lambda c, q: _cross_topk(c, q, k, id_col, vec_col))
+    fwd = do_knn(tgt, src)          # query = src sentence, neighbors in tgt
+    bwd = do_knn(src, tgt)          # query = tgt sentence, neighbors in src
+
+    # Per-sentence neighborhood means: O(n) rows, map-side partial agg.
+    src_avg = fwd.groupBy(F.col("query_id").alias("src_id")) \
+                 .agg(F.avg("cosine").alias("src_avg"))
+    tgt_avg = bwd.groupBy(F.col("query_id").alias("tgt_id")) \
+                 .agg(F.avg("cosine").alias("tgt_avg"))
+
+    # Candidate pairs from both directions, oriented (src_id, tgt_id).
+    # Cosine is symmetric, so a pair seen in both directions carries
+    # the same rounded value — max() just collapses the duplicate row.
+    pairs = (
+        fwd.select(F.col("query_id").alias("src_id"),
+                   F.col("neighbor_id").alias("tgt_id"), "cosine")
+        .unionByName(bwd.select(F.col("neighbor_id").alias("src_id"),
+                                F.col("query_id").alias("tgt_id"), "cosine"))
+        .groupBy("src_id", "tgt_id").agg(F.max("cosine").alias("cosine"))
+        .join(src_avg, "src_id").join(tgt_avg, "tgt_id")
+    )
+    avg = (F.col("src_avg") + F.col("tgt_avg")) / F.lit(2.0)
+    if margin == "ratio":
+        score = F.when(avg > 0, F.col("cosine") / avg)
+    elif margin == "distance":
+        score = F.col("cosine") - avg
+    else:
+        score = F.col("cosine")
+    scored = pairs.select("src_id", "tgt_id", "cosine",
+                          F.round(score, 6).alias("margin_score"))
+
+    w_src = Window.partitionBy("src_id").orderBy(F.desc("margin_score"),
+                                                 F.asc("tgt_id"))
+    w_tgt = Window.partitionBy("tgt_id").orderBy(F.desc("margin_score"),
+                                                 F.asc("src_id"))
+    if strategy == "forward":
+        best = (scored.withColumn("r", F.row_number().over(w_src))
+                .filter(F.col("r") == 1).drop("r"))
+    elif strategy == "backward":
+        best = (scored.withColumn("r", F.row_number().over(w_tgt))
+                .filter(F.col("r") == 1).drop("r"))
+    else:
+        f = (scored.withColumn("r", F.row_number().over(w_src))
+             .filter(F.col("r") == 1).drop("r"))
+        b = (scored.withColumn("r", F.row_number().over(w_tgt))
+             .filter(F.col("r") == 1).drop("r"))
+        if strategy == "intersection":
+            best = f.join(b.select("src_id", "tgt_id"), ["src_id", "tgt_id"],
+                          "left_semi")
+        else:                                   # max: union of both bests
+            best = f.unionByName(b).dropDuplicates(["src_id", "tgt_id"])
+    return best.filter(F.col("margin_score") >= threshold)
+
+
+def embedding_drift(old: DataFrame, new: DataFrame, n_clusters: int = 16,
+                    sample_n: int = 2000, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Distribution drift between two corpus versions in embedding
+    space — the monitoring record a recurring crawl publishes next to
+    corpus_diff_card: cluster the OLD version's space (the reference
+    frame; fitting on the union would let the drift move the ruler),
+    assign both versions to those fixed centroids, and report per
+    cluster ``(cluster_id, n_old, n_new, frac_old, frac_new,
+    frac_shift, mean_sim_old, mean_sim_new)``. A topic surging or
+    collapsing shows as frac_shift; genuinely NEW content (far from
+    every old centroid) shows as mean_sim_new dropping in the clusters
+    that absorb it. Σ|frac_shift|/2 is total-variation drift.
+
+    Cost: the quantizer fit is the existing bounded driver sample;
+    each side is ONE vectorized Arrow assignment pass + a
+    map-side-partial groupBy to O(n_clusters) rows. Raises on an
+    empty old corpus (no reference frame to measure against)."""
+    cent = _fit_quantizer(old, n_clusters, sample_n, id_col, vec_col)
+    if cent is None:
+        raise ValueError("embedding_drift: empty reference (old) corpus")
+    assign = ivf_assign_sim_udf(cent)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        a = df.select(assign(F.col(vec_col)).alias("_a")) \
+              .select(F.col("_a.list_id").alias("cluster_id"),
+                      F.col("_a.centroid_sim").alias("_sim"))
+        return a.groupBy("cluster_id").agg(
+            F.count("*").alias(f"n_{tag}"),
+            F.avg("_sim").alias(f"mean_sim_{tag}"))
+
+    j = side(old, "old").join(side(new, "new"), "cluster_id", "full_outer")
+    n_old = F.coalesce("n_old", F.lit(0))
+    n_new = F.coalesce("n_new", F.lit(0))
+    tot_old = F.sum(n_old).over(Window.partitionBy())
+    tot_new = F.sum(n_new).over(Window.partitionBy())
+    frac_old = n_old / tot_old
+    frac_new = F.when(tot_new > 0, n_new / tot_new).otherwise(F.lit(0.0))
+    return (j.select(
+        "cluster_id", n_old.alias("n_old"), n_new.alias("n_new"),
+        F.round(frac_old, 6).alias("frac_old"),
+        F.round(frac_new, 6).alias("frac_new"),
+        F.round(frac_new - frac_old, 6).alias("frac_shift"),
+        F.round("mean_sim_old", 6).alias("mean_sim_old"),
+        F.round("mean_sim_new", 6).alias("mean_sim_new"))
+        .orderBy("cluster_id"))

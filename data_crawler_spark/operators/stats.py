@@ -14,7 +14,7 @@ a corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_crawler_spark.operators.text import (fingerprint_col,
@@ -180,3 +180,87 @@ def threshold_curve(df: DataFrame, score_col: str,
         list(reversed(out)),
         "threshold double, n_docs long, frac_docs double, "
         "mass double, frac_mass double")
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             max_rank: int | None = 10000) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary — the
+    dataset-card sanity diagnostic (natural-language corpora sit near
+    slope −1; a slope far off flags boilerplate floods, templated spam,
+    or tokenizer damage). One row: (slope, intercept, r2, n_terms,
+    n_tokens), the least-squares fit of log(freq) on log(rank).
+
+    Plan: ONE word_freqs pass (explode + map-side-partial groupBy),
+    then — with ``max_rank`` set (the default, and the published
+    regime for Zipf fits: the hapax tail is quantized and drags the
+    fit) — a distributed top-k (TakeOrderedAndProject: each partition
+    keeps its local top max_rank, never a full-vocab single-task
+    sort), ranks assigned on the collected head. ``max_rank=None``
+    ranks the WHOLE vocabulary through one global window — a
+    vocabulary-sized total-order sort; fine for audits, not the
+    default. The regression itself folds in one map-side-partial
+    aggregate either way.
+    """
+    from data_crawler_spark.operators.tokenizer import word_freqs
+    freqs = word_freqs(df, text_col)
+    if max_rank is not None:
+        head = freqs.orderBy(F.desc("cnt"), F.asc("word")).limit(max_rank)
+        w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+        ranked = head.withColumn("rank", F.row_number().over(w))
+    else:
+        w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+        ranked = freqs.withColumn("rank", F.row_number().over(w))
+    x, y = F.log(F.col("rank").cast("double")), F.log(F.col("cnt").cast("double"))
+    ag = ranked.agg(
+        F.count("*").alias("n"), F.sum("cnt").alias("n_tokens"),
+        F.avg(x).alias("mx"), F.avg(y).alias("my"),
+        F.covar_pop(x, y).alias("cxy"), F.var_pop(x).alias("vx"),
+        F.var_pop(y).alias("vy"))
+    slope = F.when(F.col("vx") > 0, F.col("cxy") / F.col("vx"))
+    r2 = F.when((F.col("vx") > 0) & (F.col("vy") > 0),
+                (F.col("cxy") * F.col("cxy")) / (F.col("vx") * F.col("vy")))
+    return ag.select(
+        slope.alias("slope"),
+        (F.col("my") - slope * F.col("mx")).alias("intercept"),
+        r2.alias("r2"),
+        F.col("n").cast("long").alias("n_terms"),
+        F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+def vocab_growth(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n_points: int = 16,
+                 lg_config_k: int = 14) -> DataFrame:
+    """Heaps-law vocabulary growth curve: (point, n_tokens, vocab_est)
+    at ``n_points`` nested corpus prefixes — the dataset-card
+    diagnostic for vocabulary saturation (natural corpora grow
+    V ≈ K·N^β with β≈0.5-0.8; a flat curve flags templated/duplicated
+    text, a linear one flags noise/mis-tokenization).
+
+    The "prefix" order is a deterministic random permutation — docs
+    hash into ``n_points`` buckets by xxhash64(id), prefix k = buckets
+    0..k — the canonical way to draw a growth curve (any fixed crawl
+    order confounds growth with drift) and, at scale, the reason the
+    plan has NO global sort: one explode pass collapses map-side into
+    ≤ n_points (bucket, HLL-sketch, token-count) rows, a tiny
+    bucket≤point expansion (n_points² rows) cumulates them with
+    ``hll_union_agg``, all JVM DataSketches. Estimates are near-exact
+    below ~2^lg_config_k distinct terms and ~2% beyond."""
+    if n_points < 2:
+        raise ValueError(f"n_points must be >= 2, got {n_points}")
+    from data_crawler_spark.operators.text import tokens_col
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                    F.lit(n_points)).cast("int")
+    words = (df.select(bucket.alias("bucket"),
+                       F.explode(tokens_col(F.col(text_col))).alias("word")))
+    per_bucket = (words.groupBy("bucket")
+                  .agg(F.hll_sketch_agg("word", F.lit(lg_config_k)).alias("sk"),
+                       F.count("*").alias("n_tokens")))
+    points = (per_bucket
+              .select("bucket", "sk", "n_tokens",
+                      F.explode(F.sequence(F.col("bucket"),
+                                           F.lit(n_points - 1))).alias("point"))
+              .groupBy("point")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("vocab_est"),
+                   F.sum("n_tokens").alias("n_tokens")))
+    return points.select("point", F.col("n_tokens").cast("long"),
+                         F.col("vocab_est").cast("long")).orderBy("point")

@@ -17,7 +17,7 @@ seam.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Shared with the DuckDB oracle SQL: RE2/Java-regex-compatible subset.
@@ -712,3 +712,105 @@ def remove_repeated_tokens(df: DataFrame, text: str = "text",
                     F.array_join(uniq, " ").alias("clean_text"),
                     F.size(toks).cast("long").alias("n_tokens"),
                     F.size(uniq).cast("long").alias("n_unique")))
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_len: int = 256,
+                    overlap: int = 32) -> DataFrame:
+    """Split documents into overlapping token-window chunks —
+    (id, chunk_id, token_start, n_tokens, chunk_text) — the
+    retrieval / context-window prep seam (RAG corpora, long-doc eval
+    sets, embedding inputs capped at a model's sequence length).
+
+    Windows are whitespace tokens (``ws_split_col`` — punctuation
+    preserved inside tokens, unlike the normalized WORD_RE stream),
+    stride = chunk_len − overlap, and the last chunk is the partial
+    remainder — chunks stop once one reaches the document's end, so a
+    short suffix never re-emits as a pure subset of the previous
+    window. A document shorter than ``chunk_len`` is one chunk; an
+    empty/null document emits nothing.
+
+    Doc-local native expressions end to end: tokenize once (the token
+    array and chunk count are BOUND as lambda variables — HOFs are
+    CodegenFallback, so an unbound subtree would re-split the document
+    per chunk), build the chunk structs in one ``transform``,
+    ``posexplode``. No shuffle, no Python."""
+    if not 0 <= overlap < chunk_len:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_len, got {overlap}/{chunk_len}")
+    stride = chunk_len - overlap
+    toks = ws_split_col(F.col(text_col))
+
+    def chunks(t: Column) -> Column:
+        n = F.size(t)
+        n_chunks = F.when(
+            n <= chunk_len, F.lit(1)
+        ).otherwise((F.lit(1) + F.ceil((n - chunk_len) / F.lit(stride)))
+                    .cast("int"))
+        idx = F.when(n >= 1, F.sequence(F.lit(0), n_chunks - 1)) \
+               .otherwise(F.expr("array()").cast("array<int>"))
+
+        def mk(i: Column) -> Column:
+            start = i * stride
+            return F.struct(
+                start.alias("token_start"),
+                F.least(F.lit(chunk_len), n - start).alias("n_tokens"),
+                F.concat_ws(" ", F.slice(t, start + 1, chunk_len))
+                 .alias("chunk_text"))
+
+        return F.transform(idx, mk)
+
+    arr = bind_once(toks, chunks)
+    return (df.select(F.col(id_col), F.posexplode(arr).alias("chunk_id", "c"))
+            .select(id_col, "chunk_id", F.col("c.token_start"),
+                    F.col("c.n_tokens"), F.col("c.chunk_text")))
+
+
+def paragraph_langs(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """(id, pos, lang, n_chars) per non-empty paragraph — the
+    paragraph-granular language signal (CCNet identifies language per
+    paragraph, not per page: boilerplate-translated chrome and quoted
+    snippets routinely disagree with the body). Pure map + posexplode,
+    the same split rule as paragraph_dedup; language is the engine's
+    deterministic langid_col heuristic (swap in the trainable
+    operators/langid profiles upstream for a real model)."""
+    import re as _re
+    paras = F.split(F.col(text_col), _re.escape(sep))
+    return (df.select(F.col(id_col), F.posexplode(paras).alias("pos", "para"))
+            .filter(F.trim(F.col("para")) != "")
+            .select(id_col, "pos", langid_col(F.col("para")).alias("lang"),
+                    F.length("para").alias("n_chars")))
+
+
+def lang_consistency(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Per-document language-mix profile: (id, doc_lang, major_frac,
+    n_langs, n_paras) — doc_lang is the char-mass majority paragraph
+    language (deterministic tie-break: lang asc), major_frac its share
+    of non-empty paragraph chars, n_langs the distinct paragraph
+    languages. The code-switching gate multilingual pipelines apply
+    before per-language routing: a page whose majority language holds
+    <~0.7 of the mass is usually chrome+body disagreement or true
+    mixed content, and routing it whole poisons both corpora.
+
+    Shape: paragraph rows collapse map-side to O(docs × langs-per-doc)
+    ≤ a few rows per doc; one per-id window picks the majority. Text
+    never rides a shuffle — only (id, lang, chars) rows do."""
+    per_lang = (paragraph_langs(df, id_col, text_col, sep)
+                .groupBy(id_col, "lang")
+                .agg(F.sum("n_chars").alias("chars"),
+                     F.count("*").alias("paras")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("chars"), F.asc("lang"))
+    tot = Window.partitionBy(id_col)
+    return (per_lang
+            .withColumn("r", F.row_number().over(w))
+            .withColumn("total_chars", F.sum("chars").over(tot))
+            .withColumn("n_langs", F.count("*").over(tot))
+            .withColumn("n_paras", F.sum("paras").over(tot))
+            .filter(F.col("r") == 1)
+            .select(id_col, F.col("lang").alias("doc_lang"),
+                    F.round(F.col("chars") / F.col("total_chars"), 6)
+                    .alias("major_frac"),
+                    F.col("n_langs").cast("int").alias("n_langs"),
+                    F.col("n_paras").cast("int").alias("n_paras")))

@@ -53,6 +53,7 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                  quality: bool = True, repetition: bool = True,
                  ngram_repetition: bool = False,
                  compression_bounds: tuple[float, float] | None = None,
+                 lang_major_frac: float | None = None,
                  paragraph_dedup_keep: str | None = None,
                  min_paragraph_survival: float = 0.5,
                  exact: bool = True, near_dup_threshold: float | None = 0.7,
@@ -101,6 +102,10 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
     - ``compression_bounds=(lo, hi)`` gates on the zlib compression
       ratio (Dolma-style: template farms compress toward 0, junk
       toward 1; docs outside the band — or with empty text — drop).
+    - ``lang_major_frac`` keeps only documents whose majority
+      paragraph language holds at least that fraction of the char
+      mass (the code-switching gate — a page whose chrome and body
+      disagree poisons whichever per-language corpus it routes to).
     - ``paragraph_dedup_keep`` ("first" / "none") runs CCNet-style
       corpus-wide paragraph dedup BEFORE the doc-level dedups (the
       boilerplate it strips would otherwise mask near-dup signals);
@@ -173,6 +178,14 @@ def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
         out = (compression_ratio(out, text_col)
                .filter(F.col("compression_ratio").between(lo, hi))
                .select(cols))
+    if lang_major_frac is not None:
+        # code-switching gate: keep docs whose majority paragraph
+        # language holds >= the cutoff of the char mass (docs with no
+        # non-empty paragraph have no majority and drop)
+        from ..operators.text import lang_consistency
+        lc = lang_consistency(out, id_col, text_col)
+        out = out.join(lc.filter(F.col("major_frac") >= lang_major_frac)
+                       .select(id_col), id_col, "left_semi")
 
     if paragraph_dedup_keep is not None:
         deduped = paragraph_dedup(out, id_col, text_col,
@@ -811,3 +824,58 @@ def dataset_card(docs: DataFrame, text_col: str = "text",
         card["encoding"] = (encoding_stats(docs, tokens_col, text_col)
                             .first().asDict())
     return card
+
+
+def corpus_diff_card(old: DataFrame, new: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> dict:
+    """The release-notes record between two corpus versions: doc and
+    token counts for added / removed / changed / unchanged documents
+    (change = the dd01 content fingerprint moved), plus both totals —
+    what a dataset card publishes next to 'v2 differs from v1 by …'.
+
+    Both sides reduce to (id, fingerprint, n_tokens) BEFORE the one
+    full-outer join — text never rides the diff shuffle (the
+    diff_snapshots rule) — and everything folds in ONE map-side-partial
+    aggregate into a single driver row."""
+    from data_crawler_spark.operators.text import (fingerprint_col,
+                                                   token_count_col)
+
+    def slim(df: DataFrame, tag: str) -> DataFrame:
+        t = F.coalesce(F.col(text_col), F.lit(""))
+        return df.select(F.col(id_col).alias("_id"),
+                         fingerprint_col(t).alias(f"fp_{tag}"),
+                         token_count_col(t).alias(f"nt_{tag}"))
+
+    j = slim(old, "old").join(slim(new, "new"), "_id", "full_outer")
+    cls = (F.when(F.col("fp_old").isNull(), F.lit("added"))
+           .when(F.col("fp_new").isNull(), F.lit("removed"))
+           .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+           .otherwise(F.lit("changed")))
+    row = j.select(cls.alias("c"), "nt_old", "nt_new").agg(
+        *[F.sum(F.when(F.col("c") == c, 1).otherwise(0)).alias(f"n_{c}")
+          for c in ("added", "removed", "changed", "unchanged")],
+        F.sum(F.when(F.col("c") == "added", F.col("nt_new"))
+              .otherwise(0)).alias("tok_added"),
+        F.sum(F.when(F.col("c") == "removed", F.col("nt_old"))
+              .otherwise(0)).alias("tok_removed"),
+        F.sum(F.when(F.col("c") == "changed", F.col("nt_old"))
+              .otherwise(0)).alias("tok_changed_old"),
+        F.sum(F.when(F.col("c") == "changed", F.col("nt_new"))
+              .otherwise(0)).alias("tok_changed_new"),
+        F.sum(F.coalesce("nt_old", F.lit(0))).alias("tok_old_total"),
+        F.sum(F.coalesce("nt_new", F.lit(0))).alias("tok_new_total"),
+    ).first()
+    return {
+        "n_old": int(row.n_removed + row.n_changed + row.n_unchanged),
+        "n_new": int(row.n_added + row.n_changed + row.n_unchanged),
+        "added": {"docs": int(row.n_added), "tokens": int(row.tok_added)},
+        "removed": {"docs": int(row.n_removed),
+                    "tokens": int(row.tok_removed)},
+        "changed": {"docs": int(row.n_changed),
+                    "tokens_old": int(row.tok_changed_old),
+                    "tokens_new": int(row.tok_changed_new)},
+        "unchanged": {"docs": int(row.n_unchanged)},
+        "tokens_old_total": int(row.tok_old_total),
+        "tokens_new_total": int(row.tok_new_total),
+    }

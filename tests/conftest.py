@@ -15,6 +15,11 @@ FIXTURE_CACHE = Path(__file__).resolve().parent.parent / ".fixtures_cache"
 def spark():
     s = (
         SparkSession.builder.master("local[8]")
+        # one JVM serves the whole 540+-test suite; Spark's 1g default
+        # driver heap OOMs near the end of the run from accumulated
+        # session state (localCheckpoint/broadcast blocks awaiting the
+        # async ContextCleaner) — an env limit, not a plan defect
+        .config("spark.driver.memory", "6g")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

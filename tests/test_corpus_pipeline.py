@@ -761,3 +761,41 @@ def test_dataset_card_sections(spark):
     # optional sections stay absent when not requested
     minimal = dataset_card(docs.select("doc_id", "text"))
     assert set(minimal) == {"n_input_columns", "stats"}
+
+
+def test_corpus_diff_card(spark):
+    from data_crawler_spark.plans.corpus_pipeline import corpus_diff_card
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma"),          # unchanged
+         (2, "two old words here"),        # changed in new
+         (3, "will be removed entirely")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma"),
+         (2, "rewritten"),
+         (4, "brand new document added now")],
+        "doc_id long, text string")
+    card = corpus_diff_card(old, new)
+    assert card["n_old"] == 3 and card["n_new"] == 3
+    assert card["added"] == {"docs": 1, "tokens": 5}
+    assert card["removed"] == {"docs": 1, "tokens": 4}
+    assert card["changed"] == {"docs": 1, "tokens_old": 4, "tokens_new": 1}
+    assert card["unchanged"] == {"docs": 1}
+    assert card["tokens_old_total"] == 3 + 4 + 4
+    assert card["tokens_new_total"] == 3 + 1 + 5
+
+
+def test_clean_corpus_lang_major_frac_stage(spark):
+    from data_crawler_spark.plans.corpus_pipeline import clean_corpus
+    from data_crawler_spark.operators.text import lang_consistency
+    en = "plain body words without marker hits making prose " * 8
+    es = "el proyecto es la mejor cosa que es la de hoy " * 8
+    docs = spark.createDataFrame(
+        [(1, en), (2, f"{en}\n{es}"), (3, es)],
+        "doc_id long, text string")
+    out = clean_corpus(docs, quality=False, repetition=False, exact=False,
+                       near_dup_threshold=None, lang_major_frac=0.9)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    direct = lang_consistency(docs)
+    want = {r.doc_id for r in direct.filter("major_frac >= 0.9").collect()}
+    assert kept == want == {1, 3}

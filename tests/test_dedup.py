@@ -765,3 +765,108 @@ def test_hamming_near_dups_validation(spark):
         hamming_near_dups(df, n_chunks=0)
     with pytest.raises(ValueError):
         hamming_near_dups(df, n_chunks=65)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+def _py_winnow(text, k, w):
+    import re
+    from data_crawler_spark.functions.hashing import xxhash64_str
+    toks = re.findall(r"[A-Za-z0-9]+", text.lower())
+    if len(toks) < k:
+        return set()
+    hs = [xxhash64_str(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)]
+    sels = set()
+    for p in range(len(hs) - w + 1):
+        win = hs[p:p + w]
+        m = min(win)
+        idx = w - 1 - win[::-1].index(m)   # rightmost min (robust winnowing)
+        sels.add((p + idx, m))
+    return sels
+
+
+def test_winnow_mirror_exact(spark):
+    from data_crawler_spark.operators.dedup import winnow_fingerprints
+    import random
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 60))))
+            for i in range(12)]
+    rows.append((99, "Short doc"))          # below k tokens -> no fingerprints
+    rows.append((98, None))                 # null text -> no rows
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=5, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp_hash))
+    for i, text in rows:
+        assert got.get(i, set()) == _py_winnow(text or "", 5, 4), i
+
+
+def test_winnow_guarantee_shared_span(spark):
+    # any shared token run of length >= w + k - 1 must share a fingerprint
+    from data_crawler_spark.operators.dedup import winnow_fingerprints
+    import random
+    rng = random.Random(5)
+    k, w = 5, 4
+    span = " ".join(f"common{i}" for i in range(k + w - 1))
+    mk = lambda seed: " ".join(f"u{seed}x{j}" for j in range(25))
+    rows = [(1, mk(1) + " " + span + " " + mk(11)),
+            (2, span + " " + mk(2)),
+            (3, mk(3))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert fps[1] & fps[2], "guarantee violated: shared t-length span, no shared fp"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnow_overlap_pairs(spark):
+    from data_crawler_spark.operators.dedup import winnow_overlap_pairs
+    base = " ".join(f"tok{i}" for i in range(50))
+    rows = [(1, base),
+            (2, base + " extra trailing words here"),       # heavy overlap w/ 1
+            (3, " ".join(f"other{i}" for i in range(50)))]  # unrelated
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r for r in
+           winnow_overlap_pairs(df, k=5, w=4, min_shared=2).collect()}
+    assert (1, 2) in got and got[(1, 2)].overlap > 0.9
+    assert all(p == (1, 2) for p in got)
+
+
+def test_winnow_overlap_max_df_drops_boilerplate(spark):
+    from data_crawler_spark.operators.dedup import winnow_overlap_pairs
+    footer = " ".join(f"footer{i}" for i in range(20))
+    rows = [(i, " ".join(f"doc{i}tok{j}" for j in range(30)) + " " + footer)
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # footer fingerprints appear in all 6 docs; max_df=3 drops them, so
+    # no pair survives min_shared
+    assert winnow_overlap_pairs(df, k=5, w=4, min_shared=2, max_df=3).count() == 0
+    # with the cap lifted, every pair shares the footer
+    assert winnow_overlap_pairs(df, k=5, w=4, min_shared=2, max_df=10).count() == 15
+
+
+def test_winnow_layout_invariance_and_validation(spark):
+    from data_crawler_spark.operators.dedup import winnow_fingerprints
+    rows = [(i, " ".join(f"v{(i * 7 + j) % 23}" for j in range(40)))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted((r.doc_id, r.pos, r.fp_hash)
+               for r in winnow_fingerprints(df, k=4, w=5).collect())
+    b = sorted((r.doc_id, r.pos, r.fp_hash)
+               for r in winnow_fingerprints(df.repartition(7), k=4, w=5).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0, w=4)
+
+
+def test_winnow_fingerprints_plan_map_only(spark):
+    from data_crawler_spark.operators.dedup import winnow_fingerprints
+    df = spark.createDataFrame([(1, "a b c d e f g h")],
+                               "doc_id long, text string")
+    plan = (winnow_fingerprints(df, k=2, w=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

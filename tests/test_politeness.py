@@ -166,3 +166,40 @@ def test_apply_backoff(spark):
     got = {r["host"]: r["budget_per_round"]
            for r in apply_backoff(hosts, backoffs, NOW).collect()}
     assert got == {"a.com": 8, "b.com": 0, "c.com": 2}
+
+
+# ---------------------------------------------------------------------------
+# Shared-IP politeness fold
+# ---------------------------------------------------------------------------
+
+def test_apply_ip_politeness(spark):
+    from data_crawler_spark.operators.politeness import apply_ip_politeness
+    hosts = spark.createDataFrame(
+        [("a.com", 10), ("b.com", 4), ("c.com", 7),   # a+b+c share an ip
+         ("d.com", 5),                                # own ip
+         ("e.com", 9)],                               # unresolved
+        "host string, budget_per_round long")
+    resolved = spark.createDataFrame(
+        [("a.com", "1.1.1.1"), ("b.com", "1.1.1.1"), ("c.com", "1.1.1.1"),
+         ("d.com", "2.2.2.2"), ("x.com", "3.3.3.3")],
+        "host string, ip string")
+    got = {r.host: r.budget_per_round
+           for r in apply_ip_politeness(hosts, resolved).collect()}
+    # group cap = min(10,4,7)=4 split over 3: 2,1,1 with remainder to 'a'
+    assert got == {"a.com": 2, "b.com": 1, "c.com": 1,
+                   "d.com": 5, "e.com": 9}
+    assert got["a.com"] + got["b.com"] + got["c.com"] == 4
+
+
+def test_apply_ip_politeness_null_ip_and_dup_resolution(spark):
+    from data_crawler_spark.operators.politeness import apply_ip_politeness
+    hosts = spark.createDataFrame(
+        [("a.com", 3), ("b.com", 3)], "host string, budget_per_round long")
+    resolved = spark.createDataFrame(
+        [("a.com", None), ("b.com", "9.9.9.9"), ("b.com", "9.9.9.9")],
+        "host string, ip string")
+    got = {r.host: r.budget_per_round
+           for r in apply_ip_politeness(hosts, resolved).collect()}
+    assert got == {"a.com": 3, "b.com": 3}
+    # duplicate resolution rows must not duplicate the host row
+    assert apply_ip_politeness(hosts, resolved).count() == 2

@@ -313,3 +313,20 @@ def test_wildcard_rules_rfc9309(spark):
         [("u1", "m", "/a(b)+c.d/x"), ("u2", "m", "/abbc_d/x")],
         "url string, host string, path string")
     assert [r.url for r in robots_gate(cand, rules2).collect()] == ["u2"]
+
+
+def test_robots_refresh_candidates(spark):
+    from data_crawler_spark.operators.robots import robots_refresh_candidates
+    caps = spark.createDataFrame(
+        [("a.com", "2026-08-19 00:00:00"),
+         ("a.com", "2026-08-20 06:00:00"),   # latest: 6h old -> fresh
+         ("b.com", "2026-08-18 00:00:00"),   # 60h old -> stale
+         ("c.com", "2026-08-19 11:00:00")],  # 25h old -> stale
+        "host string, fetched_at string")
+    got = {r.host: r.age_hours for r in robots_refresh_candidates(
+        caps, "2026-08-20 12:00:00", ttl_hours=24.0).collect()}
+    assert set(got) == {"b.com", "c.com"}
+    assert abs(got["b.com"] - 60.0) < 1e-6 and abs(got["c.com"] - 25.0) < 1e-6
+    import pytest
+    with pytest.raises(ValueError):
+        robots_refresh_candidates(caps, "2026-08-20 12:00:00", ttl_hours=0)

@@ -403,3 +403,38 @@ def test_sample_corpus_mixture_zero_mass_group(spark):
     # en (the only weighted group with mass) keeps everything
     got = {(r.doc_id, r.sample_rate) for r in out.collect()}
     assert got == {(1, 1.0), (2, 1.0)}
+
+
+# ---------------------------------------------------------------------------
+# Deterministic exact-k sampling
+# ---------------------------------------------------------------------------
+
+def test_sample_exact_k_mirror_and_nesting(spark):
+    from data_crawler_spark.operators.sampling import sample_exact_k
+    from data_crawler_spark.functions.hashing import xxhash64_str
+    rows = [(i, f"doc {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    def mirror(k, seed):
+        keyed = sorted(rows, key=lambda r: (
+            xxhash64_str(f"samplek:{r[0]}:{seed}"), r[0]))
+        return {r[0] for r in keyed[:k]}
+    got50 = {r.doc_id for r in sample_exact_k(df, 50, seed=3).collect()}
+    got100 = {r.doc_id for r in sample_exact_k(df, 100, seed=3).collect()}
+    assert got50 == mirror(50, 3) and got100 == mirror(100, 3)
+    assert got50 < got100                      # nested draws
+    assert {r.doc_id for r in
+            sample_exact_k(df.repartition(13), 50, seed=3).collect()} == got50
+    assert {r.doc_id for r in sample_exact_k(df, 50, seed=4).collect()} != got50
+    assert sample_exact_k(df, 500, seed=1).count() == 200   # k > corpus
+    import pytest
+    with pytest.raises(ValueError):
+        sample_exact_k(df, -1)
+
+
+def test_sample_exact_k_plan_is_distributed_topk(spark):
+    from data_crawler_spark.operators.sampling import sample_exact_k
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = (sample_exact_k(df, 10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan      # never a global sort
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")

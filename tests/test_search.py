@@ -222,3 +222,131 @@ def test_phrase_matches_multi_phrase_and_duplicates(spark):
     with _p.raises(ValueError):
         phrase_matches(corpus, spark.createDataFrame(
             [("q9", None)], "query_id string, phrase string"))
+
+
+# ---------------------------------------------------------------------------
+# Persistent BM25 index (build-once / query-many)
+# ---------------------------------------------------------------------------
+
+def _idx_corpus(spark):
+    rows = [
+        (1, "spark shuffle partitions and catalyst optimizer rules"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "spark catalyst plans broadcast joins for small tables"),
+        (4, "arrow batches move columns between jvm and python"),
+        (5, "dogs and foxes are animals"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _idx_queries(spark):
+    return spark.createDataFrame(
+        [(10, "spark catalyst"), (11, "lazy dog")],
+        "query_id long, query string")
+
+
+def test_search_index_matches_bm25_topk(spark, tmp_path):
+    from data_crawler_spark.operators.search import SearchIndex, bm25_topk
+    corpus, queries = _idx_corpus(spark), _idx_queries(spark)
+    idx = SearchIndex.build(spark, tmp_path, corpus)
+    want = sorted((r.query_id, r.doc_id, round(r.score, 9), r.rank)
+                  for r in bm25_topk(corpus, queries, k=3).collect())
+    got = sorted((r.query_id, r.doc_id, round(r.score, 9), r.rank)
+                 for r in idx.topk(queries, k=3).collect())
+    assert got == want and got
+
+
+def test_search_index_reopen_and_add(spark, tmp_path):
+    from data_crawler_spark.operators.search import SearchIndex, bm25_topk
+    corpus, queries = _idx_corpus(spark), _idx_queries(spark)
+    SearchIndex.build(spark, tmp_path, corpus)
+    idx = SearchIndex(spark, tmp_path)          # reopen from disk
+    delta = spark.createDataFrame(
+        [(6, "spark spark spark catalyst catalyst")],
+        "doc_id long, text string")
+    idx.add(delta)
+    union = corpus.unionByName(delta)
+    want = sorted((r.query_id, r.doc_id, round(r.score, 9), r.rank)
+                  for r in bm25_topk(union, queries, k=3).collect())
+    got = sorted((r.query_id, r.doc_id, round(r.score, 9), r.rank)
+                 for r in idx.topk(queries, k=3).collect())
+    assert got == want
+    assert 6 in {d for (_, d, _, _) in got}     # the delta doc surfaces
+    # a fresh reopen sees the post-add state
+    idx2 = SearchIndex(spark, tmp_path)
+    assert idx2.n_docs == 6
+    with pytest.raises(ValueError):
+        idx.add(delta)                          # re-added id refused
+
+
+def test_search_index_crash_between_commits_stays_consistent(spark, tmp_path):
+    from data_crawler_spark.operators.search import SearchIndex
+    corpus, queries = _idx_corpus(spark), _idx_queries(spark)
+    idx = SearchIndex.build(spark, tmp_path, corpus)
+    before = sorted((r.query_id, r.doc_id, round(r.score, 9))
+                    for r in idx.topk(queries, k=3).collect())
+    # simulate a crash between the postings append and the stats
+    # commit: new postings version lands, stats still pin the old one
+    extra = spark.createDataFrame(
+        [("spark", 7, 5, 5)], "term string, doc_id long, tf bigint, "
+        "doc_len bigint")
+    idx._postings.write(extra, mode="append")
+    reopened = SearchIndex(spark, tmp_path)
+    after = sorted((r.query_id, r.doc_id, round(r.score, 9))
+                   for r in reopened.topk(queries, k=3).collect())
+    assert after == before                      # old pairing still served
+
+
+def test_search_index_unbuilt_raises(spark, tmp_path):
+    from data_crawler_spark.operators.search import SearchIndex
+    with pytest.raises(ValueError):
+        SearchIndex(spark, tmp_path / "nothing_here")
+
+
+# ---------------------------------------------------------------------------
+# BM25 hard-negative mining
+# ---------------------------------------------------------------------------
+
+def test_mine_hard_negatives(spark, tmp_path):
+    from data_crawler_spark.operators.search import (SearchIndex, bm25_topk,
+                                                     mine_hard_negatives)
+    # the corpus must contain non-positive docs sharing query terms —
+    # BM25 can only rank docs with term overlap, so negatives come
+    # from the lexically-confusable pool (which is the point)
+    corpus = _idx_corpus(spark).unionByName(spark.createDataFrame(
+        [(6, "spark streaming watermarks handle late data"),
+         (7, "my dog is lazy on most sunday mornings"),
+         (8, "catalyst for chemical reactions in the lab")],
+        "doc_id long, text string"))
+    pairs = spark.createDataFrame(
+        [(10, "spark catalyst", 1),       # doc 1 labeled positive
+         (10, "spark catalyst", 3),       # two positives for one query
+         (11, "lazy dog", 2)],
+        "query_id long, query string, pos_doc_id long")
+    got = mine_hard_negatives(corpus, pairs, n_neg=2, depth=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    # every labeled positive excluded
+    assert {r.doc_id for r in by_q[10]}.isdisjoint({1, 3})
+    assert 2 not in {r.doc_id for r in by_q[11]}
+    # negatives are the best-ranked REMAINING bm25 hits, re-ranked 1..n
+    pool = bm25_topk(corpus, pairs.select("query_id", "query").distinct(),
+                     k=5).collect()
+    for qid, positives in ((10, {1, 3}), (11, {2})):
+        want = [r.doc_id for r in sorted(
+            (p for p in pool if p.query_id == qid
+             and p.doc_id not in positives), key=lambda p: p.rank)][:2]
+        assert [r.doc_id for r in sorted(by_q[qid],
+                                         key=lambda r: r.neg_rank)] == want
+        assert sorted(r.neg_rank for r in by_q[qid]) == list(
+            range(1, len(by_q[qid]) + 1))
+    # index-backed mining returns the same negatives
+    idx = SearchIndex.build(spark, tmp_path, corpus)
+    got_idx = sorted((r.query_id, r.doc_id, r.neg_rank) for r in
+                     mine_hard_negatives(corpus, pairs, n_neg=2, depth=5,
+                                         index=idx).collect())
+    assert got_idx == sorted((r.query_id, r.doc_id, r.neg_rank) for r in got)
+    import pytest
+    with pytest.raises(ValueError):
+        mine_hard_negatives(corpus, pairs, n_neg=5, depth=3)

@@ -563,3 +563,172 @@ def test_embedding_pair_similarity_mirror(spark):
     kept = {r["pair_id"] for r in clip_score_filter(df, thr).collect()}
     assert kept == {i for i in range(20) if got[i] >= thr}
     assert kept.isdisjoint({90, 91, 92})
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk 2019)
+# ---------------------------------------------------------------------------
+
+def _bitext_fixture(spark, seed=7, n_src=30, n_tgt=32, dim=16, planted=10):
+    rng = np.random.default_rng(seed)
+    S = rng.normal(size=(n_src, dim))
+    T = rng.normal(size=(n_tgt, dim))
+    for i in range(planted):   # tgt i is a noisy copy ("translation") of src i
+        T[i] = S[i] + 0.05 * rng.normal(size=dim)
+    src = spark.createDataFrame(
+        [(i, [float(x) for x in S[i]]) for i in range(n_src)],
+        "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(
+        [(j, [float(x) for x in T[j]]) for j in range(n_tgt)],
+        "vec_id long, embedding array<double>")
+    return S, T, src, tgt
+
+
+def _mirror_bitext(S, T, k, threshold, strategy):
+    """Pure-numpy mirror of bitext_mine with margin='ratio'."""
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
+    C = np.round(Sn @ Tn.T, 6)          # engine rounds cosine to 6
+    def topk(row_sims):                  # (-cos, id) ties like the engine
+        order = sorted(range(len(row_sims)), key=lambda j: (-row_sims[j], j))
+        return order[:k]
+    fwd = {i: topk(C[i, :]) for i in range(S.shape[0])}
+    bwd = {j: topk(C[:, j]) for j in range(T.shape[0])}
+    src_avg = {i: np.mean([C[i, j] for j in fwd[i]]) for i in fwd}
+    tgt_avg = {j: np.mean([C[i, j] for i in bwd[j]]) for j in bwd}
+    pairs = {(i, j) for i in fwd for j in fwd[i]}
+    pairs |= {(i, j) for j in bwd for i in bwd[j]}
+    scored = {(i, j): round(C[i, j] / ((src_avg[i] + tgt_avg[j]) / 2.0), 6)
+              for (i, j) in pairs}
+    def best_by_src():
+        out = {}
+        for (i, j), m in scored.items():
+            cur = out.get(i)
+            if cur is None or (-m, j) < (-cur[1], cur[0]):
+                out[i] = (j, m)
+        return {(i, j) for i, (j, _) in out.items()}
+    def best_by_tgt():
+        out = {}
+        for (i, j), m in scored.items():
+            cur = out.get(j)
+            if cur is None or (-m, i) < (-cur[1], cur[0]):
+                out[j] = (i, m)
+        return {(i, j) for j, (i, _) in out.items()}
+    if strategy == "forward":
+        keep = best_by_src()
+    elif strategy == "backward":
+        keep = best_by_tgt()
+    elif strategy == "intersection":
+        keep = best_by_src() & best_by_tgt()
+    else:
+        keep = best_by_src() | best_by_tgt()
+    return {(i, j): scored[(i, j)] for (i, j) in keep
+            if scored[(i, j)] >= threshold}
+
+
+def test_bitext_mirror_all_strategies(spark):
+    from data_crawler_spark.operators.similarity import bitext_mine
+    S, T, src, tgt = _bitext_fixture(spark)
+    for strategy in ("forward", "backward", "intersection", "max"):
+        got = {(r.src_id, r.tgt_id): r.margin_score
+               for r in bitext_mine(src, tgt, k=3, threshold=1.02,
+                                    strategy=strategy).collect()}
+        want = _mirror_bitext(S, T, k=3, threshold=1.02, strategy=strategy)
+        assert set(got) == set(want), strategy
+        for p, m in want.items():
+            assert abs(got[p] - m) < 1e-5, (strategy, p)
+
+
+def test_bitext_planted_pairs_mined(spark):
+    from data_crawler_spark.operators.similarity import bitext_mine
+    _, _, src, tgt = _bitext_fixture(spark)
+    got = {(r.src_id, r.tgt_id)
+           for r in bitext_mine(src, tgt, k=3, threshold=1.02,
+                                strategy="max").collect()}
+    assert {(i, i) for i in range(10)} <= got
+    # random (non-translation) pairs dominate neither neighborhood:
+    # mined set stays far below the full candidate pool
+    assert len(got) < 30
+
+
+def test_bitext_forward_unique_and_intersection_subset(spark):
+    from data_crawler_spark.operators.similarity import bitext_mine
+    _, _, src, tgt = _bitext_fixture(spark)
+    fwd = bitext_mine(src, tgt, k=3, threshold=0.0, strategy="forward").collect()
+    assert len({r.src_id for r in fwd}) == len(fwd)
+    inter = {(r.src_id, r.tgt_id) for r in bitext_mine(
+        src, tgt, k=3, threshold=0.0, strategy="intersection").collect()}
+    bwd = {(r.src_id, r.tgt_id) for r in bitext_mine(
+        src, tgt, k=3, threshold=0.0, strategy="backward").collect()}
+    assert inter <= {(r.src_id, r.tgt_id) for r in fwd} and inter <= bwd
+
+
+def test_bitext_validation(spark):
+    from data_crawler_spark.operators.similarity import bitext_mine
+    _, _, src, tgt = _bitext_fixture(spark)
+    with pytest.raises(ValueError):
+        bitext_mine(src, tgt, margin="nope")
+    with pytest.raises(ValueError):
+        bitext_mine(src, tgt, strategy="nope")
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift between corpus versions
+# ---------------------------------------------------------------------------
+
+def test_embedding_drift(spark):
+    from data_crawler_spark.operators.similarity import embedding_drift
+    rng = np.random.default_rng(21)
+    dim = 16
+    protos = rng.normal(size=(2, dim))
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+
+    def rows(counts, noise, start, drift_vec=None):
+        out, vid = [], start
+        for c, n in enumerate(counts):
+            for _ in range(n):
+                v = protos[c] + noise * rng.normal(size=dim)
+                if drift_vec is not None:
+                    v = v + drift_vec
+                out.append((vid, [float(x) for x in v]))
+                vid += 1
+        return out
+
+    old = spark.createDataFrame(rows([40, 40], 0.05, 0),
+                                "vec_id long, embedding array<double>")
+    # new: topic 0 surges to 60, topic 1 collapses to 20 and MOVES —
+    # drift orthogonal to both prototypes so similarity drops without
+    # flipping the nearest-centroid assignment
+    u = rng.normal(size=dim)
+    for p in protos:
+        u -= (u @ p) * p
+    u *= 0.5 / np.linalg.norm(u)
+    new_rows = rows([60], 0.05, 1000) + rows([0, 20], 0.05, 2000,
+                                             drift_vec=u)
+    new = spark.createDataFrame(new_rows,
+                                "vec_id long, embedding array<double>")
+    got = {r.cluster_id: r for r in
+           embedding_drift(old, new, n_clusters=2, sample_n=100).collect()}
+    assert len(got) == 2
+    fracs_old = sorted(r.frac_old for r in got.values())
+    assert all(abs(f - 0.5) < 0.01 for f in fracs_old)
+    surge = max(got.values(), key=lambda r: r.frac_shift)
+    collapse = min(got.values(), key=lambda r: r.frac_shift)
+    assert surge.frac_shift > 0.2 and collapse.frac_shift < -0.2
+    assert abs(sum(r.frac_shift for r in got.values())) < 1e-6
+    # the moved topic scores farther from its old centroid
+    assert collapse.mean_sim_new < collapse.mean_sim_old - 0.05
+    # layout invariance
+    again = {r.cluster_id: r.frac_shift for r in
+             embedding_drift(old.repartition(7), new.repartition(3),
+                             n_clusters=2, sample_n=100).collect()}
+    assert again == {c: r.frac_shift for c, r in got.items()}
+
+
+def test_embedding_drift_empty_reference_raises(spark):
+    from data_crawler_spark.operators.similarity import embedding_drift
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    new = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        embedding_drift(empty, new, n_clusters=2)

@@ -200,3 +200,91 @@ def test_threshold_curve_auto_bounds_and_degenerate(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         threshold_curve(df, "score", n_bins=0)
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+def _zipf_mirror(texts, max_rank):
+    import re
+    from collections import Counter
+    import numpy as np
+    c = Counter()
+    for t in texts:
+        c.update(re.findall(r"[A-Za-z0-9]+", t.lower()))
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    if max_rank is not None:
+        ranked = ranked[:max_rank]
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    y = np.log(np.array([cnt for _, cnt in ranked], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    return slope, intercept, r * r, len(ranked), sum(cnt for _, cnt in ranked)
+
+
+def test_zipf_fit_mirror(spark):
+    from data_crawler_spark.operators.stats import zipf_fit
+    import random
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(200)]
+    # zipfian draw: word i with weight 1/(i+1)
+    weights = [1.0 / (i + 1) for i in range(200)]
+    texts = [" ".join(rng.choices(vocab, weights)[0] for _ in range(300))
+             for _ in range(20)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for max_rank in (None, 50):
+        row = zipf_fit(df, max_rank=max_rank).collect()[0]
+        slope, intercept, r2, n_terms, n_tokens = _zipf_mirror(texts, max_rank)
+        assert abs(row.slope - slope) < 1e-9
+        assert abs(row.intercept - intercept) < 1e-9
+        assert abs(row.r2 - r2) < 1e-9
+        assert row.n_terms == n_terms and row.n_tokens == n_tokens
+    assert -1.6 < row.slope < -0.4        # zipf-ish corpus fits near -1
+
+
+def test_zipf_fit_degenerate(spark):
+    from data_crawler_spark.operators.stats import zipf_fit
+    # single distinct term: zero rank variance -> null slope, not a crash
+    df = spark.createDataFrame([("same same same",)], "text string")
+    row = zipf_fit(df).collect()[0]
+    assert row.slope is None and row.n_terms == 1 and row.n_tokens == 3
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth
+# ---------------------------------------------------------------------------
+
+def test_vocab_growth_exact_at_small_scale(spark):
+    from data_crawler_spark.operators.stats import vocab_growth
+    from data_crawler_spark.functions.hashing import xxhash64_str
+    import re
+    import random
+    rng = random.Random(17)
+    vocab = [f"word{i}" for i in range(300)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(40)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_points = 8
+    got = {r.point: (r.n_tokens, r.vocab_est)
+           for r in vocab_growth(df, n_points=n_points).collect()}
+    # mirror: same bucket rule (xxhash64 of the STRING form of the id)
+    buckets = {i: xxhash64_str(str(i)) % n_points for i, _ in rows}
+    for p in range(n_points):
+        toks = []
+        for i, text in rows:
+            if buckets[i] <= p:
+                toks += re.findall(r"[A-Za-z0-9]+", text.lower())
+        assert got[p][0] == len(toks), p
+        # sketches are near-exact at this cardinality
+        assert abs(got[p][1] - len(set(toks))) <= max(2, 0.02 * len(set(toks))), p
+    ests = [got[p][1] for p in range(n_points)]
+    assert ests == sorted(ests)          # nested prefixes -> monotone vocab
+
+
+def test_vocab_growth_validation(spark):
+    from data_crawler_spark.operators.stats import vocab_growth
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest
+    with pytest.raises(ValueError):
+        vocab_growth(df, n_points=1)

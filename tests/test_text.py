@@ -646,3 +646,110 @@ def test_shard_by_token_budget_order_col_and_group_col(spark):
                     assert got == want, (use_order, use_group, p)
     finally:
         df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (token windows with overlap)
+# ---------------------------------------------------------------------------
+
+def _chunk_mirror(text, chunk_len, overlap):
+    toks = text.split()
+    if not toks:
+        return []
+    stride = chunk_len - overlap
+    out, i = [], 0
+    while True:
+        start = i * stride
+        piece = toks[start:start + chunk_len]
+        out.append((i, start, len(piece), " ".join(piece)))
+        if start + chunk_len >= len(toks):
+            break
+        i += 1
+    return out
+
+
+def test_chunk_documents_mirror(spark):
+    from data_crawler_spark.operators.text import chunk_documents
+    import random
+    rng = random.Random(9)
+    rows = [(i, " ".join(f"t{j}" for j in range(rng.randint(0, 40))))
+            for i in range(15)]
+    rows += [(100, ""), (101, None), (102, "one two,  three!   four")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, chunk_len=10, overlap=3).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.token_start, r.n_tokens, r.chunk_text))
+    for i, text in rows:
+        want = _chunk_mirror(text or "", 10, 3)
+        assert sorted(got.get(i, [])) == want, i
+
+
+def test_chunk_documents_overlap_property(spark):
+    from data_crawler_spark.operators.text import chunk_documents
+    text = " ".join(f"w{j}" for j in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(chunk_documents(df, chunk_len=16, overlap=4).collect(),
+                  key=lambda r: r.chunk_id)
+    for a, b in zip(rows, rows[1:]):
+        assert b.token_start == a.token_start + 12   # stride
+        assert a.chunk_text.split()[-4:] == b.chunk_text.split()[:4]
+    # full coverage: last chunk reaches the end
+    assert rows[-1].token_start + rows[-1].n_tokens == 100
+
+
+def test_chunk_documents_validation(spark):
+    from data_crawler_spark.operators.text import chunk_documents
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_len=8, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level language consistency
+# ---------------------------------------------------------------------------
+
+def test_lang_consistency_mixed_doc(spark):
+    from data_crawler_spark.operators.text import lang_consistency, paragraph_langs
+    en = "some plain words without any marker hits at all"          # -> en
+    es = "el proyecto es la mejor cosa que tenemos hoy aqui"        # -> es
+    zh = "中文段落内容测试" * 3     # -> zh (CJK)
+    rows = [
+        (1, f"{en}\n{en}\n{es}"),       # en-major, es minority
+        (2, f"{zh}\n\n  \n{zh}"),       # pure zh; blank paras ignored
+        (3, en),                        # single-paragraph doc
+        (4, ""),                        # no non-empty paragraphs -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pl = {(r.doc_id, r.pos): r.lang for r in paragraph_langs(df).collect()}
+    assert pl[(1, 0)] == "en" and pl[(1, 2)] == "es" and pl[(2, 0)] == "zh"
+    got = {r.doc_id: r for r in lang_consistency(df).collect()}
+    assert set(got) == {1, 2, 3}
+    r1 = got[1]
+    assert r1.doc_lang == "en" and r1.n_langs == 2 and r1.n_paras == 3
+    assert abs(r1.major_frac - 2 * len(en) / (2 * len(en) + len(es))) < 1e-6
+    assert got[2].doc_lang == "zh" and got[2].major_frac == 1.0
+    assert got[2].n_paras == 2          # whitespace-only paragraphs excluded
+    assert got[3].n_langs == 1 and got[3].major_frac == 1.0
+
+
+def test_lang_consistency_tie_break(spark):
+    from data_crawler_spark.operators.text import lang_consistency
+    # two languages with EXACTLY equal char mass -> lang asc wins
+    en = "x" * 20                                       # no markers -> en
+    es = "el que es la los xx"                          # markers -> es
+    es = es + "x" * (len(en) - len(es))
+    assert len(es) == len(en)
+    df = spark.createDataFrame([(1, f"{en}\n{es}")], "doc_id long, text string")
+    row = lang_consistency(df).collect()[0]
+    assert row.major_frac == 0.5 and row.doc_lang == "en"
+
+
+def test_chunk_documents_plan_map_only(spark):
+    from data_crawler_spark.operators.text import chunk_documents
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = (chunk_documents(df, chunk_len=3, overlap=1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
