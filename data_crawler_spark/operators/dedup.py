@@ -565,10 +565,14 @@ def hamming_near_dups(hashes: DataFrame, id_col: str = "doc_id",
         offs.append(o)
         o += w
     h = F.col(hash_col)
+    # width 64 (n_chunks=1, the max_hamming=0 exact-dup call): the
+    # all-ones mask is -1 as a signed long — 2**64-1 overflows the
+    # Java long literal
+    masks = [(1 << w) - 1 if w < 64 else -1 for w in widths]
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned(h, offs[c])
-                 .bitwiseAND(F.lit((1 << widths[c]) - 1)).alias("ck"))
+                 .bitwiseAND(F.lit(masks[c])).alias("ck"))
         for c in range(n_chunks)
     ])
     ex = (hashes.select(F.col(id_col), h.alias("_h"),

@@ -368,8 +368,13 @@ def recrawl_candidates(index: DataFrame, now,
                              default_changes_per_day)
     prio = F.col("p_changed")
     if sitemap is not None:
+        # one row per url: sitemap_staleness is per sitemap ENTRY and
+        # the same url listed in two sitemap files would otherwise
+        # duplicate the candidate row through the left join (the
+        # scheduler would fetch it twice)
         stale = (sitemap.where("stale")
-                 .select("url", F.lit(True).alias("_stale")))
+                 .select("url", F.lit(True).alias("_stale"))
+                 .dropDuplicates(["url"]))
         rates = rates.join(stale, "url", "left")
         prio = F.when(F.col("_stale"),
                       F.greatest(prio, F.lit(float(stale_priority)))

@@ -252,16 +252,25 @@ def decompress_payloads(pages: DataFrame, bin_col: str = "payload",
                     total += len(chunk)
                     if total > max_bytes:
                         return None, "too_big"
-                    if d.eof or not d.unconsumed_tail:
-                        break
+                    if d.eof:
+                        tail = d.flush()
+                        chunks.append(tail)
+                        total += len(tail)
+                        if total > max_bytes:
+                            return None, "too_big"
+                        # concatenated members (gzip -c a b; WARC
+                        # files are one member PER RECORD) — keep
+                        # inflating instead of silently truncating
+                        # to the first member
+                        rest = d.unused_data
+                        if is_gzip and rest[:2] == _GZIP_MAGIC:
+                            d = zlib.decompressobj(47)
+                            buf = rest
+                            continue
+                        return b"".join(chunks), codec
+                    if not d.unconsumed_tail:
+                        return None, "corrupt"  # truncated stream
                     buf = d.unconsumed_tail
-                chunks.append(d.flush())
-                total += len(chunks[-1])
-                if total > max_bytes:
-                    return None, "too_big"
-                if not d.eof:
-                    return None, "corrupt"  # truncated stream
-                return b"".join(chunks), codec
             except zlib.error:
                 return None, "corrupt"
         for pdf in batches:

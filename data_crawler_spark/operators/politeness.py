@@ -82,8 +82,11 @@ def fetch_status_class_col(status: Column) -> Column:
     Service Unavailable — the server is TELLING us to slow down),
     ``client_error`` (other 4xx), ``server_error`` (other 5xx),
     ``unknown`` (null / out-of-range — connection-level failures a
-    fetcher logs without a status). Pure map."""
-    s = status.cast("int")
+    fetcher logs without a status). Pure map. try_cast, not cast:
+    a fetch log that stores status as string maps malformed/empty
+    values (connection-level failures) to ``unknown`` instead of
+    aborting the job under ANSI mode."""
+    s = status.try_cast("int")
     return (
         F.when(s.isNull(), "unknown")
         .when(s.isin(429, 503), "throttled")
@@ -216,9 +219,13 @@ def apply_ip_politeness(hosts: DataFrame, resolved: DataFrame,
     Shape: the hosts dimension is O(hosts) slim rows; one equi-join
     with the resolution map, one per-ip window over group sizes that
     are almost always 1 — nothing corpus-scale moves."""
-    r = resolved.where(F.col("ip").isNotNull()) \
-                .select(F.col("host").alias("_h"), "ip") \
-                .dropDuplicates(["_h"])
+    # multi-homed hosts (several A-records) pin to their MINIMUM ip —
+    # dropDuplicates alone keeps an arbitrary row, which would move
+    # the host between ip groups run-to-run and change every member's
+    # share; min() keeps the documented determinism
+    r = (resolved.where(F.col("ip").isNotNull())
+                 .groupBy(F.col("host").alias("_h"))
+                 .agg(F.min("ip").alias("ip")))
     joined = hosts.join(r, hosts["host"] == F.col("_h"), "left").drop("_h")
     # unresolved hosts get SINGLETON window groups (keyed on their own
     # host) — partitioning the window on raw ip would funnel every

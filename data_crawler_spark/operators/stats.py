@@ -145,8 +145,12 @@ def threshold_curve(df: DataFrame, score_col: str,
     rows = df.where(s.isNotNull())
     if lo is None or hi is None:
         mm = rows.agg(F.min(s).alias("lo"), F.max(s).alias("hi")).first()
-        lo = float(mm["lo"]) if lo is None else float(lo)
-        hi = float(mm["hi"]) if hi is None else float(hi)
+        # empty / all-null input: min/max come back null — fall to a
+        # [0, 1) grid so the caller gets a zero curve, not a TypeError
+        lo = (float(mm["lo"]) if mm["lo"] is not None else 0.0) \
+            if lo is None else float(lo)
+        hi = (float(mm["hi"]) if mm["hi"] is not None else 1.0) \
+            if hi is None else float(hi)
     if not hi > lo:
         # degenerate range (constant scores / empty input): one bin
         # holding everything at threshold lo

@@ -38,11 +38,18 @@ _META_TAG_RE = r"(?is)<meta\b[^>]*>"
 def _attr(tag: Column, name_re: str) -> Column:
     """First ``name="..."`` / ``name='...'`` / unquoted ``name=...``
     attribute value on a tag fragment — real-world meta tags mix all
-    three forms (unquoted is legal HTML for space-free values)."""
-    dq = F.regexp_extract(tag, rf'(?is)\b(?:{name_re})\s*=\s*"([^"]*)"', 1)
-    sq = F.regexp_extract(tag, rf"(?is)\b(?:{name_re})\s*=\s*'([^']*)'", 1)
+    three forms (unquoted is legal HTML for space-free values).
+
+    The name must start the attribute: ``(?<![\\w-])`` rejects
+    ``data-src``/``data-href`` (lazy-load markup puts them BEFORE the
+    real attribute, and ``\\b`` treats the hyphen as a boundary)."""
+    pre = r"(?<![\w-])"
+    dq = F.regexp_extract(
+        tag, rf'(?is){pre}(?:{name_re})\s*=\s*"([^"]*)"', 1)
+    sq = F.regexp_extract(
+        tag, rf"(?is){pre}(?:{name_re})\s*=\s*'([^']*)'", 1)
     uq = F.regexp_extract(
-        tag, rf"(?is)\b(?:{name_re})\s*=\s*([^\s\"'>][^\s>]*)", 1)
+        tag, rf"(?is){pre}(?:{name_re})\s*=\s*([^\s\"'>][^\s>]*)", 1)
     return F.when(dq != "", dq).otherwise(F.when(sq != "", sq)
                                           .otherwise(uq))
 

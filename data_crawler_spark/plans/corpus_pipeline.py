@@ -387,9 +387,10 @@ def write_webdataset_shards(out: DataFrame, path: str, *,
     ``{value}.tar``. Like _export_sink, ``path`` must be a
     task-writable shared filesystem and the returned manifest
     ``(tar_file, n_samples, n_bytes)`` is lazy — run an action to
-    execute the export. Keys must be non-null (raises in-task) and
-    unique within their shard (upstream ids are deduped; duplicate
-    keys would collide at sample-grouping time in the reader); USTAR
+    execute the export. Keys must be non-null and unique within their
+    shard (both raise in-task: duplicate member names are tar-legal
+    but merge into one corrupted sample at the reader's
+    group-by-key); USTAR
     caps member names at 100 bytes, so keys longer than ~95 chars
     raise from tarfile."""
     import gzip as _gzip
@@ -427,7 +428,7 @@ def write_webdataset_shards(out: DataFrame, path: str, *,
     def fn(batches):
         import io
         state = {"g": None, "tf": None, "fh": None, "raw": None,
-                 "n": 0, "path": None}
+                 "n": 0, "path": None, "keys": set()}
         rows_out: list[tuple[str, int, int]] = []
 
         def flush():
@@ -440,7 +441,7 @@ def write_webdataset_shards(out: DataFrame, path: str, *,
             rows_out.append((str(state["path"]), state["n"],
                              state["path"].stat().st_size))
             state.update(g=None, tf=None, fh=None, raw=None, n=0,
-                         path=None)
+                         path=None, keys=set())
 
         def member(tf, name: str, data: bytes):
             info = tarfile.TarInfo(name=name)
@@ -473,6 +474,16 @@ def write_webdataset_shards(out: DataFrame, path: str, *,
                             f"null {key_col} cannot name a webdataset "
                             f"sample")
                     key = str(key)
+                    # duplicate member names would be silently
+                    # tar-legal, and a webdataset reader groups
+                    # members by key — two samples would merge into
+                    # one corrupted one; raise instead (the in-shard
+                    # key set is bounded by the shard size)
+                    if key in state["keys"]:
+                        raise ValueError(
+                            f"duplicate {key_col} {key!r} in shard "
+                            f"{state['path']}")
+                    state["keys"].add(key)
                     member(state["tf"], f"{key}.txt",
                            (d[text_col] or "").encode("utf-8"))
                     if meta_cols:

@@ -799,3 +799,16 @@ def test_clean_corpus_lang_major_frac_stage(spark):
     direct = lang_consistency(docs)
     want = {r.doc_id for r in direct.filter("major_frac >= 0.9").collect()}
     assert kept == want == {1, 3}
+
+
+def test_webdataset_duplicate_key_raises(spark, tmp_path):
+    # duplicate member names are tar-legal but merge into one corrupted
+    # sample at the reader's group-by-key — the writer must refuse
+    from data_crawler_spark.plans.corpus_pipeline import \
+        write_webdataset_shards
+
+    df = spark.createDataFrame(
+        [("d1", "alpha", "train", 0), ("d1", "beta", "train", 0)],
+        "doc_id string, text string, split string, shard_id int")
+    with pytest.raises(Exception, match="duplicate"):
+        write_webdataset_shards(df, str(tmp_path / "wds")).collect()

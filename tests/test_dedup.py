@@ -870,3 +870,18 @@ def test_winnow_fingerprints_plan_map_only(spark):
     plan = (winnow_fingerprints(df, k=2, w=3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hamming_exact_dup_single_chunk(spark):
+    # max_hamming=0 -> n_chunks defaults to 1 -> one 64-bit chunk whose
+    # all-ones mask is -1 as a signed long (2**64-1 would overflow);
+    # include an all-ones hash so the mask actually bites
+    from data_crawler_spark.operators.dedup import hamming_near_dups
+
+    df = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, 43), (4, -1), (5, -1)],
+        "doc_id long, sim long")
+    got = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in
+                 hamming_near_dups(df, "doc_id", "sim",
+                                   max_hamming=0).collect())
+    assert got == [(1, 2, 0), (4, 5, 0)]

@@ -447,3 +447,20 @@ def test_recrawl_candidates_feed_scheduler(spark):
                                   "host string, budget_per_round int")
     got = schedule_per_host(cands, hosts).collect()
     assert [r["url"] for r in got] == ["https://multi.com/fast"]
+
+
+def test_recrawl_candidates_duplicate_sitemap_rows(spark, idx):
+    # the same url listed in two sitemap files yields ONE candidate
+    # row, not a double-fetch of the host's politeness budget
+    from data_crawler_spark.operators.freshness import recrawl_candidates
+
+    now = _hours(48)
+    stale = spark.createDataFrame(
+        [("https://static.com/", True), ("https://static.com/", True)],
+        "url string, stale boolean")
+    cands = recrawl_candidates(idx, now, sitemap=stale,
+                               stale_priority=0.9)
+    urls = [r["url"] for r in cands.collect()]
+    assert len(urls) == len(set(urls))
+    boosted = {r["url"]: r["priority"] for r in cands.collect()}
+    assert boosted["https://static.com/"] == pytest.approx(0.9)

@@ -216,3 +216,29 @@ def test_decompress_gzipped_sitemap_end_to_end(spark):
     # the frontier canonicalizer lowercases scheme/host and decodes the
     # XML entity; it deliberately preserves query-param order
     assert got == ["http://a.com/x", "http://a.com/y?b=2&a=1"]
+
+
+def test_decompress_multi_member_gzip(spark):
+    import gzip
+
+    from data_crawler_spark.operators.hygiene import decompress_payloads
+
+    # concatenated gzip members (gzip -c a b; WARC files are one
+    # member PER RECORD) must inflate fully, not stop after member 1
+    payload = gzip.compress(b"record one ") + gzip.compress(b"record two")
+    df = spark.createDataFrame([("m", payload)], "id string, payload binary")
+    r = decompress_payloads(df, "payload").first()
+    assert bytes(r["payload"]) == b"record one record two"
+    assert r["payload_codec"] == "gzip"
+
+    # a truncated SECOND member is corrupt, not a silent prefix
+    trunc = gzip.compress(b"one") + gzip.compress(b"two")[:-4]
+    df2 = spark.createDataFrame([("t", trunc)], "id string, payload binary")
+    r2 = decompress_payloads(df2, "payload").first()
+    assert r2["payload"] is None and r2["payload_codec"] == "corrupt"
+
+    # the bomb cap accumulates ACROSS members
+    bomb2 = gzip.compress(b"\x00" * (1 << 20)) + gzip.compress(b"\x00" * (1 << 20))
+    df3 = spark.createDataFrame([("b", bomb2)], "id string, payload binary")
+    r3 = decompress_payloads(df3, "payload", max_bytes=(1 << 20) + 100).first()
+    assert r3["payload"] is None and r3["payload_codec"] == "too_big"

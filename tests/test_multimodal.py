@@ -349,3 +349,19 @@ def test_video_near_dups_overlap(spark):
               video_near_dups(media, max_hamming=16, min_overlap=0.9,
                               every_n=10).collect()}
     assert (1, 2) in strict and (1, 3) in strict  # max() is containment
+
+
+def test_img_src_not_confused_by_data_src(spark):
+    # lazy-load markup puts data-src BEFORE the real src; the
+    # attribute grammar must not treat the hyphen as a word boundary
+    from data_crawler_spark.operators.multimodal import img_entries_col
+
+    df = spark.createDataFrame(
+        [('<img data-src="/lazy.jpg" src="/real.gif" alt="a dog">',),
+         ('<img data-src="/only-lazy.jpg" alt="js only">',)],
+        "html string")
+    rows = (df.select(F.explode(img_entries_col(F.col("html"))).alias("e"))
+            .select("e.*").collect())
+    assert rows[0]["src"] == "/real.gif" and rows[0]["alt"] == "a dog"
+    # no real src at all -> empty (a JS-dependent image, not /only-lazy.jpg)
+    assert rows[1]["src"] == ""

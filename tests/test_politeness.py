@@ -203,3 +203,30 @@ def test_apply_ip_politeness_null_ip_and_dup_resolution(spark):
     assert got == {"a.com": 3, "b.com": 3}
     # duplicate resolution rows must not duplicate the host row
     assert apply_ip_politeness(hosts, resolved).count() == 2
+
+
+def test_fetch_status_class_string_status(spark):
+    # fetch logs that store status as string: malformed/empty values
+    # (connection-level failures) classify as 'unknown' instead of
+    # crashing the job under ANSI cast semantics
+    df = spark.createDataFrame(
+        [("200",), ("429",), ("",), ("abc",), (None,)], "status string")
+    got = [r["c"] for r in
+           df.select(fetch_status_class_col(F.col("status")).alias("c"))
+           .collect()]
+    assert got == ["ok", "throttled", "unknown", "unknown", "unknown"]
+
+
+def test_apply_ip_politeness_multihomed_deterministic(spark):
+    from data_crawler_spark.operators.politeness import apply_ip_politeness
+
+    hosts = spark.createDataFrame(
+        [("a.com", 10), ("b.com", 4)], "host string, budget_per_round long")
+    # a.com is multi-homed; it must pin to its MINIMUM ip (1.1.1.1,
+    # b.com's group) regardless of resolution-row order
+    fwd = [("a.com", "9.9.9.9"), ("a.com", "1.1.1.1"), ("b.com", "1.1.1.1")]
+    for rows in (fwd, list(reversed(fwd))):
+        resolved = spark.createDataFrame(rows, "host string, ip string")
+        got = {r.host: r.budget_per_round
+               for r in apply_ip_politeness(hosts, resolved).collect()}
+        assert got == {"a.com": 2, "b.com": 2}

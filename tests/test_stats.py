@@ -288,3 +288,20 @@ def test_vocab_growth_validation(spark):
     import pytest
     with pytest.raises(ValueError):
         vocab_growth(df, n_points=1)
+
+
+def test_threshold_curve_empty_input(spark):
+    from data_crawler_spark.operators.stats import threshold_curve
+
+    # a gate that filtered everything out still yields a zero curve
+    # (data-derived bounds fall back to [0, 1))
+    empty = spark.createDataFrame([], "score double")
+    rows = threshold_curve(empty, "score", n_bins=5).collect()
+    assert len(rows) == 5
+    assert all(r["n_docs"] == 0 and r["frac_docs"] == 0.0
+               and r["mass"] == 0.0 and r["frac_mass"] == 0.0
+               for r in rows)
+    # all-null scores are the same degenerate case
+    nulls = spark.createDataFrame([(None,), (None,)], "score double")
+    rows = threshold_curve(nulls, "score", n_bins=3).collect()
+    assert len(rows) == 3 and all(r["n_docs"] == 0 for r in rows)

@@ -273,7 +273,13 @@ def test_viterbi_matches_exhaustive_enumeration():
                   for j in range(i + 1, min(len(word), i + 4) + 1)}
         vocab = {p for p in pieces if rng.random() < 0.5}
         vocab |= set(alpha) if rng.random() < 0.7 else set()
-        logp = {p: round(rng.uniform(-5.0, -0.5), 3) for p in vocab}
+        # dyadic grid (1/64ths) so float addition is EXACT: the DP
+        # compares prefix sums, the mirror whole-segmentation sums,
+        # and with inexact probs two equal-score paths can differ by
+        # an ulp at an intermediate prefix yet round to equal at the
+        # final sum — a tie for one side but not the other
+        logp = {p: round(rng.uniform(-5.0, -0.5) * 64) / 64.0
+                for p in vocab}
         unk = -12.0
         got = _viterbi(word, logp, unk)
         want = best_by_enumeration(word, logp, unk)
