@@ -312,3 +312,71 @@ def test_frontier_report(spark, store):
         s2.bootstrap(_rows(spark, [], 0))
         rep2 = frontier_report(s2)
         assert rep2["pending"] == 0 and rep2["priority"] is None
+
+
+def test_compaction_crash_at_every_commit_point(spark, tmp_path):
+    """Systematic crash sweep over compact(): inject a crash AFTER the
+    k-th manifest commit inside compact() for EVERY k, then recover by
+    the crawl's contract (rollback to the checkpointed versions) and
+    assert the pending view is exactly the pre-compaction view and a
+    re-run compaction completes. Post-op injection at every index
+    covers every inter-commit crash window at commit granularity (the
+    _BUCKETS-marker ordering bug was exactly this class). Runs the
+    sweep on BOTH compaction paths: incremental (few dirty buckets)
+    and full rewrite (most buckets dirty)."""
+    from data_crawler_spark.plans.snapshots import SnapshotTable
+
+    real_commit = SnapshotTable._commit
+
+    def build(root, wide):
+        s = FrontierStore(spark, root, schemas.FRONTIER, compact_every=1)
+        s.bootstrap(_rows(spark, [f"https://h0.x/p{i}" for i in range(20)], 0))
+        if wide:  # touch most buckets -> full-rewrite path
+            new = [f"https://h{j}.x/w{j}" for j in range(1, 60)]
+        else:
+            new = ["https://h1.x/a"]
+        s.commit_round(_rows(spark, new, 1),
+                       _rm(spark, ["https://h0.x/p0"]), compact=False)
+        return s
+
+    for wide in (False, True):
+        # count the commit ops of an uninterrupted compact()
+        counter = {"n": 0, "crash_at": None}
+
+        def commit(self, manifest):
+            real_commit(self, manifest)
+            counter["n"] += 1
+            if counter["crash_at"] is not None \
+                    and counter["n"] == counter["crash_at"]:
+                counter["crash_at"] = None  # fire once
+                raise RuntimeError(f"injected after commit {counter['n']}")
+
+        SnapshotTable._commit = commit
+        try:
+            probe = build(tmp_path / f"probe{wide}", wide)
+            want = _urls(probe)
+            counter.update(n=0, crash_at=None)  # count compact() only
+            probe.compact()
+            assert _urls(probe) == want
+            total = counter["n"]
+            assert total >= 2  # the sweep must cover >1 window
+
+            for k in range(1, total + 1):
+                root = tmp_path / f"crash_{wide}_{k}"
+                counter.update(n=0, crash_at=None)
+                s = build(root, wide)
+                v = s.versions()
+                before = _urls(s)
+                counter.update(n=0, crash_at=k)
+                with pytest.raises(RuntimeError, match="injected"):
+                    s.compact()
+                # the crawl's resume path: a fresh store over the same
+                # dir, rolled back to the checkpointed versions
+                s2 = FrontierStore(spark, root, schemas.FRONTIER,
+                                   compact_every=1)
+                s2.rollback(v)
+                assert _urls(s2) == before, f"wide={wide} k={k}"
+                s2.compact()
+                assert _urls(s2) == before, f"wide={wide} k={k} post"
+        finally:
+            SnapshotTable._commit = real_commit

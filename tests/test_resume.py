@@ -77,3 +77,68 @@ def test_gc_prunes_but_preserves_resume(spark, web1k, tmp_path):
     assert _state_signature(a2["ctx"]) == _state_signature(b["ctx"])
     manifest = a2["ctx"].seen._manifest()
     assert len(manifest["versions"]) <= 3
+
+
+def test_crash_at_every_commit_point_resumes_exact(spark, web1k, tmp_path):
+    """Systematic crash sweep (op 41 hardening): inject a crash AFTER
+    the k-th manifest/checkpoint commit for EVERY k across bootstrap +
+    the first two rounds, then resume with a fresh context and assert
+    the final state is EXACTLY the uninterrupted run's — visit order,
+    seen set, and frontier. Post-op injection at every index covers
+    every inter-commit crash window at commit granularity (commit-file
+    renames themselves are atomic). Compaction-window crashes have
+    their own sweep in test_frontier."""
+    import threading
+
+    from data_crawler_spark.plans.snapshots import Checkpoint, SnapshotTable
+
+    FINAL = 3
+    full = run_crawl(spark, web1k, tmp_path / "full3", max_rounds=FINAL)
+    want = _state_signature(full["ctx"])
+
+    real_commit = SnapshotTable._commit
+    real_cp = Checkpoint.commit
+    lock = threading.Lock()
+    counter = {"n": 0, "crash_at": None, "fired": False}
+
+    def bump():
+        with lock:
+            counter["n"] += 1
+            hit = counter["crash_at"] is not None \
+                and counter["n"] == counter["crash_at"]
+            if hit:
+                counter["crash_at"] = None  # fire once; resume runs clean
+                counter["fired"] = True
+        if hit:
+            raise RuntimeError(f"injected after commit op {counter['n']}")
+
+    def commit(self, manifest):
+        real_commit(self, manifest)
+        bump()
+
+    def cp_commit(self, payload):
+        real_cp(self, payload)
+        bump()
+
+    SnapshotTable._commit = commit
+    Checkpoint.commit = cp_commit
+    try:
+        # count the commit ops of an uninterrupted bootstrap + 2 rounds
+        counter.update(n=0, crash_at=None, fired=False)
+        run_crawl(spark, web1k, tmp_path / "count", max_rounds=2)
+        total = counter["n"]
+        assert total >= 8, f"sweep too small to be meaningful: {total}"
+
+        for k in range(1, total + 1):
+            state = tmp_path / f"crash{k}"
+            counter.update(n=0, crash_at=k, fired=False)
+            try:
+                run_crawl(spark, web1k, state, max_rounds=2)
+            except Exception:
+                pass  # the injected crash (possibly wrapped)
+            assert counter["fired"], f"crash point {k} never fired"
+            resumed = run_crawl(spark, web1k, state, max_rounds=FINAL)
+            assert _state_signature(resumed["ctx"]) == want, f"k={k}"
+    finally:
+        SnapshotTable._commit = real_commit
+        Checkpoint.commit = real_cp
