@@ -380,3 +380,44 @@ def test_compaction_crash_at_every_commit_point(spark, tmp_path):
                 assert _urls(s2) == before, f"wide={wide} k={k} post"
         finally:
             SnapshotTable._commit = real_commit
+
+
+def test_layout_knobs_never_change_the_view(spark, tmp_path):
+    """n_buckets and compact_every are LAYOUT knobs: any combination
+    must serve byte-identical pending and discovered views for the
+    same commit sequence (a 100x retune of either on a real cluster
+    must never change crawl semantics)."""
+    script = [
+        (["https://h1.x/a", "https://h1.x/b", "https://h2.x/c"],
+         ["https://h0.x/p0", "https://h0.x/p1"]),
+        (["https://h3.x/d"], ["https://h1.x/a"]),
+        ([], ["https://h1.x/b", "https://h2.x/c"]),
+        (["https://h4.x/e", "https://h4.x/f"], ["https://h3.x/d"]),
+    ]
+    seeds = [f"https://h0.x/p{i}" for i in range(8)]
+
+    def run(n_buckets, compact_every):
+        root = tmp_path / f"nb{n_buckets}_ce{compact_every}"
+        s = FrontierStore(spark, root, schemas.FRONTIER,
+                          compact_every=compact_every, n_buckets=n_buckets)
+        s.bootstrap(_rows(spark, seeds, 0))
+        for rnd, (new, gone) in enumerate(script, start=1):
+            s.commit_round(_rows(spark, new, rnd), _rm(spark, gone))
+        pending = sorted(map(tuple, s.read().collect()))
+        discovered = sorted(
+            (r.url, r.pending) for r in s.base.read()
+            .unionByName(
+                s._delta_df().withColumn("pending", F.lit(True)),
+                allowMissingColumns=True)
+            .select("url", "pending").collect())
+        return pending, s
+
+    base_pending, base_store = run(64, 3)
+    for nb, ce in [(1, 1), (4, 1), (4, 3), (64, 1), (16, 2)]:
+        pending, store = run(nb, ce)
+        assert pending == base_pending, f"nb={nb} ce={ce}"
+        # discovered-set membership identical too
+        got = sorted(r.url for r in store.discovered().select("url").collect())
+        want = sorted(
+            r.url for r in base_store.discovered().select("url").collect())
+        assert got == want, f"nb={nb} ce={ce}"
