@@ -41,9 +41,10 @@ from ..operators.lm import lm_score, perplexity_buckets, train_ngram_lm
 from ..operators.sampling import (cap_per_group, hash_split,
                                   sample_corpus_mixture, shuffle_key_col)
 from ..operators.text import (c4_rules, clean_text_col, compression_ratio,
-                              gopher_rules, ngram_repetition_signals,
-                              repetition_signals, shard_by_token_budget,
-                              token_count_col, unicode_normalize)
+                              fingerprint_col, gopher_rules,
+                              ngram_repetition_signals, repetition_signals,
+                              shard_by_token_budget, token_count_col,
+                              unicode_normalize)
 
 
 def clean_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
@@ -848,15 +849,20 @@ def corpus_diff_card(old: DataFrame, new: DataFrame,
     Both sides reduce to (id, fingerprint, n_tokens) BEFORE the one
     full-outer join — text never rides the diff shuffle (the
     diff_snapshots rule) — and everything folds in ONE map-side-partial
-    aggregate into a single driver row."""
-    from data_crawler_spark.operators.text import (fingerprint_col,
-                                                   token_count_col)
+    aggregate into a single driver row. Each side is treated as a SET
+    of documents keyed by id: duplicate ids (a data bug in the input)
+    deterministically keep the smallest (fingerprint, n_tokens) row
+    instead of silently double-counting through the join."""
 
     def slim(df: DataFrame, tag: str) -> DataFrame:
         t = F.coalesce(F.col(text_col), F.lit(""))
-        return df.select(F.col(id_col).alias("_id"),
-                         fingerprint_col(t).alias(f"fp_{tag}"),
-                         token_count_col(t).alias(f"nt_{tag}"))
+        return (df.select(F.col(id_col).alias("_id"),
+                          fingerprint_col(t).alias("fp"),
+                          token_count_col(t).alias("nt"))
+                .groupBy("_id")
+                .agg(F.min(F.struct("fp", "nt")).alias("_s"))
+                .select("_id", F.col("_s.fp").alias(f"fp_{tag}"),
+                        F.col("_s.nt").alias(f"nt_{tag}")))
 
     j = slim(old, "old").join(slim(new, "new"), "_id", "full_outer")
     cls = (F.when(F.col("fp_old").isNull(), F.lit("added"))
@@ -877,16 +883,21 @@ def corpus_diff_card(old: DataFrame, new: DataFrame,
         F.sum(F.coalesce("nt_old", F.lit(0))).alias("tok_old_total"),
         F.sum(F.coalesce("nt_new", F.lit(0))).alias("tok_new_total"),
     ).first()
+
+    def _i(v) -> int:
+        # an agg over ZERO rows (both corpora empty) sums to null
+        return int(v) if v is not None else 0
+
     return {
-        "n_old": int(row.n_removed + row.n_changed + row.n_unchanged),
-        "n_new": int(row.n_added + row.n_changed + row.n_unchanged),
-        "added": {"docs": int(row.n_added), "tokens": int(row.tok_added)},
-        "removed": {"docs": int(row.n_removed),
-                    "tokens": int(row.tok_removed)},
-        "changed": {"docs": int(row.n_changed),
-                    "tokens_old": int(row.tok_changed_old),
-                    "tokens_new": int(row.tok_changed_new)},
-        "unchanged": {"docs": int(row.n_unchanged)},
-        "tokens_old_total": int(row.tok_old_total),
-        "tokens_new_total": int(row.tok_new_total),
+        "n_old": _i(row.n_removed) + _i(row.n_changed) + _i(row.n_unchanged),
+        "n_new": _i(row.n_added) + _i(row.n_changed) + _i(row.n_unchanged),
+        "added": {"docs": _i(row.n_added), "tokens": _i(row.tok_added)},
+        "removed": {"docs": _i(row.n_removed),
+                    "tokens": _i(row.tok_removed)},
+        "changed": {"docs": _i(row.n_changed),
+                    "tokens_old": _i(row.tok_changed_old),
+                    "tokens_new": _i(row.tok_changed_new)},
+        "unchanged": {"docs": _i(row.n_unchanged)},
+        "tokens_old_total": _i(row.tok_old_total),
+        "tokens_new_total": _i(row.tok_new_total),
     }

@@ -812,3 +812,26 @@ def test_webdataset_duplicate_key_raises(spark, tmp_path):
         "doc_id string, text string, split string, shard_id int")
     with pytest.raises(Exception, match="duplicate"):
         write_webdataset_shards(df, str(tmp_path / "wds")).collect()
+
+
+def test_corpus_diff_card_empty_and_duplicate_ids(spark):
+    from data_crawler_spark.plans.corpus_pipeline import corpus_diff_card
+
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    card = corpus_diff_card(empty, empty)
+    assert card["n_old"] == card["n_new"] == 0
+    assert card["tokens_old_total"] == card["tokens_new_total"] == 0
+    assert card["added"] == {"docs": 0, "tokens": 0}
+
+    # duplicate ids never double-count: each side is a SET keyed by id
+    # (smallest (fingerprint, n_tokens) row wins, deterministically)
+    old = spark.createDataFrame([("d1", "alpha beta")],
+                                "doc_id string, text string")
+    new = spark.createDataFrame(
+        [("d1", "alpha beta"), ("d1", "alpha beta"), ("d2", "new doc here")],
+        "doc_id string, text string")
+    card = corpus_diff_card(old, new)
+    assert card["n_old"] == 1 and card["n_new"] == 2
+    assert card["unchanged"]["docs"] == 1
+    assert card["added"] == {"docs": 1, "tokens": 3}
+    assert card["tokens_new_total"] == 2 + 3
