@@ -142,3 +142,77 @@ def test_crash_at_every_commit_point_resumes_exact(spark, web1k, tmp_path):
     finally:
         SnapshotTable._commit = real_commit
         Checkpoint.commit = real_cp
+
+
+def test_crash_sweep_through_compaction_round(spark, web1k, tmp_path):
+    """Crash sweep over the commit window that CONTAINS the bloom fold
+    and the bucket-level frontier compaction (compact_every=4: the
+    fourth delta append triggers the fold inside round 3's commit
+    group). Every leg restarts from one shared three-round state copy
+    and sweeps ONLY round 3's commits (plain-round windows are covered
+    by the sweep above); resume after each injected crash must
+    reproduce the uninterrupted four-round run exactly."""
+    import shutil
+    import threading
+
+    from data_crawler_spark.plans.snapshots import Checkpoint, SnapshotTable
+
+    FINAL = 4
+    full = run_crawl(spark, web1k, tmp_path / "full4", max_rounds=FINAL)
+    want = _state_signature(full["ctx"])
+    base_state = tmp_path / "base3"
+    run_crawl(spark, web1k, base_state, max_rounds=3)
+
+    real_commit = SnapshotTable._commit
+    real_cp = Checkpoint.commit
+    lock = threading.Lock()
+    counter = {"n": 0, "crash_at": None, "fired": False}
+
+    def bump():
+        with lock:
+            counter["n"] += 1
+            hit = counter["crash_at"] is not None \
+                and counter["n"] == counter["crash_at"]
+            if hit:
+                counter["crash_at"] = None
+                counter["fired"] = True
+        if hit:
+            raise RuntimeError(f"injected after commit op {counter['n']}")
+
+    def commit(self, manifest):
+        real_commit(self, manifest)
+        bump()
+
+    def cp_commit(self, payload):
+        real_cp(self, payload)
+        bump()
+
+    SnapshotTable._commit = commit
+    Checkpoint.commit = cp_commit
+    try:
+        # count the ops of an uninterrupted round 3 (from the copy) and
+        # prove the window really contains the compaction: the delta
+        # log must come out truncated
+        count_dir = tmp_path / "count4"
+        shutil.copytree(base_state, count_dir)
+        counter.update(n=0, crash_at=None, fired=False)
+        res = run_crawl(spark, web1k, count_dir, max_rounds=FINAL)
+        assert res["ctx"].frontier.delta.n_segments() == 0, \
+            "sweep window missed the compaction"
+        total = counter["n"]
+        assert total >= 6, f"sweep too small to be meaningful: {total}"
+
+        for k in range(1, total + 1):
+            state = tmp_path / f"ccrash{k}"
+            shutil.copytree(base_state, state)
+            counter.update(n=0, crash_at=k, fired=False)
+            try:
+                run_crawl(spark, web1k, state, max_rounds=FINAL)
+            except Exception:
+                pass
+            assert counter["fired"], f"crash point {k} never fired"
+            resumed = run_crawl(spark, web1k, state, max_rounds=FINAL)
+            assert _state_signature(resumed["ctx"]) == want, f"k={k}"
+    finally:
+        SnapshotTable._commit = real_commit
+        Checkpoint.commit = real_cp
