@@ -1,0 +1,210 @@
+"""State-dir integrity checker — fsck for the crawl's snapshot layout.
+
+A 100 TB crawl state is a tree of versioned-manifest tables
+(plans/snapshots.py) plus one checkpoint pointer; every mutation is an
+atomic manifest rename, so after ANY crash the on-disk state is one of
+a small set of legal shapes (tables at or ahead of the checkpoint,
+staged-but-unreferenced data dirs). Operators still want a tool that
+PROVES a state dir is one of those shapes before resuming a
+multi-week crawl on it — the Iceberg/Delta equivalent is a metadata
+fsck — and that distinguishes:
+
+- **errors** — shapes no crash can legally produce (a manifest that
+  references a missing data dir, a table BEHIND the checkpoint, a
+  committed bucketed base with no ``_BUCKETS`` marker): the state is
+  damaged (manual copy, partial delete, bit rot) and resume would
+  misbehave;
+- **warnings** — legal-but-notable shapes (tables ahead of the
+  checkpoint = an uncommitted round that resume will roll back;
+  unreferenced ``d*`` dirs = staged garbage from a crashed write that
+  the next prune/compaction may reclaim; stale ``*.tmp`` files).
+
+Cost shape: the checker is driver-side file metadata only — it reads
+each table's ``manifest.json`` (bytes, not data) and lists ONLY the
+manifest-referenced directories plus each table root's first level.
+On an object store that is one LIST per table root and one per
+referenced dir; no data file is ever opened, no Spark job runs.
+
+Verified against the crash-injection sweeps in tests/test_resume.py:
+every state a mid-commit crash can leave fscks with zero errors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+# (table dir name, checkpoint key) — frontier_v is a nested dict
+TABLES = ("frontier", "frontier_delta", "frontier_removed",
+          "scheduled", "extracted", "lineage", "bloom")
+_CP_KEYS = {"frontier": ("frontier_v", "base"),
+            "frontier_delta": ("frontier_v", "delta"),
+            "frontier_removed": ("frontier_v", "removed"),
+            "scheduled": ("scheduled_v",),
+            "extracted": ("extracted_v",),
+            "lineage": ("lineage_v",),
+            "bloom": ("bloom_v",)}
+
+
+def _entry_dir(entry) -> str:
+    return entry if isinstance(entry, str) else entry["dir"]
+
+
+def _has_file(d: Path) -> bool:
+    for _root, _dirs, files in os.walk(d):
+        if any(not f.startswith(".") for f in files):
+            return True
+    return False
+
+
+def fsck_table(table_dir: str | os.PathLike) -> dict:
+    """Check ONE snapshot table dir. Returns ``{present, current,
+    n_versions, referenced_dirs, orphan_dirs, errors, warnings}``."""
+    d = Path(table_dir)
+    rep = {"present": d.is_dir(), "current": None, "n_versions": 0,
+           "referenced_dirs": [], "orphan_dirs": [],
+           "errors": [], "warnings": []}
+    if not rep["present"]:
+        return rep
+    mpath = d / "manifest.json"
+    if not mpath.exists():
+        # a table dir with data dirs but no manifest is damage; an
+        # empty dir (e.g. only _BUCKETS) is just "never committed"
+        if any(p.name.startswith("d") and p.is_dir() for p in d.iterdir()):
+            rep["errors"].append(f"{d.name}: data dirs but no manifest.json")
+        return rep
+    try:
+        m = json.loads(mpath.read_text())
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        rep["errors"].append(f"{d.name}: manifest.json unreadable: {e}")
+        return rep
+    cur = int(m.get("current", 0))
+    versions = m.get("versions", {})
+    rep["current"], rep["n_versions"] = cur, len(versions)
+    if cur != 0 and str(cur) not in versions:
+        rep["errors"].append(
+            f"{d.name}: current version {cur} missing from manifest")
+    live: set[str] = set()
+    for v, entries in versions.items():
+        if int(v) > cur:
+            rep["errors"].append(
+                f"{d.name}: version {v} is ahead of current {cur} "
+                f"(rollback never leaves these)")
+        for e in entries:
+            name = _entry_dir(e)
+            live.add(name)
+            dd = d / name
+            if not dd.is_dir():
+                rep["errors"].append(
+                    f"{d.name}: v{v} references missing dir {name}")
+                continue
+            parts = None if isinstance(e, str) else e.get("parts")
+            if parts is None:
+                if not _has_file(dd):
+                    rep["errors"].append(
+                        f"{d.name}: v{v} references empty dir {name}")
+            else:
+                for p in parts:
+                    if not (dd / p).is_dir() or not _has_file(dd / p):
+                        rep["errors"].append(
+                            f"{d.name}: v{v} references missing/empty "
+                            f"partition {name}/{p}")
+    rep["referenced_dirs"] = sorted(live)
+    for p in d.iterdir():
+        if p.is_dir() and p.name.startswith("d") and p.name not in live:
+            rep["orphan_dirs"].append(p.name)
+            rep["warnings"].append(
+                f"{d.name}: unreferenced dir {p.name} (staged by a "
+                f"crashed write; reclaimable)")
+        if p.name.endswith(".tmp"):
+            rep["warnings"].append(f"{d.name}: stale temp file {p.name}")
+    return rep
+
+
+def fsck_state(state_dir: str | os.PathLike) -> dict:
+    """Check a whole crawl state dir: every table (fsck_table), the
+    checkpoint pointer, and the frontier's bucket layout. Returns
+    ``{ok, errors, warnings, checkpoint, tables}`` — ``ok`` means zero
+    errors (warnings alone are legal post-crash shapes that resume
+    handles)."""
+    root = Path(state_dir)
+    out = {"ok": False, "errors": [], "warnings": [],
+           "checkpoint": None, "tables": {}}
+    if not root.is_dir():
+        out["errors"].append(f"state dir {root} does not exist")
+        return out
+    for t in TABLES:
+        rep = fsck_table(root / t)
+        out["tables"][t] = rep
+        out["errors"].extend(rep["errors"])
+        out["warnings"].extend(rep["warnings"])
+
+    cp_path = root / "checkpoint.json"
+    if cp_path.with_suffix(".json.tmp").exists():
+        out["warnings"].append("stale checkpoint.json.tmp")
+    cp = None
+    if cp_path.exists():
+        try:
+            cp = json.loads(cp_path.read_text())
+        except (json.JSONDecodeError, UnicodeDecodeError) as e:
+            out["errors"].append(f"checkpoint.json unreadable: {e}")
+    out["checkpoint"] = cp
+    if cp is not None:
+        for t in TABLES:
+            keys = _CP_KEYS[t]
+            v = cp.get(keys[0])
+            if v is not None and len(keys) == 2:
+                v = v.get(keys[1])
+            if v is None:
+                out["errors"].append(f"checkpoint lacks version for {t}")
+                continue
+            rep = out["tables"][t]
+            cur = rep["current"] or 0
+            if cur < v:
+                # resume rolls back TO the checkpoint; a table behind
+                # it cannot be rolled forward — no crash produces this
+                out["errors"].append(
+                    f"{t}: current v{cur} BEHIND checkpoint v{v}")
+            elif cur > v:
+                out["warnings"].append(
+                    f"{t}: current v{cur} ahead of checkpoint v{v} "
+                    f"(uncommitted round; resume rolls it back)")
+            if v != 0 and rep["present"] and rep["current"] is not None:
+                # rollback(v) needs the target version in the manifest
+                mpath = root / t / "manifest.json"
+                versions = json.loads(mpath.read_text()).get("versions", {})
+                if str(v) not in versions:
+                    out["errors"].append(
+                        f"{t}: checkpoint v{v} missing from manifest "
+                        f"(resume cannot roll back to it)")
+
+    # bucketed-frontier layout: a committed base REQUIRES the marker
+    # (FrontierStore.__init__ refuses to open it otherwise), and every
+    # bucket partition must be < n_buckets
+    fr = out["tables"]["frontier"]
+    marker = root / "frontier" / "_BUCKETS"
+    if fr["present"] and (fr["current"] or 0) > 0:
+        if not marker.exists():
+            out["errors"].append(
+                "frontier: committed base without _BUCKETS marker "
+                "(unopenable layout)")
+        else:
+            try:
+                nb = int(marker.read_text())
+            except ValueError:
+                nb = None
+                out["errors"].append("frontier: _BUCKETS marker not an int")
+            if nb is not None:
+                for dname in fr["referenced_dirs"]:
+                    dd = root / "frontier" / dname
+                    for p in dd.iterdir() if dd.is_dir() else ():
+                        if p.is_dir() and p.name.startswith("bucket="):
+                            b = int(p.name.split("=", 1)[1])
+                            if not 0 <= b < nb:
+                                out["errors"].append(
+                                    f"frontier: {dname}/{p.name} outside "
+                                    f"n_buckets={nb}")
+
+    out["ok"] = not out["errors"]
+    return out

@@ -1,0 +1,100 @@
+"""State-dir fsck (plans/fsck.py): every legal post-crash shape passes
+with zero errors; every damaged shape is caught."""
+
+import json
+import shutil
+
+from data_crawler_spark.plans.crawl import run_crawl
+from data_crawler_spark.plans.fsck import fsck_state
+
+
+def _crawl_state(spark, web1k, tmp_path, rounds=2):
+    state = tmp_path / "state"
+    run_crawl(spark, web1k, state, max_rounds=rounds)
+    return state
+
+
+def test_clean_state_is_ok(spark, web1k, tmp_path):
+    state = _crawl_state(spark, web1k, tmp_path)
+    rep = fsck_state(state)
+    assert rep["ok"], rep["errors"]
+    assert rep["errors"] == []
+    # a clean shutdown leaves no table ahead of the checkpoint
+    assert not any("ahead of checkpoint" in w for w in rep["warnings"])
+    assert rep["tables"]["frontier"]["present"]
+    assert rep["checkpoint"]["round"] == 2
+
+
+def test_table_ahead_of_checkpoint_is_warning_then_resume_cleans(
+        spark, web1k, tmp_path):
+    state = _crawl_state(spark, web1k, tmp_path)
+    ctx = run_crawl(spark, web1k, state, max_rounds=2)["ctx"]
+    # simulate a crash after a table commit, before the round checkpoint
+    junk = ctx.spark.createDataFrame(
+        [(2, 1, "https://junk.example.com/x", 0, "junk.example.com",
+          0, 1.0, 1)], ctx.scheduled.schema)
+    ctx.scheduled.write(junk, mode="append")
+    rep = fsck_state(state)
+    assert rep["ok"], rep["errors"]  # legal post-crash shape
+    assert any("scheduled" in w and "ahead of checkpoint" in w
+               for w in rep["warnings"])
+    # resume rolls the round back; fsck is clean again
+    run_crawl(spark, web1k, state, max_rounds=3)
+    rep2 = fsck_state(state)
+    assert rep2["ok"] and not any("ahead of checkpoint" in w
+                                  for w in rep2["warnings"])
+
+
+def test_missing_referenced_dir_is_error(spark, web1k, tmp_path):
+    state = _crawl_state(spark, web1k, tmp_path)
+    m = json.loads((state / "scheduled" / "manifest.json").read_text())
+    victim = m["versions"][str(m["current"])][0]
+    victim = victim if isinstance(victim, str) else victim["dir"]
+    shutil.rmtree(state / "scheduled" / victim)
+    rep = fsck_state(state)
+    assert not rep["ok"]
+    assert any("missing dir" in e and "scheduled" in e
+               for e in rep["errors"])
+
+
+def test_orphan_dir_and_stale_tmp_are_warnings(spark, web1k, tmp_path):
+    state = _crawl_state(spark, web1k, tmp_path)
+    (state / "extracted" / "d999999").mkdir()
+    (state / "extracted" / "manifest.json.tmp").write_text("{}")
+    rep = fsck_state(state)
+    assert rep["ok"], rep["errors"]
+    assert any("unreferenced dir d999999" in w for w in rep["warnings"])
+    assert any("stale temp" in w for w in rep["warnings"])
+
+
+def test_corrupt_manifest_and_table_behind_checkpoint_are_errors(
+        spark, web1k, tmp_path):
+    state = _crawl_state(spark, web1k, tmp_path)
+    (state / "lineage" / "manifest.json").write_text("{not json")
+    rep = fsck_state(state)
+    assert not rep["ok"]
+    assert any("lineage" in e and "unreadable" in e for e in rep["errors"])
+
+    # table rolled back below the checkpoint (no crash produces this)
+    state2 = tmp_path / "behind"
+    shutil.copytree(_crawl_state(spark, web1k, tmp_path / "b2"), state2)
+    m = json.loads((state2 / "scheduled" / "manifest.json").read_text())
+    m["current"] = 1
+    m["versions"] = {"1": m["versions"]["1"]}
+    (state2 / "scheduled" / "manifest.json").write_text(json.dumps(m))
+    rep2 = fsck_state(state2)
+    assert not rep2["ok"]
+    assert any("BEHIND checkpoint" in e for e in rep2["errors"])
+
+
+def test_missing_buckets_marker_is_error(spark, web1k, tmp_path):
+    state = _crawl_state(spark, web1k, tmp_path)
+    (state / "frontier" / "_BUCKETS").unlink()
+    rep = fsck_state(state)
+    assert not rep["ok"]
+    assert any("_BUCKETS" in e for e in rep["errors"])
+
+
+def test_nonexistent_state_dir(tmp_path):
+    rep = fsck_state(tmp_path / "nope")
+    assert not rep["ok"] and rep["errors"]

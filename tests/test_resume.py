@@ -6,6 +6,7 @@ mid-crawl")."""
 from pyspark.sql import functions as F
 
 from data_crawler_spark.plans.crawl import open_crawl, run_crawl, visit_order_df
+from data_crawler_spark.plans.fsck import fsck_state
 
 ROUNDS = 5
 
@@ -137,6 +138,9 @@ def test_crash_at_every_commit_point_resumes_exact(spark, web1k, tmp_path):
             except Exception:
                 pass  # the injected crash (possibly wrapped)
             assert counter["fired"], f"crash point {k} never fired"
+            # every legal post-crash shape must fsck with zero errors
+            rep = fsck_state(state)
+            assert rep["ok"], (k, rep["errors"])
             resumed = run_crawl(spark, web1k, state, max_rounds=FINAL)
             assert _state_signature(resumed["ctx"]) == want, f"k={k}"
     finally:
@@ -211,6 +215,8 @@ def test_crash_sweep_through_compaction_round(spark, web1k, tmp_path):
             except Exception:
                 pass
             assert counter["fired"], f"crash point {k} never fired"
+            rep = fsck_state(state)
+            assert rep["ok"], (k, rep["errors"])
             resumed = run_crawl(spark, web1k, state, max_rounds=FINAL)
             assert _state_signature(resumed["ctx"]) == want, f"k={k}"
     finally:
