@@ -208,3 +208,50 @@ def fsck_state(state_dir: str | os.PathLike) -> dict:
 
     out["ok"] = not out["errors"]
     return out
+
+
+def repair_state(state_dir: str | os.PathLike,
+                 min_age_s: float = 3600.0) -> dict:
+    """Reclaim the two warning classes that are pure garbage: data
+    dirs referenced by NO manifest version (staged by a crashed write)
+    and stale ``*.tmp`` files. Never touches anything a manifest or
+    the checkpoint references, and never runs when fsck reports
+    ERRORS (repairing a damaged state could destroy evidence needed
+    for manual recovery). ``min_age_s`` guards the single-writer
+    assumption at the margin: a dir younger than it may be a LIVE
+    stage of an in-flight writer, so it is skipped (pass 0 to reclaim
+    everything, e.g. in tests or when the writer is known dead).
+
+    Returns ``{repaired: [...], skipped_young: [...], report: fsck}``
+    where ``report`` is the post-repair fsck_state output."""
+    import shutil
+    import time
+
+    root = Path(state_dir)
+    pre = fsck_state(root)
+    if not pre["ok"]:
+        raise ValueError(
+            f"refusing to repair a state with errors: {pre['errors']}")
+    repaired, young = [], []
+    now = time.time()
+    for t, rep in pre["tables"].items():
+        for name in rep["orphan_dirs"]:
+            d = root / t / name
+            if now - d.stat().st_mtime < min_age_s:
+                young.append(str(d))
+                continue
+            shutil.rmtree(d)
+            repaired.append(str(d))
+    for t in (*TABLES, "."):
+        td = root / t
+        if not td.is_dir():
+            continue
+        for p in td.iterdir():
+            if p.is_file() and p.name.endswith(".tmp"):
+                if now - p.stat().st_mtime < min_age_s:
+                    young.append(str(p))
+                    continue
+                p.unlink()
+                repaired.append(str(p))
+    return {"repaired": sorted(repaired), "skipped_young": sorted(young),
+            "report": fsck_state(root)}

@@ -98,3 +98,38 @@ def test_missing_buckets_marker_is_error(spark, web1k, tmp_path):
 def test_nonexistent_state_dir(tmp_path):
     rep = fsck_state(tmp_path / "nope")
     assert not rep["ok"] and rep["errors"]
+
+
+def test_repair_reclaims_orphans_and_tmp_only(spark, web1k, tmp_path):
+    from data_crawler_spark.plans.fsck import repair_state
+
+    state = _crawl_state(spark, web1k, tmp_path)
+    (state / "extracted" / "d999999").mkdir()
+    (state / "extracted" / "d999999" / "junk.parquet").write_text("x")
+    (state / "frontier" / "manifest.json.tmp").write_text("{}")
+    before = {str(p) for p in state.rglob("*")}
+
+    res = repair_state(state, min_age_s=0.0)
+    assert any("d999999" in r for r in res["repaired"])
+    assert any("manifest.json.tmp" in r for r in res["repaired"])
+    assert res["report"]["ok"]
+    assert not any("unreferenced" in w or "stale temp" in w
+                   for w in res["report"]["warnings"])
+    # nothing else was touched
+    after = {str(p) for p in state.rglob("*")}
+    gone = before - after
+    assert all("d999999" in g or g.endswith(".tmp") for g in gone)
+    # the repaired state still resumes exactly
+    run_crawl(spark, web1k, state, max_rounds=3)
+
+    # young garbage is skipped under the default in-flight guard
+    (state / "extracted" / "d888888").mkdir()
+    res2 = repair_state(state)  # min_age_s=3600
+    assert any("d888888" in s for s in res2["skipped_young"])
+    assert (state / "extracted" / "d888888").is_dir()
+
+    # refuses to touch a damaged state
+    (state / "lineage" / "manifest.json").write_text("{not json")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="refusing"):
+        repair_state(state, min_age_s=0.0)

@@ -1,26 +1,39 @@
 #!/usr/bin/env python
-"""fsck a crawl state dir: ``python tools/fsck_state.py STATE_DIR``.
+"""fsck a crawl state dir:
+
+    python tools/fsck_state.py STATE_DIR [--repair] [--min-age-s N]
 
 Prints one JSON report (plans/fsck.py) and exits 1 on errors, 0 on a
-clean or merely post-crash (warnings-only) state. Driver-side file
-metadata only — no Spark session, no data reads."""
+clean or merely post-crash (warnings-only) state. ``--repair``
+reclaims unreferenced staged dirs and stale temp files (and ONLY
+those; it refuses damaged states) — dirs younger than ``--min-age-s``
+(default 3600) are skipped in case a live writer staged them.
+Driver-side file metadata only — no Spark session, no data reads."""
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from data_crawler_spark.plans.fsck import fsck_state  # noqa: E402
+from data_crawler_spark.plans.fsck import (fsck_state,  # noqa: E402
+                                           repair_state)
 
 
 def main(argv: list[str]) -> int:
-    if len(argv) != 2:
-        print(__doc__.strip(), file=sys.stderr)
-        return 2
-    rep = fsck_state(argv[1])
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("state_dir")
+    ap.add_argument("--repair", action="store_true")
+    ap.add_argument("--min-age-s", type=float, default=3600.0)
+    args = ap.parse_args(argv[1:])
+    if args.repair:
+        res = repair_state(args.state_dir, min_age_s=args.min_age_s)
+        print(json.dumps(res, indent=2, sort_keys=True))
+        return 0 if res["report"]["ok"] else 1
+    rep = fsck_state(args.state_dir)
     print(json.dumps(rep, indent=2, sort_keys=True))
     return 0 if rep["ok"] else 1
 
