@@ -255,3 +255,94 @@ def repair_state(state_dir: str | os.PathLike,
                 repaired.append(str(p))
     return {"repaired": sorted(repaired), "skipped_young": sorted(young),
             "report": fsck_state(root)}
+
+
+def _read_meta_json(table_dir: Path) -> dict | None:
+    """The JSON meta row of a pointer table's CURRENT version, read
+    with pyarrow (no Spark) — the one place index fsck opens data
+    files; a pointer table is a handful of tiny rows by design."""
+    import pyarrow.parquet as pq
+
+    mpath = table_dir / "manifest.json"
+    if not mpath.exists():
+        return None
+    m = json.loads(mpath.read_text())
+    cur = int(m.get("current", 0))
+    if cur == 0 or str(cur) not in m.get("versions", {}):
+        return None
+    for e in m["versions"][str(cur)]:
+        d = table_dir / _entry_dir(e)
+        if not d.is_dir():
+            continue
+        for f in sorted(d.rglob("*.parquet")):
+            t = pq.read_table(f, columns=["kind", "s"])
+            for kind, s in zip(t.column("kind").to_pylist(),
+                               t.column("s").to_pylist()):
+                if kind == "meta" and s is not None:
+                    return json.loads(s)
+    return None
+
+
+_INDEX_PAIRS = (("_stats", "_postings", "postings_version"),
+                ("_model", "_codes", "codes_version"))
+
+
+def fsck_index(state_dir: str | os.PathLike, name: str) -> dict:
+    """Integrity check for a build-once/query-many index pair
+    (SearchIndex ``{name}_stats``/``{name}_postings`` or AnnIndex
+    ``{name}_model``/``{name}_codes``): both tables pass fsck_table,
+    and the pointer table's meta row pins a data-table version that
+    actually EXISTS in the data manifest. A data table AHEAD of the
+    pin is the legal crash-between-commits shape (the old consistent
+    pairing is served); a pin pointing at a pruned/missing version is
+    damage — opening the index would fail or silently serve the wrong
+    pairing."""
+    root = Path(state_dir)
+    out = {"ok": False, "name": name, "errors": [], "warnings": [],
+           "tables": {}}
+    pair = next((p for p in _INDEX_PAIRS
+                 if (root / f"{name}{p[0]}").is_dir()), None)
+    if pair is None:
+        out["errors"].append(
+            f"no index named {name!r} under {root} (neither "
+            f"{name}_stats nor {name}_model exists)")
+        return out
+    ptr_sfx, data_sfx, pin_key = pair
+    ptr_rep = fsck_table(root / f"{name}{ptr_sfx}")
+    data_rep = fsck_table(root / f"{name}{data_sfx}")
+    out["tables"] = {f"{name}{ptr_sfx}": ptr_rep,
+                     f"{name}{data_sfx}": data_rep}
+    for rep in (ptr_rep, data_rep):
+        out["errors"].extend(rep["errors"])
+        out["warnings"].extend(rep["warnings"])
+    if (ptr_rep["current"] or 0) == 0:
+        out["errors"].append(f"{name}: pointer table never committed "
+                             f"(index unbuilt or damaged)")
+        out["ok"] = not out["errors"]
+        return out
+    meta = _read_meta_json(root / f"{name}{ptr_sfx}")
+    if meta is None:
+        out["errors"].append(f"{name}: no meta row in the committed "
+                             f"pointer table")
+    else:
+        pin = meta.get(pin_key)
+        data_cur = data_rep["current"] or 0
+        if pin is None:
+            out["warnings"].append(
+                f"{name}: meta lacks {pin_key} (legacy unpinned index "
+                f"— opens at the latest data version)")
+        else:
+            dmanifest = root / f"{name}{data_sfx}" / "manifest.json"
+            versions = (json.loads(dmanifest.read_text()).get("versions", {})
+                        if dmanifest.exists() else {})
+            if str(pin) not in versions:
+                out["errors"].append(
+                    f"{name}: pinned {pin_key} {pin} missing from the "
+                    f"data manifest (pruned past the pin?)")
+            elif data_cur > pin:
+                out["warnings"].append(
+                    f"{name}: data table v{data_cur} ahead of pin "
+                    f"v{pin} (crash between commits; the old pairing "
+                    f"is served)")
+    out["ok"] = not out["errors"]
+    return out

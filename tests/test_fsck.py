@@ -133,3 +133,58 @@ def test_repair_reclaims_orphans_and_tmp_only(spark, web1k, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="refusing"):
         repair_state(state, min_age_s=0.0)
+
+
+def test_fsck_index_search_and_ann(spark, tmp_path):
+    import json as _json
+
+    from data_crawler_spark.operators.search import SearchIndex
+    from data_crawler_spark.plans.fsck import fsck_index
+
+    corpus = spark.createDataFrame(
+        [(1, "spark shuffle partitions and catalyst optimizer"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "spark catalyst plans broadcast joins")],
+        "doc_id long, text string")
+    idx = SearchIndex.build(spark, tmp_path, corpus)
+    rep = fsck_index(tmp_path, "bm25")
+    assert rep["ok"], rep["errors"]
+    assert rep["warnings"] == []
+
+    # crash between commits: postings ahead of the pin -> warning only
+    extra = spark.createDataFrame(
+        [("spark", 7, 5, 5)],
+        "term string, doc_id long, tf bigint, doc_len bigint")
+    idx._postings.write(extra, mode="append")
+    rep2 = fsck_index(tmp_path, "bm25")
+    assert rep2["ok"], rep2["errors"]
+    assert any("ahead of pin" in w for w in rep2["warnings"])
+
+    # pin pointing at a version the data manifest no longer has -> error
+    mpath = tmp_path / "bm25_postings" / "manifest.json"
+    m = _json.loads(mpath.read_text())
+    m["versions"].pop("1")  # the build's version — the stats pin target
+    mpath.write_text(_json.dumps(m))
+    rep3 = fsck_index(tmp_path, "bm25")
+    assert not rep3["ok"]
+    assert any("missing from the data manifest" in e
+               for e in rep3["errors"])
+
+    # unknown name
+    rep4 = fsck_index(tmp_path, "nope")
+    assert not rep4["ok"]
+
+
+def test_fsck_index_ann(spark, tmp_path):
+    import numpy as np
+
+    from data_crawler_spark.operators.similarity import AnnIndex
+    from data_crawler_spark.plans.fsck import fsck_index
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(32).astype(float).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    AnnIndex.build(emb, str(tmp_path), id_col="vec_id",
+                   n_lists=4, n_subspaces=4, n_centroids=16)
+    rep = fsck_index(tmp_path, "ann")
+    assert rep["ok"], rep["errors"]

@@ -28,7 +28,15 @@ def main(argv: list[str]) -> int:
     ap.add_argument("state_dir")
     ap.add_argument("--repair", action="store_true")
     ap.add_argument("--min-age-s", type=float, default=3600.0)
+    ap.add_argument("--index", metavar="NAME",
+                    help="check a build-once/query-many index pair "
+                         "(SearchIndex/AnnIndex) instead of a crawl state")
     args = ap.parse_args(argv[1:])
+    if args.index:
+        from data_crawler_spark.plans.fsck import fsck_index
+        rep = fsck_index(args.state_dir, args.index)
+        print(json.dumps(rep, indent=2, sort_keys=True))
+        return 0 if rep["ok"] else 1
     if args.repair:
         res = repair_state(args.state_dir, min_age_s=args.min_age_s)
         print(json.dumps(res, indent=2, sort_keys=True))
