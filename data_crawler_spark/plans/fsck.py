@@ -63,7 +63,7 @@ def fsck_table(table_dir: str | os.PathLike) -> dict:
     n_versions, referenced_dirs, orphan_dirs, errors, warnings}``."""
     d = Path(table_dir)
     rep = {"present": d.is_dir(), "current": None, "n_versions": 0,
-           "referenced_dirs": [], "orphan_dirs": [],
+           "versions": {}, "referenced_dirs": [], "orphan_dirs": [],
            "errors": [], "warnings": []}
     if not rep["present"]:
         return rep
@@ -82,6 +82,10 @@ def fsck_table(table_dir: str | os.PathLike) -> dict:
     cur = int(m.get("current", 0))
     versions = m.get("versions", {})
     rep["current"], rep["n_versions"] = cur, len(versions)
+    # callers (checkpoint/pin checks) reuse this instead of re-reading
+    # the manifest — keeps the one-GET-per-table cost claim true
+    rep["versions"] = {v: [_entry_dir(e) for e in entries]
+                       for v, entries in versions.items()}
     if cur != 0 and str(cur) not in versions:
         rep["errors"].append(
             f"{d.name}: current version {cur} missing from manifest")
@@ -154,10 +158,25 @@ def fsck_state(state_dir: str | os.PathLike) -> dict:
         for t in TABLES:
             keys = _CP_KEYS[t]
             v = cp.get(keys[0])
-            if v is not None and len(keys) == 2:
-                v = v.get(keys[1])
+            if len(keys) == 2:
+                if isinstance(v, dict):
+                    v = v.get(keys[1])
+                elif v is not None:
+                    # legacy pre-FrontierStore checkpoint: frontier_v
+                    # is a bare int (base version only) — resume
+                    # supports it (rollback(int)); delta/removed are
+                    # unknowable, so only the base row is checked
+                    if keys[1] != "base":
+                        out["warnings"].append(
+                            f"legacy int frontier_v: {t} version "
+                            f"unknown (resume rolls base only)")
+                        continue
             if v is None:
-                out["errors"].append(f"checkpoint lacks version for {t}")
+                # crawl.py resumes with cp.get(key, 0) — a missing key
+                # is tolerated, not damage
+                out["warnings"].append(
+                    f"checkpoint lacks version for {t} "
+                    f"(resume assumes 0 — table would reset)")
                 continue
             rep = out["tables"][t]
             cur = rep["current"] or 0
@@ -172,9 +191,7 @@ def fsck_state(state_dir: str | os.PathLike) -> dict:
                     f"(uncommitted round; resume rolls it back)")
             if v != 0 and rep["present"] and rep["current"] is not None:
                 # rollback(v) needs the target version in the manifest
-                mpath = root / t / "manifest.json"
-                versions = json.loads(mpath.read_text()).get("versions", {})
-                if str(v) not in versions:
+                if str(v) not in rep["versions"]:
                     out["errors"].append(
                         f"{t}: checkpoint v{v} missing from manifest "
                         f"(resume cannot roll back to it)")
@@ -200,7 +217,13 @@ def fsck_state(state_dir: str | os.PathLike) -> dict:
                     dd = root / "frontier" / dname
                     for p in dd.iterdir() if dd.is_dir() else ():
                         if p.is_dir() and p.name.startswith("bucket="):
-                            b = int(p.name.split("=", 1)[1])
+                            try:
+                                b = int(p.name.split("=", 1)[1])
+                            except ValueError:
+                                out["errors"].append(
+                                    f"frontier: {dname}/{p.name} has a "
+                                    f"non-integer bucket value")
+                                continue
                             if not 0 <= b < nb:
                                 out["errors"].append(
                                     f"frontier: {dname}/{p.name} outside "
@@ -328,13 +351,19 @@ def fsck_index(state_dir: str | os.PathLike, name: str) -> dict:
         pin = meta.get(pin_key)
         data_cur = data_rep["current"] or 0
         if pin is None:
-            out["warnings"].append(
-                f"{name}: meta lacks {pin_key} (legacy unpinned index "
-                f"— opens at the latest data version)")
+            if ptr_sfx == "_stats":
+                # SearchIndex.__init__ reads meta["postings_version"]
+                # unconditionally — an unpinned stats row cannot open
+                out["errors"].append(
+                    f"{name}: meta lacks {pin_key} (the index will "
+                    f"fail to open)")
+            else:
+                # AnnIndex has the legacy .get fallback: opens latest
+                out["warnings"].append(
+                    f"{name}: meta lacks {pin_key} (legacy unpinned "
+                    f"index — opens at the latest data version)")
         else:
-            dmanifest = root / f"{name}{data_sfx}" / "manifest.json"
-            versions = (json.loads(dmanifest.read_text()).get("versions", {})
-                        if dmanifest.exists() else {})
+            versions = data_rep["versions"]
             if str(pin) not in versions:
                 out["errors"].append(
                     f"{name}: pinned {pin_key} {pin} missing from the "

@@ -404,12 +404,6 @@ def test_layout_knobs_never_change_the_view(spark, tmp_path):
         for rnd, (new, gone) in enumerate(script, start=1):
             s.commit_round(_rows(spark, new, rnd), _rm(spark, gone))
         pending = sorted(map(tuple, s.read().collect()))
-        discovered = sorted(
-            (r.url, r.pending) for r in s.base.read()
-            .unionByName(
-                s._delta_df().withColumn("pending", F.lit(True)),
-                allowMissingColumns=True)
-            .select("url", "pending").collect())
         return pending, s
 
     base_pending, base_store = run(64, 3)

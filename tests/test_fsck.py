@@ -188,3 +188,76 @@ def test_fsck_index_ann(spark, tmp_path):
                    n_lists=4, n_subspaces=4, n_centroids=16)
     rep = fsck_index(tmp_path, "ann")
     assert rep["ok"], rep["errors"]
+
+
+def test_legacy_checkpoint_shapes_tolerated(spark, web1k, tmp_path):
+    """Resume tolerates a pre-FrontierStore int frontier_v and missing
+    *_v keys (crawl.py uses cp.get(key, 0)); fsck must report those as
+    warnings, never crash or error."""
+    state = _crawl_state(spark, web1k, tmp_path)
+    cp = json.loads((state / "checkpoint.json").read_text())
+    cp["frontier_v"] = cp["frontier_v"]["base"]  # legacy int shape
+    del cp["scheduled_v"]
+    (state / "checkpoint.json").write_text(json.dumps(cp))
+    rep = fsck_state(state)
+    assert rep["ok"], rep["errors"]
+    assert any("legacy int frontier_v" in w for w in rep["warnings"])
+    assert any("lacks version for scheduled" in w for w in rep["warnings"])
+
+
+def test_malformed_bucket_dir_is_error_not_crash(spark, web1k, tmp_path):
+    state = _crawl_state(spark, web1k, tmp_path)
+    base_dir = next(d for d in sorted((state / "frontier").iterdir())
+                    if d.is_dir() and d.name.startswith("d"))
+    bad = base_dir / "bucket=__HIVE_DEFAULT_PARTITION__"
+    bad.mkdir()
+    rep = fsck_state(state)  # must not raise
+    assert not rep["ok"]
+    assert any("non-integer bucket value" in e for e in rep["errors"])
+
+
+def test_unpinned_search_meta_is_error(spark, tmp_path):
+    """SearchIndex.__init__ reads meta['postings_version'] with no
+    fallback — an unpinned stats row is unopenable, so fsck_index must
+    call it an error (only AnnIndex has the legacy .get fallback)."""
+    import json as _json
+
+    from data_crawler_spark.operators.search import SearchIndex
+    from data_crawler_spark.plans.fsck import fsck_index
+    from data_crawler_spark.plans.snapshots import SnapshotTable
+    from pyspark.sql.types import _parse_datatype_string
+
+    corpus = spark.createDataFrame(
+        [(1, "spark catalyst optimizer"), (2, "arrow batches")],
+        "doc_id long, text string")
+    SearchIndex.build(spark, tmp_path, corpus)
+    stats = SnapshotTable(spark, tmp_path, "bm25_stats",
+                          _parse_datatype_string("kind string, s string"))
+    meta = _json.loads(stats.read().filter("kind = 'meta'").first()["s"])
+    del meta["postings_version"]
+    stats.write(spark.createDataFrame([("meta", _json.dumps(meta))],
+                                      "kind string, s string"),
+                mode="overwrite")
+    rep = fsck_index(tmp_path, "bm25")
+    assert not rep["ok"]
+    assert any("fail to open" in e for e in rep["errors"])
+
+
+def test_cli_repair_on_damaged_state_prints_json(spark, web1k, tmp_path,
+                                                 capsys):
+    import importlib.util
+    import json as _json
+    from pathlib import Path as _P
+
+    spec = importlib.util.spec_from_file_location(
+        "fsck_cli", _P("tools/fsck_state.py"))
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    state = _crawl_state(spark, web1k, tmp_path)
+    (state / "lineage" / "manifest.json").write_text("{not json")
+    rc = cli.main(["fsck_state.py", str(state), "--repair",
+                   "--min-age-s", "0"])
+    out = capsys.readouterr().out
+    rep = _json.loads(out)  # the promised JSON report, not a traceback
+    assert rc == 1 and not rep["ok"]

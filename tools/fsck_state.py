@@ -32,13 +32,22 @@ def main(argv: list[str]) -> int:
                     help="check a build-once/query-many index pair "
                          "(SearchIndex/AnnIndex) instead of a crawl state")
     args = ap.parse_args(argv[1:])
+    if args.index and args.repair:
+        ap.error("--repair applies to crawl states, not --index checks")
     if args.index:
         from data_crawler_spark.plans.fsck import fsck_index
         rep = fsck_index(args.state_dir, args.index)
         print(json.dumps(rep, indent=2, sort_keys=True))
         return 0 if rep["ok"] else 1
     if args.repair:
-        res = repair_state(args.state_dir, min_age_s=args.min_age_s)
+        try:
+            res = repair_state(args.state_dir, min_age_s=args.min_age_s)
+        except ValueError:
+            # damaged state: repair refuses — emit the fsck report the
+            # docstring promises instead of a traceback
+            rep = fsck_state(args.state_dir)
+            print(json.dumps(rep, indent=2, sort_keys=True))
+            return 1
         print(json.dumps(res, indent=2, sort_keys=True))
         return 0 if res["report"]["ok"] else 1
     rep = fsck_state(args.state_dir)
