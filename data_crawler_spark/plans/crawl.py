@@ -838,9 +838,29 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
               lineage_gauges: bool = True,
               budget_scale: int = 1,
               membership_join: str = "auto",
-              pipeline_rounds: bool = True) -> dict:
+              pipeline_rounds: bool = True,
+              verify_state: bool = True) -> dict:
     """Drive rounds to quiescence (or max_rounds). Resumable: picks up
-    from the last committed checkpoint when ``resume`` and one exists."""
+    from the last committed checkpoint when ``resume`` and one exists.
+
+    ``verify_state``: before resuming onto an existing checkpoint, the
+    state dir passes the metadata fsck (plans/fsck.py) — a DAMAGED
+    state (manifest referencing missing files, table behind the
+    checkpoint: shapes no crash can produce) fails fast with the
+    error list instead of misbehaving mid-round. Legal post-crash
+    shapes (tables ahead of the checkpoint, staged orphan dirs) are
+    warnings and resume normally. Driver-side file metadata only —
+    one manifest read + dir listing per table, no Spark job; pass
+    False to skip (e.g. a state on a store where listings are slow)."""
+    if resume and verify_state \
+            and (Path(state_dir) / "checkpoint.json").exists():
+        from data_crawler_spark.plans.fsck import fsck_state
+        rep = fsck_state(state_dir)
+        if not rep["ok"]:
+            raise RuntimeError(
+                "state dir failed the integrity check before resume: "
+                + "; ".join(rep["errors"])
+                + " — inspect with tools/fsck_state.py")
     ctx = open_crawl(spark, web_dir, state_dir, n_salts=n_salts,
                      use_bloom=use_bloom, gc_keep=gc_keep,
                      lineage_gauges=lineage_gauges,

@@ -261,3 +261,23 @@ def test_cli_repair_on_damaged_state_prints_json(spark, web1k, tmp_path,
     out = capsys.readouterr().out
     rep = _json.loads(out)  # the promised JSON report, not a traceback
     assert rc == 1 and not rep["ok"]
+
+
+def test_resume_refuses_damaged_state(spark, web1k, tmp_path):
+    """run_crawl fscks the state before resuming: damage fails fast
+    with the error list; verify_state=False is the escape hatch."""
+    import pytest as _pytest
+
+    state = _crawl_state(spark, web1k, tmp_path)
+    m = json.loads((state / "scheduled" / "manifest.json").read_text())
+    victim = m["versions"][str(m["current"])][0]
+    victim = victim if isinstance(victim, str) else victim["dir"]
+    shutil.rmtree(state / "scheduled" / victim)
+    with _pytest.raises(RuntimeError, match="integrity check"):
+        run_crawl(spark, web1k, state, max_rounds=3)
+    # the escape hatch skips the check (and then fails later, deeper —
+    # exactly the behavior the default protects against)
+    try:
+        run_crawl(spark, web1k, state, max_rounds=3, verify_state=False)
+    except Exception as e:
+        assert "integrity check" not in str(e)
