@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="disable round pipelining (next round's gate/"
                         "schedule pass overlapping this round's commit "
                         "barrier); results are identical either way")
+    p.add_argument("--no-verify-state", action="store_true",
+                   help="skip the pre-resume state-dir integrity check "
+                        "(tools/fsck_state.py) — e.g. on stores with "
+                        "slow listings")
     p.add_argument("--master", default=None,
                    help="override master when run standalone (e.g. local[8])")
     args = p.parse_args(argv)
@@ -78,7 +82,8 @@ def main(argv: list[str] | None = None) -> int:
     res = run_crawl(spark, web, state, max_rounds=args.rounds,
                     resume=not args.fresh, n_salts=args.salts,
                     gc_keep=args.gc_keep, budget_scale=args.budget_scale,
-                    pipeline_rounds=not args.no_pipeline)
+                    pipeline_rounds=not args.no_pipeline,
+                    verify_state=not args.no_verify_state)
     wall = time.time() - t0
     out = {
         "web": str(web),
