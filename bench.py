@@ -101,7 +101,8 @@ def main() -> int:
     # noisy-neighbor drift between legs (BENCH/BASELINE.md), and the
     # min is the least-contaminated estimate of machine capability —
     # each repeat re-executes the full query (no result caching).
-    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    # floor 1: zero repeats would leave res/crawl_wall undefined below
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
     # fixture queries are cheap (<=10s each) relative to the crawl, so
     # they take an extra repeat: min-of-3 instead of min-of-2 halves
     # the chance a noisy window contaminates a recorded query time for
@@ -153,8 +154,8 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline suite wall time (fixture queries + crawl rounds "
-                  f"+ extraction sweep; min of {repeats} in-process repeats "
-                  "per job)",
+                  f"+ extraction sweep; min of {q_repeats} in-process repeats "
+                  f"per fixture query, {repeats} per crawl/extract job)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -11,7 +11,9 @@ import pandas as pd
 
 def burn_seconds(spark, repeats: int = 2) -> float:
     """Min wall seconds over ``repeats`` runs of the 400-iteration
-    sqrt burner on a 2M-row/128-partition frame."""
+    sqrt burner on a 2M-row/128-partition frame. Callers normalizing
+    engine numbers must pass THEIR inner-repeat count so the ceiling
+    gets the same noise rejection as the jobs it divides."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 

@@ -66,11 +66,13 @@ def main() -> int:
     pages = spark.read.parquet(str(Path(web) / "pages.parquet"))
     docs = (extract_pages_arrow(pages)
             .select(F.col("url").alias("doc_id"), "text"))
-    n_docs = docs.count()
     # extraction is measured by scaling_job.py's extract row; the
-    # pipeline measurement starts from a materialized text corpus
+    # pipeline measurement starts from a materialized text corpus.
+    # persist BEFORE the first count so one extraction sweep both
+    # counts and fills the cache (counting first ran the full Arrow
+    # extractor twice)
     docs = docs.persist()
-    docs.count()
+    n_docs = docs.count()
     eval_rows = (docs.filter(F.xxhash64("doc_id") % 1000 == 0)
                  .select("text").collect())
     eval_df = spark.createDataFrame(eval_rows, "text string")
@@ -99,7 +101,7 @@ def main() -> int:
     # bench burner)
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from burner import burn_seconds
-    burn_best = burn_seconds(spark)
+    burn_best = burn_seconds(spark, repeats=args.inner_repeats)
 
     print(json.dumps({
         "cpus": args.cpus, "web_tier": args.web_tier, "docs_in": n_docs,

@@ -44,7 +44,14 @@ def run_level(cpus: int, args) -> dict:
          "--big-budget-scale", str(args.big_budget_scale),
          "--big-rounds", str(args.big_rounds),
          "--big-state", args.big_state],
-        capture_output=True, text=True, check=True, cwd=REPO)
+        capture_output=True, text=True, cwd=REPO)
+    if out.returncode != 0:
+        # surface the leg's own traceback — check=True would bury it
+        # in an unread CalledProcessError hours into the sweep
+        sys.stderr.write(out.stderr)
+        raise RuntimeError(
+            f"scaling_job leg at {cpus} cores failed "
+            f"(exit {out.returncode}); stderr above")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -96,6 +103,12 @@ def main() -> int:
             best[k] = min(x[k] for x in runs)
         best["pages_per_s"] = round(best["pages"] / best["extract_s"], 1)
         best["urls_per_s"] = round(best["urls_scheduled"] / best["crawl_s"], 1)
+        # recompute from the min-reduced time like the other rates —
+        # runs[0]'s value could come from a degraded leg and contradict
+        # the crawl_big_s printed next to it
+        if "crawl_big_s" in JOBS and best.get("urls_scheduled_big"):
+            best["urls_big_per_s"] = round(
+                best["urls_scheduled_big"] / best["crawl_big_s"], 1)
         r[n] = best
 
     pairs = list(zip(levels, levels[1:]))
@@ -162,7 +175,9 @@ def main() -> int:
 
 Environment: 32-core sandbox VM, PySpark 4.1.2, `local[N]` thread
 executors, ParallelGC (see bench/scaling_job.py for why), min of
-{args.repeats} fresh-JVM x {args.inner_repeats} in-JVM repeats,
+{args.repeats} fresh-JVM x {args.inner_repeats} in-JVM repeats
+(crawl rows: one timed run per fresh JVM — rounds are minutes long —
+so min across the {args.repeats} fresh-JVM legs only),
 identical input ({args.web_tier} synthetic Common-Crawl-style web).
 
 ## Scaling: throughput at N and 4N cores (north rule >= 0.8)

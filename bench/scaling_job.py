@@ -164,7 +164,7 @@ def main() -> int:
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from burner import burn_seconds
-    burn_s = burn_seconds(spark)
+    burn_s = burn_seconds(spark, repeats=args.inner_repeats)
 
     out = {
         "cpus": args.cpus,

@@ -55,6 +55,13 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
+    if only:
+        unknown = sorted(set(only) - set(QUERIES))
+        if unknown:
+            # a typo'd name silently matching nothing would print
+            # "0 pass, 0 fail" and exit 0 — a no-op read as a pass
+            print(f"ERROR: unknown query name(s): {unknown}")
+            return 2
     n_pass = n_fail = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
@@ -91,8 +98,9 @@ def main():
             if not ok_cols:
                 print(f"  spark cols: {scols}\n  duck cols:  {dcols}")
             else:
-                diff_s = [r for r in s if r not in set(d)][:3]
-                diff_d = [r for r in d if r not in set(s)][:3]
+                sd, ss = set(d), set(s)  # hoist: O(rows), not O(rows^2)
+                diff_s = [r for r in s if r not in sd][:3]
+                diff_d = [r for r in d if r not in ss][:3]
                 print(f"  spark-only: {diff_s}\n  duck-only:  {diff_d}")
     print(f"\n{n_pass} pass, {n_fail} fail")
     spark.stop()
