@@ -6,7 +6,7 @@ mid-crawl")."""
 from pyspark.sql import functions as F
 
 from data_crawler_spark.plans.crawl import open_crawl, run_crawl, visit_order_df
-from data_crawler_spark.plans.fsck import fsck_state
+from data_crawler_spark.plans.fsck import fsck_state, repair_state
 
 ROUNDS = 5
 
@@ -141,6 +141,10 @@ def test_crash_at_every_commit_point_resumes_exact(spark, web1k, tmp_path):
             # every legal post-crash shape must fsck with zero errors
             rep = fsck_state(state)
             assert rep["ok"], (k, rep["errors"])
+            # ... and repairing it (reclaiming staged garbage, which
+            # crash legs are exactly what produces) must never break
+            # the subsequent resume
+            repair_state(state, min_age_s=0.0)
             resumed = run_crawl(spark, web1k, state, max_rounds=FINAL)
             assert _state_signature(resumed["ctx"]) == want, f"k={k}"
     finally:
