@@ -48,23 +48,31 @@ def entry(spark: SparkSession) -> DataFrame:
         F.lit("/p"), F.col("c_custkey").cast("string"), F.lit(".html#frag"))
     n_ord = (o.groupBy("o_custkey").count()
              .withColumnRenamed("o_custkey", "c_custkey"))
+    depth_e = F.when(F.col("c_mktsegment") == "BUILDING", 0).otherwise(1)
     frontier = (
         c.join(n_ord, "c_custkey", "left").na.fill({"count": 0})
         .select(
             canonicalize_udf(messy).alias("url"),
-            F.when(F.col("c_mktsegment") == "BUILDING", 0).otherwise(1)
-             .cast("int").alias("depth"),
-            (1.0 / (1.0 + F.when(F.col("c_mktsegment") == "BUILDING", 0)
-                    .otherwise(1))).alias("priority"),
+            depth_e.cast("int").alias("depth"),
+            # priority really is order activity: busier customers rank
+            # higher, depth demotes (count was previously joined but
+            # unused — the gate below then exercises a live column)
+            ((F.col("count") + 1.0) / (F.col("count") + 2.0)
+             / (1.0 + depth_e)).alias("priority"),
             F.lit(0).alias("discovered_round"),
             F.lit(None).cast("string").alias("parent_url"),
         )
         .withColumn("host", host_col(F.col("url")))
         .withColumn("path", path_col(F.col("url")))
     )
+    # canonicalized paths are /a/seg{k}/p{ck}.html (the messy
+    # /a/./b/../seg template folds to /a/seg) — rule prefixes must
+    # carry the /a or the gate silently matches nothing
     rules = spark.createDataFrame(
-        [(f"host{i}.example.com", "disallow", "/seg0") for i in range(0, 25, 5)]
-        + [(f"host{i}.example.com", "allow", "/seg0/p1") for i in range(0, 25, 5)],
+        [(f"host{i}.example.com", "disallow", "/a/seg0")
+         for i in range(0, 25, 5)]
+        + [(f"host{i}.example.com", "allow", "/a/seg0/p1")
+           for i in range(0, 25, 5)],
         "host string, rule_type string, path_prefix string")
     hosts = spark.createDataFrame(
         [(f"host{i}.example.com", [8, 4, 2, 1][i % 4]) for i in range(25)],

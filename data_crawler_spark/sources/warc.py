@@ -125,6 +125,11 @@ def split_warc_records(data: bytes) -> Iterator[tuple[int, dict[str, str], bytes
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            # a negative length would move pos BACKWARDS and loop
+            # forever re-yielding the same record (untrusted-archive
+            # DoS); treat like any other malformed framing
+            return
         body_start = hdr_end + len(_HDR_END)
         if body_start + length > n:
             return
@@ -258,12 +263,20 @@ def _http_response_bytes(html: bytes, content_type: str = "text/html") -> bytes:
     return head + html
 
 
-def _page_record_bytes(url: str, ts, html, rec_id: str) -> bytes:
-    """One response record for a pages row — the shared export codec."""
+def _warc_date(ts, default: str = "2026-01-01T00:00:00Z") -> str:
+    """null-safe WARC-Date: pandas renders a null timestamp as NaT,
+    which is neither None nor a pd.Timestamp — strftime on it raises,
+    so every null representation routes to the default."""
+    if ts is None or pd.isna(ts):
+        return default
     if isinstance(ts, pd.Timestamp):
         ts = ts.to_pydatetime()
-    date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-            if ts is not None else "2026-01-01T00:00:00Z")
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _page_record_bytes(url: str, ts, html, rec_id: str) -> bytes:
+    """One response record for a pages row — the shared export codec."""
+    date = _warc_date(ts)
     if not isinstance(html, (bytes, bytearray)):
         html = (html or "").encode("utf-8")
     return warc_record_bytes(
@@ -277,10 +290,7 @@ def _page_record_bytes(url: str, ts, html, rec_id: str) -> bytes:
 
 def _text_record_bytes(url: str, ts, text, rec_id: str) -> bytes:
     """One WET ``conversion`` record for an extracted-text row."""
-    if isinstance(ts, pd.Timestamp):
-        ts = ts.to_pydatetime()
-    date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-            if ts is not None else "2026-01-01T00:00:00Z")
+    date = _warc_date(ts)
     payload = (text or "").encode("utf-8") \
         if not isinstance(text, (bytes, bytearray)) else bytes(text)
     return warc_record_bytes(
@@ -417,10 +427,7 @@ def write_warc_pages(pages: pd.DataFrame, path: str | Path,
 def _metadata_record_bytes(url: str, ts, wat_json, rec_id: str) -> bytes:
     """One WARC ``metadata`` record carrying a JSON payload — the WAT
     record framing."""
-    if isinstance(ts, pd.Timestamp):
-        ts = ts.to_pydatetime()
-    date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-            if ts is not None else "2026-01-01T00:00:00Z")
+    date = _warc_date(ts)
     payload = (wat_json or "").encode("utf-8")
     return warc_record_bytes(
         {"WARC-Type": "metadata",
@@ -457,8 +464,10 @@ def page_wat(pages: DataFrame, url_col: str = "url",
     tags = F.regexp_extract_all(s, F.lit(r"(?is)<a\b[^>]*>"), 0)
 
     def _href(t: Column) -> Column:
-        dq = F.regexp_extract(t, r'(?is)\bhref\s*=\s*"([^"]*)"', 1)
-        sq = F.regexp_extract(t, r"(?is)\bhref\s*=\s*'([^']*)'", 1)
+        # (?<![\w-]): \b treats '-' as a boundary, so data-href
+        # would match and inject non-link values into WAT Links
+        dq = F.regexp_extract(t, r'(?is)(?<![\w-])href\s*=\s*"([^"]*)"', 1)
+        sq = F.regexp_extract(t, r"(?is)(?<![\w-])href\s*=\s*'([^']*)'", 1)
         return F.when(dq != "", dq).otherwise(sq)
 
     links = F.filter(F.transform(tags, _href), lambda u: u != "")
@@ -549,14 +558,8 @@ def _revisit_record_bytes(url: str, ts, digest: str, ref_url: str,
                           ref_ts, rec_id: str) -> bytes:
     """One ``revisit`` record: HTTP headers only, no body — the whole
     point is not storing the identical payload twice."""
-    if isinstance(ts, pd.Timestamp):
-        ts = ts.to_pydatetime()
-    if isinstance(ref_ts, pd.Timestamp):
-        ref_ts = ref_ts.to_pydatetime()
-    date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-            if ts is not None else "2026-01-01T00:00:00Z")
-    ref_date = (ref_ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-                if ref_ts is not None else date)
+    date = _warc_date(ts)
+    ref_date = _warc_date(ref_ts, default=date)
     return warc_record_bytes(
         {"WARC-Type": "revisit",
          "WARC-Record-ID": f"<{rec_id}>",
@@ -654,18 +657,33 @@ def resolve_revisits(records: DataFrame, prior_pages: DataFrame,
         & (F.col("refers_to_ts") == F.date_trunc("second", F.col("_pts")))
         & digest_ok,
         "left")
-    missing = joined.filter(F.col("_ph").isNull())
     if on_missing == "error":
-        n_missing = missing.count()
-        if n_missing:
-            ex = missing.select("url", "refers_to_url").first()
+        # ONE aggregate for count + example — count() then first()
+        # would re-run the whole join (binaryFile parse + digest pass)
+        # twice before the downstream action runs it again
+        miss = F.when(F.col("_ph").isNull(), 1).otherwise(0)
+        st = joined.select(
+            F.sum(miss).alias("n"),
+            F.min(F.when(F.col("_ph").isNull(),
+                         F.struct("url", "refers_to_url"))).alias("ex"),
+        ).first()
+        if st["n"]:
             raise RuntimeError(
-                f"{n_missing} revisit record(s) reference captures "
-                f"absent from prior_pages (first: {ex.url} -> "
-                f"{ex.refers_to_url}); pass on_missing='drop' to "
-                "discard them deliberately")
+                f"{st['n']} revisit record(s) reference captures "
+                f"absent from prior_pages (first: {st['ex']['url']} -> "
+                f"{st['ex']['refers_to_url']}); pass on_missing='drop' "
+                "to discard them deliberately")
+    from pyspark.sql import Window
+
+    # deterministic survivor on the foreign/null-digest fallback path:
+    # two same-second prior captures with DIFFERENT bytes both pass
+    # digest_ok there, and dropDuplicates would keep an arbitrary one —
+    # order by (digest, capture ts) so the pick is data-determined
+    w = (Window.partitionBy("url", "warc_ts", "refers_to_url",
+                            "refers_to_ts")
+         .orderBy(F.asc("_pd"), F.asc("_pts")))
     filled = (joined.filter(F.col("_ph").isNotNull())
-              .dropDuplicates(["url", "warc_ts", "refers_to_url",
-                               "refers_to_ts"])
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
               .select("url", "warc_ts", F.col("_ph").alias("html")))
     return resp.unionByName(filled)

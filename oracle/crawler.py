@@ -32,6 +32,7 @@ Semantics (the spec — mirrored op-by-op in data_crawler_spark.plans.crawl):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -80,8 +81,27 @@ def _load_rules(robots: pd.DataFrame) -> dict[str, list[tuple[str, bool]]]:
     return rules
 
 
+def _rule_match(p: str, path: str) -> bool:
+    """RFC 9309 path-rule match, mirroring the engine's
+    operators/robots.host_rules_df semantics exactly: ``*`` matches any
+    characters, a TRAILING ``$`` anchors the end (a mid-rule ``$`` is a
+    literal byte), and wildcard-free rules are plain byte prefix
+    matches. The engine compiles the same three cases to an anchored
+    Java regex; this is the pure-Python spec of that compilation."""
+    anchored = p.endswith("$")
+    body = p[:-1] if anchored else p
+    if "*" in p or anchored:
+        rx = ("^" + ".*".join(re.escape(seg) for seg in body.split("*"))
+              + ("$" if anchored else ""))
+        return re.match(rx, path) is not None
+    return path.startswith(p)
+
+
 def robots_allows(rules: dict[str, list[tuple[str, bool]]], host: str, path: str) -> bool:
-    matching = [(len(p), allow) for p, allow in rules.get(host, []) if path.startswith(p)]
+    # specificity = length of the ORIGINAL rule text (incl. * and $),
+    # the engine's published tie metric (robots.py robots_gate)
+    matching = [(len(p), allow) for p, allow in rules.get(host, [])
+                if _rule_match(p, path)]
     if not matching:
         return True
     best_len = max(m[0] for m in matching)

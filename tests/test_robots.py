@@ -330,3 +330,37 @@ def test_robots_refresh_candidates(spark):
     import pytest
     with pytest.raises(ValueError):
         robots_refresh_candidates(caps, "2026-08-20 12:00:00", ttl_hours=0)
+
+
+def test_wildcard_rules_engine_equals_oracle_spec(spark):
+    """RFC 9309 ``*``/``$`` rules: the engine's compiled-regex gate and
+    the oracle's pure-Python spec must agree verdict-for-verdict
+    (the spec previously treated wildcards as literal bytes)."""
+    from data_crawler_spark.operators.robots import robots_gate
+    from oracle.crawler import robots_allows
+
+    host = "w.example.com"
+    rules_rows = [
+        (host, "disallow", "/sec*"),
+        (host, "allow", "/sec*/public"),
+        (host, "disallow", "/exact$"),
+        (host, "disallow", "/lit$eral"),      # mid-rule $ is literal
+        (host, "allow", "/a*b$"),
+    ]
+    paths = ["/sec", "/secret/x", "/sec0/public/y", "/exact",
+             "/exact/child", "/lit$eral/x", "/aXXb", "/aXXbc",
+             "/other", "/a/b"]
+    cand = spark.createDataFrame(
+        [(f"https://{host}{p}", host, p) for p in paths],
+        "url string, host string, path string")
+    rules = spark.createDataFrame(
+        rules_rows, "host string, rule_type string, path_prefix string")
+    engine = {r["path"] for r in robots_gate(cand, rules).collect()}
+    spec_rules = {host: [(p, t == "allow") for _, t, p in rules_rows]}
+    spec = {p for p in paths if robots_allows(spec_rules, host, p)}
+    assert engine == spec
+    # and sanity on the semantics themselves
+    assert "/secret/x" not in spec          # * gates
+    assert "/sec0/public/y" in spec         # longer allow wins
+    assert "/exact" not in spec and "/exact/child" in spec  # $ anchors
+    assert "/aXXb" in spec and "/aXXbc" in spec  # allow + anchored allow

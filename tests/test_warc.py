@@ -415,3 +415,21 @@ def test_resolve_revisits_digest_disambiguation_and_missing(spark, tmp_path):
     assert resolve_revisits(recs, pruned, on_missing="drop").count() == 0
     with pytest.raises(ValueError):
         resolve_revisits(recs, prior, on_missing="quarantine")
+
+
+def test_export_null_ts_and_negative_length_guard():
+    """Null timestamps reach the export codec as pandas NaT (neither
+    None nor a Timestamp) — the epoch fallback must fire, not a
+    strftime crash; and a negative Content-Length must terminate the
+    splitter instead of looping forever on the same record."""
+    import pandas as pd
+
+    from data_crawler_spark.sources.warc import (_page_record_bytes,
+                                                 _text_record_bytes,
+                                                 split_warc_records)
+
+    for fn in (_page_record_bytes, _text_record_bytes):
+        rec = fn("https://x/", pd.NaT, b"<p>x</p>", "rid")
+        assert b"WARC-Date: 2026-01-01T00:00:00Z" in rec
+    evil = b"WARC/1.0\r\ncontent-length: -33\r\n\r\nPADDING"
+    assert list(split_warc_records(evil)) == []
