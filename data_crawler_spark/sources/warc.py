@@ -71,19 +71,29 @@ _RECORDS_DDL = (
 
 def _decompress_members(data: bytes) -> bytes:
     """Decompress a stream of concatenated gzip members (the CC
-    per-record layout). Plain (non-gzip) input passes through."""
+    per-record layout). Plain (non-gzip) input passes through.
+
+    Bounded-chunk feeding: handing the whole remaining tail to
+    ``decompress()`` copies it in (the slice) and back out
+    (``unused_data``) once per member — O(members × filesize) byte
+    traffic on a ~1 GB CC file with tens of thousands of per-record
+    members. 16 KiB chunks keep it linear; at most one chunk's tail ever
+    rides ``unused_data``."""
     if not data.startswith(b"\x1f\x8b"):
         return data
     out = io.BytesIO()
-    pos = 0
-    while pos < len(data):
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
-        out.write(d.decompress(data[pos:]))
+        while pos < n and not d.eof:
+            chunk = view[pos:pos + (1 << 14)]
+            out.write(d.decompress(chunk))
+            pos += len(chunk)
         out.write(d.flush())
-        tail = d.unused_data
-        if not tail:
-            break
-        pos = len(data) - len(tail)
+        if not d.eof:
+            break  # truncated final member: keep what inflated
+        pos -= len(d.unused_data)  # return the next member's bytes
     return out.getvalue()
 
 

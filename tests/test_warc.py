@@ -433,3 +433,21 @@ def test_export_null_ts_and_negative_length_guard():
         assert b"WARC-Date: 2026-01-01T00:00:00Z" in rec
     evil = b"WARC/1.0\r\ncontent-length: -33\r\n\r\nPADDING"
     assert list(split_warc_records(evil)) == []
+
+
+def test_decompress_members_chunked_exact():
+    """The bounded-chunk inflater is byte-exact across member shapes:
+    tens of thousands of tiny members, members crossing chunk
+    boundaries, and a truncated final member keeping its prefix."""
+    import gzip
+
+    from data_crawler_spark.sources.warc import _decompress_members
+
+    parts = [(f"r{i} ".encode() * (i % 9 + 1)) for i in range(20000)]
+    blob = b"".join(gzip.compress(p) for p in parts)
+    assert _decompress_members(blob) == b"".join(parts)
+    big = [b"x" * (3 << 20), b"y" * (1 << 20) + b"z"]
+    assert _decompress_members(
+        b"".join(gzip.compress(p) for p in big)) == b"".join(big)
+    trunc = gzip.compress(b"whole") + gzip.compress(b"cut-off")[:-4]
+    assert _decompress_members(trunc).startswith(b"whole")
