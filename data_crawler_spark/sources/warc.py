@@ -343,21 +343,35 @@ def _export_sink(src: DataFrame, out_dir: str | Path, base_ext: str,
         pid = TaskContext.get().partitionId()
         fpath = out / f"part-{pid:05d}{suffix}"
         n = 0
-        chunks: list[bytes] = [_WARCINFO]
-        for b in batches:
-            pdf = b.to_pandas()
-            for row in pdf.itertuples(index=False):
-                chunks.append(make_record(row, f"urn:uuid:rec-{pid}-{n}"))
-                n += 1
-        if gzip_records:
-            data = b"".join(
-                gzip.compress(c, compresslevel=1, mtime=0) for c in chunks)
-        else:
-            data = b"".join(chunks)
-        fpath.write_bytes(data)
+
+        def encoded(row, rid: str) -> bytes:
+            rec = make_record(row, rid)
+            return (gzip.compress(rec, compresslevel=1, mtime=0)
+                    if gzip_records else rec)
+
+        # stream records straight to the open file — buffering a whole
+        # partition's encoded records (plus a joined second copy) peaks
+        # at >2x the output file size per task, a multi-GB OOM risk at
+        # the ~1 GB-per-file CC sizing this sink documents
+        try:
+            with open(fpath, "wb") as fh:
+                fh.write(gzip.compress(_WARCINFO, compresslevel=1,
+                                       mtime=0)
+                         if gzip_records else _WARCINFO)
+                for b in batches:
+                    pdf = b.to_pandas()
+                    for row in pdf.itertuples(index=False):
+                        fh.write(encoded(row, f"urn:uuid:rec-{pid}-{n}"))
+                        n += 1
+        except BaseException:
+            # a failed task must not leave a half-written part file a
+            # reader could mistake for output ('wb' on retry would
+            # overwrite, but only if the retry lands on this pid)
+            fpath.unlink(missing_ok=True)
+            raise
         yield pa.RecordBatch.from_pydict(
             {"warc_file": [str(fpath)], "n_records": [n],
-             "n_bytes": [len(data)]})
+             "n_bytes": [fpath.stat().st_size]})
 
     return src.mapInArrow(fn, mschema)
 
