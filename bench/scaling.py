@@ -137,6 +137,35 @@ def main() -> int:
             result[f"contaminated_{lo}_to_{hi}"] = True
     print(json.dumps(result))
 
+    # publish the contract-closing design-point row for bench.py to
+    # embed into the driver record (BENCH_rN.json) — the north rule's
+    # >=0.8 criterion is evidenced at design-point round sizes, where
+    # the fixed per-round driver latency amortizes
+    if args.big_budget_scale and "crawl_big_s" in JOBS:
+        lo, hi = pairs[-1]
+        dp = {
+            "job": ("crawl design-point round (resumed from shared ramp)"
+                    if args.big_state else
+                    f"crawl large rounds x{args.big_rounds}"),
+            "web_tier": args.web_tier,
+            "budget_scale": args.big_budget_scale,
+            "urls_scheduled": r[hi].get("urls_scheduled_big", 0),
+            "levels": {str(n): {"wall_s": r[n]["crawl_big_s"],
+                                "urls_per_s": r[n].get("urls_big_per_s", 0)}
+                       for n in levels},
+            "raw_efficiency": eff(lo, hi, "crawl_big_s"),
+            "normalized_efficiency": norm(lo, hi, "crawl_big_s"),
+            "burner_raw_efficiency": eff(lo, hi, "burn_s"),
+            "contaminated": eff(lo, hi, "burn_s") > 1.0,
+            "pass_threshold": 0.8,
+            "protocol": ("interleaved fresh-JVM legs, min per level; "
+                         "norm = engine raw eff / numpy-burner ceiling "
+                         "raw eff measured in the same runs"),
+        }
+        bdir = REPO / "BENCH"
+        bdir.mkdir(exist_ok=True)
+        (bdir / "design_point.json").write_text(json.dumps(dp, indent=1))
+
     names = {
         "extract_s": f"extraction sweep ({r[levels[-1]]['pages']} pages, mapInArrow)",
         "crawl_s": (f"crawl rounds x{args.rounds} "

@@ -70,6 +70,59 @@ from data_crawler_spark.plans.pagestore import fetch_bucket_pruned, open_buckete
 from data_crawler_spark.plans.snapshots import Checkpoint, SnapshotTable
 
 
+# columns the fetch stage must deliver to the extraction pass
+FETCH_COLS = ["url", "depth", "warc_ts", "lang", "html"]
+
+
+class Transport:
+    """The fetch seam: one round's scheduled slice in, pages out.
+
+    ``fetch(sched)`` receives the round's scheduled URLs as a skinny
+    ``(url, depth)`` DataFrame — already robots-gated, per-host
+    budget-capped, and priority-ordered by the scheduler, so ONE call
+    per politeness round IS the politeness contract: a transport never
+    sees more URLs for a host in a round than that host's budget
+    (tested in tests/test_transport.py) — and must return a
+    ``FETCH_COLS``-shaped DataFrame (url, depth, warc_ts, lang, html)
+    with at most one row per input url (unfetchable urls are simply
+    absent, exactly like a page store miss).
+
+    The default ``PageStoreTransport`` joins against the offline page
+    store (the sandbox's fetch universe — no network here by design).
+    Deploying the crawl against a live frontier means implementing
+    this one method with an HTTP client (e.g. an async-HTTP pool
+    inside mapInPandas batches) — no round/commit/dedup logic changes;
+    tests run the whole equivalence suite under a fake HTTP transport
+    to prove the seam carries everything the loop needs."""
+
+    def fetch(self, sched: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+
+class PageStoreTransport(Transport):
+    """Offline fetch from the page store: broadcast the scheduled
+    slice into the store scan (html must NEVER shuffle), or
+    bucket-pruned when a bucketed store exists (plans/pagestore.py —
+    the 10^10-page path: file-listing-level pruning to the buckets the
+    round actually touches)."""
+
+    def __init__(self, pages: DataFrame,
+                 pages_bucketed: DataFrame | None = None,
+                 pages_n_buckets: int = 0):
+        self.pages = pages
+        self.pages_bucketed = pages_bucketed
+        self.pages_n_buckets = pages_n_buckets
+
+    def fetch(self, sched: DataFrame) -> DataFrame:
+        if self.pages_bucketed is not None:
+            return fetch_bucket_pruned(
+                sched, self.pages_bucketed, self.pages_n_buckets,
+                FETCH_COLS)
+        return (F.broadcast(sched)
+                .join(self.pages, "url", "inner")
+                .select(*FETCH_COLS))
+
+
 class SeenView:
     """The URL-seen set DERIVED from the scheduled table: a url is
     scheduled at most once ever (frontier dedup + tombstones), so
@@ -146,6 +199,9 @@ class CrawlContext:
     # scanning the whole store - the 10^10-page fetch path
     pages_bucketed: DataFrame | None = None
     pages_n_buckets: int = 0
+    # the fetch seam (class Transport above): defaults to the page
+    # store; swap in an HTTP transport to deploy against a live web
+    transport: Transport | None = None
     # two-phase visit-sequencing kicks in above this many scheduled rows
     # per round (below it, a single-window seq is one cheap exchange)
     seq_rows_per_task: int = 500_000
@@ -185,7 +241,8 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
                gc_keep: int | None = None,
                lineage_gauges: bool = True,
                budget_scale: int = 1,
-               membership_join: str = "auto") -> CrawlContext:
+               membership_join: str = "auto",
+               transport: Transport | None = None) -> CrawlContext:
     web = Path(web_dir)
     state = Path(state_dir)
     state.mkdir(parents=True, exist_ok=True)
@@ -245,6 +302,9 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
         n_salts=n_salts,
         pages_bucketed=pages_bucketed,
         pages_n_buckets=pages_n_buckets,
+        transport=(transport if transport is not None else
+                   PageStoreTransport(pages, pages_bucketed,
+                                      pages_n_buckets)),
         use_bloom=use_bloom,
         bloom_m_bits=bloom_m_bits,
         bloom_k=bloom_k,
@@ -503,26 +563,16 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
     # it now so its job latency hides under the extraction pass below
     f_sched = commit_pool.submit(_commit_scheduled)
 
-    # fetch + extract + link discovery (ops 11/42/43/46): join the
-    # scheduled slice against the page store, then ONE mapInArrow pass
-    # produces text and raw links together — html enters exactly one
-    # python stage per round and is dropped on the way out.
-    # broadcast the scheduled slice: the page store must NEVER shuffle
-    # (html would ride the wire); without the hint Catalyst sometimes
-    # picks SMJ because post-window size estimates are unknown. With a
-    # bucketed store, additionally prune to the buckets this round
-    # actually touches (file-listing-level pruning).
-    fetch_cols = ["url", "depth", "warc_ts", "lang", "html"]
-    if ctx.pages_bucketed is not None:
-        fetched = fetch_bucket_pruned(
-            sched.select(F.col("url"), F.col("depth")),
-            ctx.pages_bucketed, ctx.pages_n_buckets, fetch_cols)
-    else:
-        fetched = (
-            F.broadcast(sched.select(F.col("url"), F.col("depth")))
-            .join(ctx.pages, "url", "inner")
-            .select(*fetch_cols)
-        )
+    # fetch + extract + link discovery (ops 11/42/43/46): the transport
+    # seam turns the scheduled slice into pages (default: page-store
+    # join, broadcast or bucket-pruned — html must NEVER shuffle; an
+    # HTTP transport swaps in here for live deployment), then ONE
+    # mapInArrow pass produces text and raw links together — html
+    # enters exactly one python stage per round and is dropped on the
+    # way out. The one call per politeness round IS the politeness
+    # contract: sched is already budget-capped per host.
+    fetched = ctx.transport.fetch(sched.select(F.col("url"),
+                                               F.col("depth")))
     enriched = _persist(extract_enrich_arrow(fetched))
     # The cache must materialize at full parallelism BEFORE the
     # extracted write: that write coalesces to few files, and
@@ -839,7 +889,8 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
               budget_scale: int = 1,
               membership_join: str = "auto",
               pipeline_rounds: bool = True,
-              verify_state: bool = True) -> dict:
+              verify_state: bool = True,
+              transport: Transport | None = None) -> dict:
     """Drive rounds to quiescence (or max_rounds). Resumable: picks up
     from the last committed checkpoint when ``resume`` and one exists.
 
@@ -865,7 +916,8 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
                      use_bloom=use_bloom, gc_keep=gc_keep,
                      lineage_gauges=lineage_gauges,
                      budget_scale=budget_scale,
-                     membership_join=membership_join)
+                     membership_join=membership_join,
+                     transport=transport)
     ctx.pipeline_rounds = pipeline_rounds
     cp = ctx.checkpoint.load() if resume else None
     if cp is None:

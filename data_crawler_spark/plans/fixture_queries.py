@@ -300,19 +300,42 @@ def q23(spark, sf):
                     F.col("o_orderdate").cast("string").alias("latest_date")))
 
 
-@q("q24_ranking_fns", sql="""
-    SELECT s_suppkey,
-           RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
-           DENSE_RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS drnk,
-           NTILE(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
-    FROM supplier
+@q("q24_27_rank_topk", sql="""
+    SELECT 'rank' AS op_kind, s_suppkey AS key,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           CAST(NULL AS DOUBLE) AS val
+    FROM supplier WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    UNION ALL
+    SELECT 'topk' AS op_kind, o_orderkey AS key,
+           CAST(NULL AS BIGINT) AS rnk, CAST(NULL AS BIGINT) AS drnk,
+           CAST(NULL AS BIGINT) AS quartile, o_totalprice AS val
+    FROM (SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
 """)
-def q24(spark, sf):
+def q24_27(spark, sf):
+    """ops 24+27 in one entry (registry capped at 50 rows; merged in
+    round 5 to free a slot for the race-event entry), tagged by
+    op_kind so the ranking functions AND the global top-k both stay
+    hash-verified."""
     w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
-    return (load(spark, sf, "supplier")
-            .select("s_suppkey", F.rank().over(w).alias("rnk"),
-                    F.dense_rank().over(w).alias("drnk"),
-                    F.ntile(4).over(w).alias("quartile")))
+    rank = (load(spark, sf, "supplier")
+            .select(F.lit("rank").alias("op_kind"),
+                    F.col("s_suppkey").cast("long").alias("key"),
+                    F.rank().over(w).cast("long").alias("rnk"),
+                    F.dense_rank().over(w).cast("long").alias("drnk"),
+                    F.ntile(4).over(w).cast("long").alias("quartile"),
+                    F.lit(None).cast("double").alias("val")))
+    topk = (load(spark, sf, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10)
+            .select(F.lit("topk").alias("op_kind"),
+                    F.col("o_orderkey").cast("long").alias("key"),
+                    F.lit(None).cast("long").alias("rnk"),
+                    F.lit(None).cast("long").alias("drnk"),
+                    F.lit(None).cast("long").alias("quartile"),
+                    F.col("o_totalprice").alias("val")))
+    return rank.unionByName(topk)
 
 
 @q("q25_lag_running_sum", sql="""
@@ -331,16 +354,6 @@ def q25(spark, sf):
 
 
 # --- 2.6/2.7 sorts, limits, set ops ---------------------------------------
-
-@q("q27_global_topk", sql="""
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-""")
-def q27(spark, sf):
-    return (load(spark, sf, "orders")
-            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-            .select("o_orderkey", "o_totalprice").limit(10))
-
 
 @q("q28_29_set_ops", sql="""
     SELECT 'union' AS op_kind, name AS key, val FROM (
@@ -379,56 +392,69 @@ def q28_29(spark, sf):
 
 # --- 2.8 scalar functions --------------------------------------------------
 
-@q("q20_30_hash_approx")  # rows-only: xxhash64 absent from DuckDB (bit-
-# exactness pytest-pinned) and approx_count_distinct approximate by design
-def q20_30(spark, sf):
-    """ops 20+30 in one entry (driver caps at 50 correctness rows):
-    per-doc xxhash64 content hash joined with the HLL approximate
-    distinct-customer count over orders."""
-    hashed = (load(spark, sf, "documents")
-              .select("doc_id", F.xxhash64("text").alias("text_hash")))
-    approx = (load(spark, sf, "orders")
-              .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_cust")))
-    return hashed.crossJoin(F.broadcast(approx))
+# (ops 20+30 moved into the merged dd03_04_sketches entry below —
+# round-5 registry rotation freeing slots for hash-verified entries)
 
 
-@q("q32_string_fns", sql="""
-    SELECT doc_id, UPPER(lang) AS lang_u, SUBSTRING(text, 1, 20) AS head,
-           LENGTH(text) AS n_chars2,
-           LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS n_tokens
+@q("q32_33_34_scalar_fns", sql="""
+    SELECT 'string' AS op_kind, CAST(doc_id AS VARCHAR) AS key,
+           UPPER(lang) AS s1, SUBSTRING(text, 1, 20) AS s2,
+           LENGTH(text) AS i1,
+           LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS i2,
+           CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2,
+           CAST(NULL AS DOUBLE) AS d3
     FROM documents
+    UNION ALL
+    SELECT 'date', strftime(date_trunc('day', ts), '%Y-%m-%d'),
+           NULL, NULL, COUNT(*), NULL,
+           ROUND(SUM(value), 2), NULL, NULL
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'math', l_returnflag, NULL, NULL, NULL, NULL,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2),
+           ROUND(AVG(SQRT(l_quantity)), 4),
+           ROUND(AVG(LN(l_extendedprice)), 4)
+    FROM lineitem GROUP BY 2
 """)
-def q32(spark, sf):
-    return (load(spark, sf, "documents")
-            .select("doc_id", F.upper("lang").alias("lang_u"),
-                    F.substring("text", 1, 20).alias("head"),
-                    F.length("text").alias("n_chars2"),
-                    F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("n_tokens")))
-
-
-@q("q33_date_fns", sql="""
-    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
-    FROM events GROUP BY 1
-""")
-def q33(spark, sf):
-    return (load(spark, sf, "events")
-            .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
-            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")))
-
-
-@q("q34_math_fns", sql="""
-    SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(SQRT(l_quantity)), 4) AS avg_sqrt_qty,
-           ROUND(AVG(LN(l_extendedprice)), 4) AS avg_ln_price
-    FROM lineitem GROUP BY l_returnflag
-""")
-def q34(spark, sf):
-    return (load(spark, sf, "lineitem").groupBy("l_returnflag")
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-                 F.round(F.avg(F.sqrt("l_quantity")), 4).alias("avg_sqrt_qty"),
-                 F.round(F.avg(F.log("l_extendedprice")), 4).alias("avg_ln_price")))
+def q32_33_34(spark, sf):
+    """ops 32+33+34 in one entry (registry capped at 50 rows; merged in
+    round 5 to free slots for the gopher/c4 and paragraph-dedup
+    entries), tagged by op_kind — string, date/time, and math scalar
+    functions all stay hash-verified in one tagged union."""
+    nulls = lambda *ts: [F.lit(None).cast(t).alias(a)  # noqa: E731
+                         for t, a in ts]
+    s = (load(spark, sf, "documents")
+         .select(F.lit("string").alias("op_kind"),
+                 F.col("doc_id").cast("string").alias("key"),
+                 F.upper("lang").alias("s1"),
+                 F.substring("text", 1, 20).alias("s2"),
+                 F.length("text").cast("long").alias("i1"),
+                 F.size(F.regexp_extract_all(
+                     F.lower("text"), F.lit("[a-z0-9]+"), 0))
+                 .cast("long").alias("i2"),
+                 *nulls(("double", "d1"), ("double", "d2"),
+                        ("double", "d3"))))
+    d = (load(spark, sf, "events")
+         .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("key"))
+         .agg(F.count("*").alias("i1"),
+              F.round(F.sum("value"), 2).alias("d1"))
+         .select(F.lit("date").alias("op_kind"), "key",
+                 *nulls(("string", "s1"), ("string", "s2")),
+                 "i1", *nulls(("long", "i2")), "d1",
+                 *nulls(("double", "d2"), ("double", "d3"))))
+    m = (load(spark, sf, "lineitem").groupBy(
+            F.col("l_returnflag").alias("key"))
+         .agg(F.round(F.sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * (1 + F.col("l_tax"))), 2).alias("d1"),
+              F.round(F.avg(F.sqrt("l_quantity")), 4).alias("d2"),
+              F.round(F.avg(F.log("l_extendedprice")), 4).alias("d3"))
+         .select(F.lit("math").alias("op_kind"), "key",
+                 *nulls(("string", "s1"), ("string", "s2"),
+                        ("long", "i1"), ("long", "i2")),
+                 "d1", "d2", "d3"))
+    return s.unionByName(d).unionByName(m)
 
 
 @q("q35_array_fns", sql="""
@@ -658,14 +684,41 @@ def dd07(spark, sf):
                                        n=8, min_docs=2)
 
 
-@q("dd03_minhash_lsh")  # rows-only: recall/precision property-tested in pytest
-def dd03(spark, sf):
-    return dedup.minhash_near_dups(load(spark, sf, "documents"), threshold=0.7)
-
-
-@q("dd04_simhash")  # rows-only: hamming/blocking properties pytest-tested
-def dd04(spark, sf):
-    return dedup.simhash_near_dups(load(spark, sf, "documents"), max_hamming=8)
+@q("dd03_04_sketches")  # rows-only BY DESIGN: the whole hash/sketch
+# family (xxhash64, HLL approx-distinct, MinHash+LSH, SimHash) is
+# uncomputable in DuckDB SQL — each section's value-level verification
+# lives in pytest (pinned xxhash64 vectors; DuckDB full-pairs exact
+# jaccard oracle for the LSH output; pigeonhole-exact hamming oracle)
+def dd03_04(spark, sf):
+    """ops 20+30+dd03+dd04 in one entry (registry capped at 50 rows;
+    merged in round 5 — four rows-only sketch ops share one slot so
+    the freed slots carry hash-verified entries): tagged union of
+    - 'hash': per-doc xxhash64 content hash (op 30),
+    - 'approx': the HLL approximate distinct-customer count (op 20),
+    - 'minhash': MinHash+LSH near-dup pairs with exact verified
+      jaccard (dd03),
+    - 'simhash': SimHash hamming<=8 near-dup pairs (dd04)."""
+    docs = load(spark, sf, "documents")
+    hashed = docs.select(
+        F.lit("hash").alias("op_kind"), F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.xxhash64("text").alias("h"), F.lit(None).cast("double").alias("v"))
+    approx = (load(spark, sf, "orders")
+              .agg(F.approx_count_distinct("o_custkey", 0.02).alias("a"))
+              .select(F.lit("approx").alias("op_kind"),
+                      F.lit(None).cast("long").alias("id_a"),
+                      F.lit(None).cast("long").alias("id_b"),
+                      F.col("a").cast("long").alias("h"),
+                      F.lit(None).cast("double").alias("v")))
+    mh = (dedup.minhash_near_dups(docs, threshold=0.7)
+          .select(F.lit("minhash").alias("op_kind"), "id_a", "id_b",
+                  F.lit(None).cast("long").alias("h"),
+                  F.col("jaccard").alias("v")))
+    sh = (dedup.simhash_near_dups(docs, max_hamming=8)
+          .select(F.lit("simhash").alias("op_kind"), "id_a", "id_b",
+                  F.col("hamming").cast("long").alias("h"),
+                  F.lit(None).cast("double").alias("v")))
+    return hashed.unionByName(approx).unionByName(mh).unionByName(sh)
 
 
 @q("dd05_embedding_neardup", sql="""
@@ -979,6 +1032,321 @@ def mm01_02(spark, sf):
                       *[F.lit(None).cast("double").alias(f"f{i}") for i in range(8)],
                       "frame_idx"))
     return feats.unionByName(frames)
+
+
+# --- round-5 rotation: race events, gopher/c4, paragraph dedup, shard
+# packing, meta mining — all with full SQL oracles (hash-verified).
+# Inputs are synthesized DETERMINISTICALLY from the fixture tables on
+# BOTH sides (the engine parses real HTML/text built from the columns;
+# the oracle computes the expected values from the columns directly),
+# so the hash match verifies the extraction end-to-end.
+
+
+@q("ev01_race_events", sql="""
+    SELECT 'https://ev' || c_custkey || '.race.test/e' AS url,
+           'Race ' || c_custkey AS event_name,
+           CASE WHEN c_custkey % 7 <> 0 THEN
+             '2026-' || lpad(CAST((c_custkey % 12) + 1 AS VARCHAR), 2, '0')
+             || '-' || lpad(CAST((c_custkey % 27) + 1 AS VARCHAR), 2, '0')
+           END AS start_date,
+           CASE WHEN c_custkey % 5 <> 0
+                THEN 'City ' || (c_custkey % 7) END AS location_name,
+           CASE c_custkey % 4
+             WHEN 0 THEN CAST((c_custkey % 50) || '.' || (c_custkey % 10)
+                             AS DOUBLE)
+             WHEN 1 THEN CAST(c_custkey % 20 AS DOUBLE)
+             WHEN 2 THEN ROUND((c_custkey % 30) * 1.609344, 3)
+             ELSE CAST(c_custkey % 25 AS DOUBLE) END AS distance_km,
+           CASE WHEN c_custkey % 5 <> 4
+                THEN CAST(c_custkey % 4 + 1 AS BIGINT) END AS n_finishers,
+           CASE WHEN c_custkey % 5 <> 4
+                THEN 'Runner ' || c_custkey || '-1' END AS winner,
+           CASE WHEN c_custkey % 5 <> 4
+                THEN CAST(7200 + (c_custkey % 1800) + 13 AS BIGINT)
+           END AS winner_time_s
+    FROM customer WHERE c_custkey % 10 <> 9
+""")
+def ev01(spark, sf):
+    """Race-event structured extraction — the reference's actual
+    payload (/root/reference/README.md:2, BASELINE.json:6 'per-page
+    requests+LLM structuring' replaced by typed JSON-LD mining +
+    results-table parsing, operators/structured.py). Event pages are
+    synthesized from the customer table: schema.org SportsEvent
+    JSON-LD (three wrapper variants: bare object / leading
+    Organization in an array / @graph envelope; startDate and location
+    conditionally omitted; four distance formats) plus an HTML results
+    table (1-4 finishers, H:MM:SS times). The engine parses the HTML;
+    the oracle computes the expected record from the generating
+    columns — a hash match proves the full parse chain."""
+    c = load(spark, sf, "customer")
+    k = F.col("c_custkey")
+    s = lambda col: col.cast("string")  # noqa: E731
+    pad2 = lambda col: F.lpad(s(col), 2, "0")  # noqa: E731
+    date = F.concat(F.lit("2026-"), pad2((k % 12) + 1), F.lit("-"),
+                    pad2((k % 27) + 1))
+    dist = (F.when(k % 4 == 0, F.concat(s(k % 50), F.lit("."), s(k % 10),
+                                        F.lit(" km")))
+            .when(k % 4 == 1, F.concat(s(k % 20), F.lit("K")))
+            .when(k % 4 == 2, F.concat(s(k % 30), F.lit(" mi")))
+            .otherwise(s(k % 25)))
+    ev_json = F.concat(
+        F.lit('{"@type":"SportsEvent","name":"Race '), s(k), F.lit('"'),
+        F.when(k % 7 != 0,
+               F.concat(F.lit(',"startDate":"'), date, F.lit('"')))
+        .otherwise(F.lit("")),
+        F.when(k % 5 != 0,
+               F.concat(F.lit(',"location":{"@type":"Place","name":'
+                              '"City '), s(k % 7), F.lit('"}')))
+        .otherwise(F.lit("")),
+        F.lit(',"distance":"'), dist, F.lit('"}'))
+    block = (F.when(k % 3 == 0,
+                    F.concat(F.lit('[{"@type":"Organization",'
+                                   '"name":"Org"},'), ev_json, F.lit("]")))
+             .when(k % 3 == 1,
+                   F.concat(F.lit('{"@graph":['), ev_json, F.lit("]}")))
+             .otherwise(ev_json))
+    base = F.lit(7200) + (k % 1800)
+
+    def fmt_time(secs):
+        return F.concat(s(F.floor(secs / 3600)), F.lit(":"),
+                        pad2(F.floor((secs % 3600) / 60)), F.lit(":"),
+                        pad2(secs % 60))
+
+    finisher_rows = F.transform(
+        F.sequence(F.lit(1), (k % 4 + 1).cast("int")),
+        lambda p: F.concat(
+            F.lit("<tr><td>"), s(p), F.lit("</td><td>"), s(p + 100),
+            F.lit("</td><td>Runner "), s(k), F.lit("-"), s(p),
+            F.lit("</td><td>"), fmt_time(base + p * 13),
+            F.lit("</td></tr>")))
+    table = (F.when(k % 5 != 4, F.concat(
+        F.lit('<table class="results"><tr><th>Place</th><th>Bib</th>'
+              "<th>Name</th><th>Time</th></tr>"),
+        F.array_join(finisher_rows, ""), F.lit("</table>")))
+        .otherwise(F.lit("")))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(k % 10 != 9,
+               F.concat(F.lit('<script type="application/ld+json">'),
+                        block, F.lit("</script>"))).otherwise(F.lit("")),
+        F.lit("</head><body>"), table, F.lit("</body></html>"))
+    pages = c.select(
+        F.concat(F.lit("https://ev"), s(k), F.lit(".race.test/e"))
+        .alias("url"), html.alias("html"))
+    from data_crawler_spark.operators.structured import race_event_records
+    return race_event_records(pages)
+
+
+@q("txt06_07_gopher_c4", sql="""
+    WITH d AS (
+      SELECT doc_id,
+             text || chr(10) || '- bullet item one two three four.'
+               || chr(10) || 'Tiny line' || chr(10)
+               || 'This sentence ends with terminal punctuation, does it not?'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'The ellipsis trailer goes on ...'
+                       ELSE '' END AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, t, regexp_extract_all(t, '\\S+') AS ws,
+             list_filter(list_transform(string_split(t, chr(10)),
+                                        x -> trim(x)),
+                         x -> x <> '') AS lines,
+             list_filter(list_transform(string_split(t, chr(10)),
+                                        x -> trim(x)),
+                         x -> regexp_matches(x, '[.!?"]$')
+                              AND LEN(regexp_extract_all(x, '\\S+')) >= 5
+                              AND NOT contains(lower(x), 'javascript'))
+               AS c4_lines
+      FROM d),
+    m AS (
+      SELECT doc_id, t, ws, lines, c4_lines,
+             LEN(ws) AS n_words,
+             list_sum(list_transform(ws, x -> LENGTH(x)))
+               / CAST(LEN(ws) AS DOUBLE) AS mean_wl,
+             LEN(regexp_extract_all(t, '#|\\.\\.\\.|…'))
+               / CAST(LEN(ws) AS DOUBLE) AS sym,
+             LEN(list_filter(lines, x -> starts_with(x, '•')
+                 OR starts_with(x, '- ') OR starts_with(x, '* ')))
+               / CAST(LEN(lines) AS DOUBLE) AS bullet,
+             LEN(list_filter(lines, x -> suffix(x, '...')
+                 OR suffix(x, '…'))) / CAST(LEN(lines) AS DOUBLE) AS ell,
+             LEN(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+               / CAST(LEN(ws) AS DOUBLE) AS alpha,
+             (CASE WHEN regexp_matches(lower(t), '(^|\\s)the(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\\s)be(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\\s)to(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\\s)of(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\\s)and(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\\s)that(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\\s)have(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\\s)with(\\s|$)') THEN 1 ELSE 0 END
+             ) AS stop_hits,
+             array_to_string(c4_lines, chr(10)) AS c4_text
+      FROM w)
+    SELECT doc_id, n_words,
+           ROUND(mean_wl, 4) AS mean_word_len,
+           ROUND(sym, 4) AS symbol_ratio,
+           ROUND(bullet, 4) AS bullet_line_frac,
+           ROUND(ell, 4) AS ellipsis_line_frac,
+           ROUND(alpha, 4) AS alpha_word_frac,
+           CAST(stop_hits AS BIGINT) AS n_stop_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_wl >= 3.0 AND mean_wl <= 10.0 AND sym <= 0.1
+            AND bullet <= 0.9 AND ell <= 0.3 AND alpha >= 0.8
+            AND stop_hits >= 2) AS gopher_keep,
+           c4_text,
+           CAST(LEN(c4_lines) AS BIGINT) AS c4_n_lines_kept,
+           CAST(LEN(regexp_extract_all(c4_text, '[.!?]')) AS BIGINT)
+             AS c4_n_sentences,
+           (LEN(regexp_extract_all(c4_text, '[.!?]')) >= 3
+            AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(t, '{')) AS c4_keep
+    FROM m
+""")
+def txt06_07(spark, sf):
+    """ops txt06+txt07 in one entry: the Gopher (Rae et al. 2021) and
+    C4 (Raffel et al. 2020) rule families — round 4's flagship quality
+    gates, promoted from pytest-tier to full driver hash verification
+    (round-4 verdict item 5). Multi-line text with bullet/ellipsis/
+    sentence structure is synthesized deterministically from the
+    fixture documents (the raw fixture text is single-line word
+    salad); every emitted metric, both keep conjunctions, and the
+    line-cleaned c4_text are value-checked against independent SQL."""
+    from data_crawler_spark.operators.text import c4_rules, gopher_rules
+    d = load(spark, sf, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit("\n- bullet item one two three four.\nTiny line\n"
+              "This sentence ends with terminal punctuation, "
+              "does it not?"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\nThe ellipsis trailer goes on ..."))
+        .otherwise(F.lit("")))
+    base = d.select("doc_id", t2.alias("text"))
+    g = gopher_rules(base).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        F.col("n_stop_hits").cast("long").alias("n_stop_hits"),
+        "gopher_keep")
+    c = c4_rules(base).select(
+        "doc_id", "c4_text",
+        F.col("c4_n_lines_kept").cast("long").alias("c4_n_lines_kept"),
+        F.col("c4_n_sentences").cast("long").alias("c4_n_sentences"),
+        "c4_keep")
+    return g.join(c, "doc_id")
+
+
+@q("dd08_paragraph_dedup", sql="""
+    WITH d AS (
+      SELECT doc_id,
+             'Shared cookie banner paragraph.' || chr(10) || text
+               || chr(10) || 'Shared footer ' || (doc_id % 3) AS t
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(string_split(t, chr(10))) AS para,
+             unnest(range(1, LEN(string_split(t, chr(10))) + 1)) AS pos
+      FROM d),
+    occ AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY trim(para)) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY trim(para)
+                                ORDER BY doc_id, pos) AS rn
+      FROM p WHERE trim(para) <> ''),
+    drops AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1)
+    SELECT p.doc_id,
+           string_agg(p.para, chr(10) ORDER BY p.pos)
+             FILTER (WHERE dr.pos IS NULL) AS text_out,
+           COUNT(*) FILTER (WHERE trim(p.para) <> '') AS paras_total,
+           COUNT(dr.pos) AS paras_removed
+    FROM p LEFT JOIN drops dr
+      ON p.doc_id = dr.doc_id AND p.pos = dr.pos
+    GROUP BY p.doc_id
+""")
+def dd08(spark, sf):
+    """CCNet corpus-wide paragraph dedup (Wenzek et al. 2020;
+    dedup.paragraph_dedup), promoted from pytest-tier to full driver
+    hash verification (round-4 verdict item 5). Three-paragraph docs
+    are synthesized so a corpus-wide banner paragraph, per-group
+    footers, and any naturally-duplicated fixture texts all dedup to
+    their first (doc_id, pos) occurrence; the rebuilt text and both
+    counters are value-checked against an independent SQL
+    first-occurrence window."""
+    d = load(spark, sf, "documents")
+    t3 = F.concat(F.lit("Shared cookie banner paragraph.\n"),
+                  F.col("text"), F.lit("\nShared footer "),
+                  (F.col("doc_id") % 3).cast("string"))
+    out = dedup.paragraph_dedup(d.select("doc_id", t3.alias("text")))
+    return out.select("doc_id", F.col("text").alias("text_out"),
+                      F.col("paras_total").cast("long").alias("paras_total"),
+                      F.col("paras_removed").cast("long")
+                      .alias("paras_removed"))
+
+
+@q("shard01_token_shards", sql="""
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // 1000 AS shard_id
+    FROM (SELECT doc_id,
+                 LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+'))
+                   AS n_tokens
+          FROM documents)
+""")
+def shard01(spark, sf):
+    """Token-budget shard packing (text.shard_by_token_budget) through
+    the TWO-PHASE distributed prefix-sum path (num_partitions=4 — no
+    single task ever holds the corpus order; operators/prefix.py) vs
+    the oracle's single window cumsum: the offset-binning rule is
+    partitioning-invariant, so the hash match proves the distributed
+    prefix sum exactly."""
+    from data_crawler_spark.operators.text import (shard_by_token_budget,
+                                                   token_count_col)
+    d = (load(spark, sf, "documents")
+         .select("doc_id",
+                 token_count_col(F.col("text")).cast("long")
+                 .alias("n_tokens")))
+    rel: list = []
+    out = shard_by_token_budget(d, budget=1000, num_partitions=4,
+                                release_into=rel)
+    out = out.select("doc_id", "n_tokens", "shard_id").localCheckpoint()
+    for c in rel:
+        c.unpersist()
+    return out
+
+
+@q("st01_page_meta", sql="""
+    SELECT 'https://d' || doc_id || '.test/' AS url,
+           'og:title' AS key, 'Doc ' || doc_id AS value
+    FROM documents
+    UNION ALL
+    SELECT 'https://d' || doc_id || '.test/', 'og:locale', lang
+    FROM documents
+    UNION ALL
+    SELECT 'https://d' || doc_id || '.test/', 'description',
+           SUBSTRING(text, 1, 24)
+    FROM documents
+""")
+def st01(spark, sf):
+    """Structured meta-tag mining (structured.page_meta): og/meta tags
+    with both attribute orders are synthesized from the document
+    columns; the engine regex-parses them back out of the HTML and the
+    oracle emits the generating values directly — the hash match
+    proves the attribute-order-free tag grammar."""
+    from data_crawler_spark.operators.structured import page_meta
+    d = load(spark, sf, "documents")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><meta property="og:title" content="Doc '), i,
+        F.lit('"><meta content="'), F.col("lang"),
+        F.lit('" name="og:locale"><meta name="description" content="'),
+        F.substring("text", 1, 24),
+        F.lit('"></head><body></body></html>'))
+    pages = d.select(
+        F.concat(F.lit("https://d"), i, F.lit(".test/")).alias("url"),
+        html.alias("html"))
+    return page_meta(pages)
 
 
 # --- registry order -------------------------------------------------------

@@ -234,7 +234,8 @@ def fsck_state(state_dir: str | os.PathLike) -> dict:
 
 
 def repair_state(state_dir: str | os.PathLike,
-                 min_age_s: float = 3600.0) -> dict:
+                 min_age_s: float = 3600.0,
+                 dry_run: bool = False) -> dict:
     """Reclaim the two warning classes that are pure garbage: data
     dirs referenced by NO manifest version (staged by a crashed write)
     and stale ``*.tmp`` files. Never touches anything a manifest or
@@ -245,8 +246,15 @@ def repair_state(state_dir: str | os.PathLike,
     stage of an in-flight writer, so it is skipped (pass 0 to reclaim
     everything, e.g. in tests or when the writer is known dead).
 
+    ``dry_run=True`` walks the same decision tree but DELETES NOTHING:
+    the returned ``would_repair`` lists exactly the paths (with byte
+    sizes) a real repair would reclaim — operators preview before
+    pointing a destructive command at a multi-week crawl state.
+
     Returns ``{repaired: [...], skipped_young: [...], report: fsck}``
-    where ``report`` is the post-repair fsck_state output."""
+    (real run) or ``{dry_run: True, would_repair: [{path, bytes}...],
+    skipped_young: [...], report: fsck}`` — ``report`` is the
+    post-repair (or unchanged, for dry-run) fsck_state output."""
     import shutil
     import time
 
@@ -255,13 +263,22 @@ def repair_state(state_dir: str | os.PathLike,
     if not pre["ok"]:
         raise ValueError(
             f"refusing to repair a state with errors: {pre['errors']}")
-    repaired, young = [], []
+
+    def _tree_bytes(p: Path) -> int:
+        if p.is_file():
+            return p.stat().st_size
+        return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+
+    repaired, young, would = [], [], []
     now = time.time()
     for t, rep in pre["tables"].items():
         for name in rep["orphan_dirs"]:
             d = root / t / name
             if now - d.stat().st_mtime < min_age_s:
                 young.append(str(d))
+                continue
+            if dry_run:
+                would.append({"path": str(d), "bytes": _tree_bytes(d)})
                 continue
             shutil.rmtree(d)
             repaired.append(str(d))
@@ -274,8 +291,16 @@ def repair_state(state_dir: str | os.PathLike,
                 if now - p.stat().st_mtime < min_age_s:
                     young.append(str(p))
                     continue
+                if dry_run:
+                    would.append({"path": str(p), "bytes": _tree_bytes(p)})
+                    continue
                 p.unlink()
                 repaired.append(str(p))
+    if dry_run:
+        return {"dry_run": True,
+                "would_repair": sorted(would, key=lambda x: x["path"]),
+                "reclaimable_bytes": sum(x["bytes"] for x in would),
+                "skipped_young": sorted(young), "report": pre}
     return {"repaired": sorted(repaired), "skipped_young": sorted(young),
             "report": fsck_state(root)}
 

@@ -321,18 +321,28 @@ _WARCINFO = warc_record_bytes(
 
 
 def _export_sink(src: DataFrame, out_dir: str | Path, base_ext: str,
-                 gzip_records: bool, make_record) -> DataFrame:
-    """Shared distributed record sink: each task writes ONE
-    ``part-<partition><ext>`` under ``out_dir`` and emits a manifest
-    row. ``make_record(row, rec_id) -> bytes`` is the per-row codec.
+                 gzip_records: bool, make_record,
+                 target_bytes: int | None = None) -> DataFrame:
+    """Shared distributed record sink: each task streams its rows
+    through the record codec into ``part-<partition>[-<seq>]<ext>``
+    files under ``out_dir`` and emits one manifest row per file.
+    ``make_record(row, rec_id) -> bytes`` is the per-row codec.
 
-    The export is embarrassingly parallel — no shuffle is added, each
-    partition streams its rows through the record codec and appends to
-    its own file, so output file count == partition count (callers
-    size files with ``repartition``/``coalesce``, the same lever as
-    parquet). ``out_dir`` must be a task-writable shared filesystem
-    (the standard contract for executor-written sinks). The returned
-    manifest is lazy; run an action to execute the export."""
+    The export is embarrassingly parallel — no shuffle is added.
+    Without ``target_bytes`` each partition writes ONE file (file
+    count == partition count; callers size files with ``repartition``/
+    ``coalesce``, the same lever as parquet). With ``target_bytes``
+    (the CC convention is ~1 GB parts) a task ROTATES to
+    ``part-<pid>-<seq>`` once the current file passes the target, so
+    file sizes stay near the target no matter how large a partition
+    is — the knob that matters when one export partition carries many
+    GB at 100 TB scale. Every file opens with its own warcinfo record
+    (each CC part file is independently readable) and memory stays
+    constant: rotation is a close-and-reopen on the byte counter,
+    never a buffer. ``out_dir`` must be a task-writable shared
+    filesystem (the standard contract for executor-written sinks).
+    The returned manifest is lazy; run an action to execute the
+    export."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     suffix = base_ext + (".gz" if gzip_records else "")
@@ -341,58 +351,84 @@ def _export_sink(src: DataFrame, out_dir: str | Path, base_ext: str,
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
-        fpath = out / f"part-{pid:05d}{suffix}"
-        n = 0
+        info = (gzip.compress(_WARCINFO, compresslevel=1, mtime=0)
+                if gzip_records else _WARCINFO)
 
         def encoded(row, rid: str) -> bytes:
             rec = make_record(row, rid)
             return (gzip.compress(rec, compresslevel=1, mtime=0)
                     if gzip_records else rec)
 
+        def path_for(seq: int) -> Path:
+            if target_bytes is None:
+                return out / f"part-{pid:05d}{suffix}"
+            return out / f"part-{pid:05d}-{seq:04d}{suffix}"
+
         # stream records straight to the open file — buffering a whole
         # partition's encoded records (plus a joined second copy) peaks
         # at >2x the output file size per task, a multi-GB OOM risk at
         # the ~1 GB-per-file CC sizing this sink documents
+        files: list[tuple[Path, int]] = []  # closed (path, n_records)
+        seq = n_total = n_file = 0
+        fpath = path_for(seq)
+        fh = open(fpath, "wb")
         try:
-            with open(fpath, "wb") as fh:
-                fh.write(gzip.compress(_WARCINFO, compresslevel=1,
-                                       mtime=0)
-                         if gzip_records else _WARCINFO)
-                for b in batches:
-                    pdf = b.to_pandas()
-                    for row in pdf.itertuples(index=False):
-                        fh.write(encoded(row, f"urn:uuid:rec-{pid}-{n}"))
-                        n += 1
+            fh.write(info)
+            for b in batches:
+                pdf = b.to_pandas()
+                for row in pdf.itertuples(index=False):
+                    if (target_bytes is not None
+                            and fh.tell() >= target_bytes and n_file):
+                        fh.close()
+                        files.append((fpath, n_file))
+                        seq += 1
+                        n_file = 0
+                        fpath = path_for(seq)
+                        fh = open(fpath, "wb")
+                        fh.write(info)
+                    fh.write(encoded(row, f"urn:uuid:rec-{pid}-{n_total}"))
+                    n_total += 1
+                    n_file += 1
+            fh.close()
+            files.append((fpath, n_file))
         except BaseException:
-            # a failed task must not leave a half-written part file a
+            # a failed task must not leave half-written part files a
             # reader could mistake for output ('wb' on retry would
             # overwrite, but only if the retry lands on this pid)
+            fh.close()
             fpath.unlink(missing_ok=True)
+            for p, _ in files:
+                p.unlink(missing_ok=True)
             raise
         yield pa.RecordBatch.from_pydict(
-            {"warc_file": [str(fpath)], "n_records": [n],
-             "n_bytes": [fpath.stat().st_size]})
+            {"warc_file": [str(p) for p, _ in files],
+             "n_records": [c for _, c in files],
+             "n_bytes": [p.stat().st_size for p, _ in files]})
 
     return src.mapInArrow(fn, mschema)
 
 
 def export_warc(pages: DataFrame, out_dir: str | Path,
-                gzip_records: bool = True) -> DataFrame:
+                gzip_records: bool = True,
+                target_bytes: int | None = None) -> DataFrame:
     """Distributed WARC sink over (url, warc_ts, html): one
     ``part-<partition>.warc[.gz]`` per task plus a lazy manifest row
-    ``(warc_file, n_records, n_bytes)`` — see ``_export_sink`` for the
-    scale contract. Roundtrip with ``read_warc`` is byte-identical per
+    ``(warc_file, n_records, n_bytes)`` per part — see ``_export_sink``
+    for the scale contract and the ``target_bytes`` (~1 GB CC parts)
+    rotation knob. Roundtrip with ``read_warc`` is byte-identical per
     page (tested)."""
     return _export_sink(
         pages.select("url", "warc_ts", "html"), out_dir, ".warc",
         gzip_records,
         lambda row, rid: _page_record_bytes(
-            row.url, row.warc_ts, row.html, rid))
+            row.url, row.warc_ts, row.html, rid),
+        target_bytes=target_bytes)
 
 
 def export_wet(pages: DataFrame, out_dir: str | Path,
                text_col: str = "text",
-               gzip_records: bool = True) -> DataFrame:
+               gzip_records: bool = True,
+               target_bytes: int | None = None) -> DataFrame:
     """Distributed WET sink: the Common-Crawl extracted-text layout —
     one ``conversion`` record per page (``Content-Type: text/plain``,
     UTF-8 payload) in ``part-<partition>.warc.wet[.gz]`` files, lazy
@@ -406,7 +442,8 @@ def export_wet(pages: DataFrame, out_dir: str | Path,
         pages.select("url", "warc_ts", text_col), out_dir, ".warc.wet",
         gzip_records,
         lambda row, rid: _text_record_bytes(
-            row.url, row.warc_ts, getattr(row, text_col), rid))
+            row.url, row.warc_ts, getattr(row, text_col), rid),
+        target_bytes=target_bytes)
 
 
 def wet_text(records: DataFrame) -> DataFrame:
@@ -520,7 +557,8 @@ def page_wat(pages: DataFrame, url_col: str = "url",
 
 def export_wat(wat: DataFrame, out_dir: str | Path,
                json_col: str = "wat_json",
-               gzip_records: bool = True) -> DataFrame:
+               gzip_records: bool = True,
+               target_bytes: int | None = None) -> DataFrame:
     """Distributed WAT sink: one WARC ``metadata`` record per page
     (``Content-Type: application/json``, the ``page_wat`` envelope as
     payload) in ``part-<partition>.warc.wat[.gz]`` files, lazy
@@ -531,7 +569,8 @@ def export_wat(wat: DataFrame, out_dir: str | Path,
         wat.select("url", "warc_ts", json_col), out_dir, ".warc.wat",
         gzip_records,
         lambda row, rid: _metadata_record_bytes(
-            row.url, row.warc_ts, getattr(row, json_col), rid))
+            row.url, row.warc_ts, getattr(row, json_col), rid),
+        target_bytes=target_bytes)
 
 
 def wat_entries(records: DataFrame) -> DataFrame:
@@ -599,7 +638,8 @@ def _revisit_record_bytes(url: str, ts, digest: str, ref_url: str,
 
 def export_warc_deduped(pages: DataFrame, prior_index: DataFrame,
                         out_dir: str | Path,
-                        gzip_records: bool = True) -> DataFrame:
+                        gzip_records: bool = True,
+                        target_bytes: int | None = None) -> DataFrame:
     """``export_warc`` with Heritrix-style payload dedup against a
     previous crawl: a page whose payload digest equals its url's entry
     in ``prior_index`` (``latest_capture_index`` of the prior crawl)
@@ -635,7 +675,8 @@ def export_warc_deduped(pages: DataFrame, prior_index: DataFrame,
                 rid)
         return _page_record_bytes(row.url, row.warc_ts, row.html, rid)
 
-    return _export_sink(src, out_dir, ".warc", gzip_records, make)
+    return _export_sink(src, out_dir, ".warc", gzip_records, make,
+                        target_bytes=target_bytes)
 
 
 def resolve_revisits(records: DataFrame, prior_pages: DataFrame,

@@ -135,6 +135,54 @@ def test_repair_reclaims_orphans_and_tmp_only(spark, web1k, tmp_path):
         repair_state(state, min_age_s=0.0)
 
 
+def test_repair_dry_run_previews_without_deleting(spark, web1k, tmp_path,
+                                                  capsys):
+    """--repair --dry-run lists exactly what a real repair would
+    reclaim (paths + bytes) and deletes NOTHING."""
+    import importlib.util
+    import json as _json
+    from pathlib import Path as _P
+
+    from data_crawler_spark.plans.fsck import repair_state
+
+    state = _crawl_state(spark, web1k, tmp_path)
+    (state / "extracted" / "d999999").mkdir()
+    (state / "extracted" / "d999999" / "junk.parquet").write_text("xyz")
+    (state / "frontier" / "manifest.json.tmp").write_text("{}")
+    before = {str(p) for p in state.rglob("*")}
+
+    res = repair_state(state, min_age_s=0.0, dry_run=True)
+    assert res["dry_run"] is True
+    paths = [w["path"] for w in res["would_repair"]]
+    assert any("d999999" in p for p in paths)
+    assert any("manifest.json.tmp" in p for p in paths)
+    assert res["reclaimable_bytes"] >= 3  # junk.parquet's 3 bytes
+    assert all(w["bytes"] >= 0 for w in res["would_repair"])
+    # nothing deleted
+    assert {str(p) for p in state.rglob("*")} == before
+
+    # the preview matches what the real repair then reclaims
+    real = repair_state(state, min_age_s=0.0)
+    assert sorted(real["repaired"]) == sorted(paths)
+
+    # CLI: --dry-run without --repair is a usage error; with it, JSON
+    spec = importlib.util.spec_from_file_location(
+        "fsck_cli", _P("tools/fsck_state.py"))
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    (state / "extracted" / "d777777").mkdir()
+    (state / "extracted" / "d777777" / "j.parquet").write_text("q")
+    rc = cli.main(["fsck_state.py", str(state), "--repair", "--dry-run",
+                   "--min-age-s", "0"])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["dry_run"] is True
+    assert any("d777777" in w["path"] for w in out["would_repair"])
+    assert (state / "extracted" / "d777777").is_dir()  # still there
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cli.main(["fsck_state.py", str(state), "--dry-run"])
+
+
 def test_fsck_index_search_and_ann(spark, tmp_path):
     import json as _json
 

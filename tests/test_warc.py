@@ -168,6 +168,54 @@ def test_export_warc_distributed_roundtrip(spark, tmp_path):
         assert got["warc_ts"][i] == exp["warc_ts"][i]
 
 
+def test_export_warc_size_rotation(spark, tmp_path):
+    """target_bytes rotates part files at the size target (the ~1 GB
+    CC convention, forced tiny here): every part lands near the
+    target, each is independently readable (own warcinfo), the
+    manifest carries exact per-part record and byte counts, and the
+    roundtrip stays byte-identical."""
+    rows = []
+    for i in range(40):
+        rows.append((f"https://h{i % 2}.test/p{i}.html",
+                     pd.Timestamp("2026-08-01 12:00:00"),
+                     (f"<html>{i:03d} ".encode() + b"x" * 3000
+                      + b"</html>")))
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+    pages = spark.createDataFrame(
+        pdf, "url string, warc_ts timestamp, html binary").repartition(2)
+    from data_crawler_spark.sources.warc import export_warc
+    target = 8_000
+    manifest = export_warc(pages, tmp_path / "out", gzip_records=False,
+                           target_bytes=target).collect()
+    # rotation happened: far more files than partitions
+    assert len(manifest) > 4
+    assert sum(r["n_records"] for r in manifest) == len(pdf)
+    for r in manifest:
+        p = tmp_path / "out" / r["warc_file"].split("/")[-1]
+        assert r["n_bytes"] == p.stat().st_size
+        assert r["n_records"] >= 1
+        # a part exceeds the target by at most one record (+warcinfo)
+        assert r["n_bytes"] < target + 5_000
+        # each part opens with its own warcinfo — independently readable
+        head = p.read_bytes()[:200]
+        assert b"warcinfo" in head
+    # rotated names are deterministic part-<pid>-<seq>
+    names = sorted(r["warc_file"].split("/")[-1] for r in manifest)
+    assert all(n.count("-") == 2 for n in names)
+    got = (warc_pages(read_warc(spark, str(tmp_path / "out")))
+           .orderBy("url").toPandas())
+    exp = pdf.sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(exp["url"])
+    for i in range(len(exp)):
+        assert bytes(got["html"][i]) == bytes(exp["html"][i])
+    # single-record-per-file degenerate target still works (and shows
+    # the bound: rotation happens AFTER at least one record per file)
+    m2 = export_warc(pages, tmp_path / "out2", gzip_records=False,
+                     target_bytes=1).collect()
+    assert all(r["n_records"] == 1 for r in m2)
+    assert sum(r["n_records"] for r in m2) == len(pdf)
+
+
 def test_export_warc_plan_no_shuffle(spark, tmp_path):
     """The sink adds no exchange beyond the caller's own layout."""
     from data_crawler_spark.sources.warc import export_warc
