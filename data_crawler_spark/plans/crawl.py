@@ -285,8 +285,17 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
             bloom_m_bits, bloom_k = int(row[0]["m_bits"]), int(row[0]["k"])
     # Σ listed host budgets: upper bound on a round's scheduled size
     # from hosts WITH a budget row (unlisted hosts fall back to
-    # DEFAULT_BUDGET and ride the last-round term of the estimate)
-    bound_row = hosts.agg(F.sum("budget_per_round")).collect()[0][0]
+    # DEFAULT_BUDGET and ride the last-round term of the estimate).
+    # Driver-side pyarrow sum: the hosts dimension is metadata-sized
+    # and this runs at every crawl open — a Spark agg job here is pure
+    # fixed latency (scaled by budget_scale to match the hosts frame
+    # Spark sees above).
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+    bound_row = (_pc.sum(_pq.read_table(
+        web / "hosts.parquet",
+        columns=["budget_per_round"]).column(0)).as_py() or 0) \
+        * budget_scale
     scheduled_table = SnapshotTable(spark, state, "scheduled", schemas.SCHEDULED)
     return CrawlContext(
         spark=spark, web_dir=web, state_dir=state,
@@ -400,14 +409,27 @@ def bootstrap(ctx: CrawlContext) -> None:
         .withColumn("discovered_round", F.lit(0))
         .withColumn("parent_url", F.lit(None).cast("string"))
     )
-    ctx.frontier.bootstrap(_frontier_cols(seeds))
+    rows = _frontier_cols(seeds)
     if ctx.use_bloom:
         # the discovered bloom must cover the seeds from round 0 — a
-        # later link back to a seed url has to probe as maybe-discovered
-        ctx.bloom.write(bloom_ops.build_bloom(
-            ctx.frontier.read().select("url_hash"),
-            n_buckets=ctx.bloom_buckets, m_bits=ctx.bloom_m_bits,
-            k=ctx.bloom_k))
+        # later link back to a seed url has to probe as maybe-discovered.
+        # Build it from the seed frame (the same rows the frontier base
+        # commits, by construction) CONCURRENTLY with the base write:
+        # the two jobs touch disjoint tables and the checkpoint below
+        # is the atomic commit point, so a crash between them replays
+        # bootstrap whole — ~1s of fixed job latency off every fresh
+        # crawl start.
+        with ThreadPoolExecutor(2) as ex:
+            f_base = ex.submit(ctx.frontier.bootstrap, rows)
+            f_bloom = ex.submit(
+                lambda: ctx.bloom.write(bloom_ops.build_bloom(
+                    rows.select("url_hash"),
+                    n_buckets=ctx.bloom_buckets, m_bits=ctx.bloom_m_bits,
+                    k=ctx.bloom_k)))
+            f_base.result()
+            f_bloom.result()
+    else:
+        ctx.frontier.bootstrap(rows)
     ctx.checkpoint.commit({
         "round": 0,
         "frontier_v": ctx.frontier.versions(),
@@ -505,8 +527,9 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
         ctx._planned_next = None
     else:
         _drop_planned(ctx)  # stale prefetch for another round, if any
-        base, sched, seq_parts, seq_rel = _plan_round(ctx,
-                                                      ctx.frontier.read())
+        with _stage("plan_round_build"):
+            base, sched, seq_parts, seq_rel = _plan_round(
+                ctx, ctx.frontier.read())
         try:
             with _stage("gate_schedule_seq"):
                 sched_hist = _sched_hist(sched)
@@ -789,9 +812,13 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
                 ("seen_size", ctx.seen.read().count()),
             ]
             rows += [(rnd, -1, m, int(v)) for m, v in gauges]
-        lin = ctx.spark.createDataFrame(rows, schemas.LINEAGE)
+        # driver-side pyarrow commit: the rows ARE driver-held (that is
+        # the point of folding lineage into the sched histogram), so a
+        # Spark job here would only add the python-RDD write's ~4s
+        # fixed latency — measured as the largest single component of
+        # measurement-sized rounds (round-4 'What's wrong' #2)
         with _stage("write_lineage"):
-            ctx.lineage.write(lin.coalesce(1), mode="append")
+            ctx.lineage.write_rows(rows, mode="append")
 
     # the commit groups touch disjoint tables and read only
     # round-cached data — submit them concurrently to overlap their
@@ -834,8 +861,9 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
     f_pre = (commit_pool.submit(_prefetch_next)
              if ctx.pipeline_rounds else None)
     try:
-        for f in (f_sched, f_ext, f_fb, f_lin):
-            f.result()
+        with _stage("commit_barrier"):
+            for f in (f_sched, f_ext, f_fb, f_lin):
+                f.result()
     except BaseException:
         # best-effort release of the prefetch's caches while the commit
         # failure propagates (the round will be replayed from the
@@ -921,7 +949,8 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
     ctx.pipeline_rounds = pipeline_rounds
     cp = ctx.checkpoint.load() if resume else None
     if cp is None:
-        bootstrap(ctx)
+        with _stage("bootstrap"):
+            bootstrap(ctx)
         start = 0
     else:
         # discard any table commits from a round whose crawl-level
@@ -943,10 +972,23 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
     # release its caches (quiescence exits never prefetch: a 0-sched
     # round returns before the commit stage)
     _drop_planned(ctx)
+    # seen set size == scheduled rows ever (each url schedules at most
+    # once) == the sum of the per-round lineage histograms — a
+    # driver-side pyarrow read of the metadata table instead of a full
+    # scheduled-table count job (which at the 10^10 design point scans
+    # the whole table at every run_crawl exit). Exactness is
+    # golden/equivalence-tested; the lineage table rolls back with the
+    # checkpoint, so resumed states stay consistent.
+    lin = ctx.lineage.read_rows()
+    import pyarrow.compute as pc
+    sched_rows = lin.filter(
+        pc.and_(pc.equal(lin.column("metric"), "scheduled"),
+                pc.greater_equal(lin.column("partition_id"), 0)))
+    seen_count = int(pc.sum(sched_rows.column("value")).as_py() or 0)
     return {
         "rounds_run": ctx.checkpoint.load()["round"],
         "scheduled_total": total,
-        "seen_count": ctx.seen.read().count(),
+        "seen_count": seen_count,
         "ctx": ctx,
     }
 

@@ -139,6 +139,80 @@ class SnapshotTable:
         self._commit(m)
         return new_v
 
+    def write_rows(self, rows: list[tuple], mode: str = "append") -> int:
+        """Commit DRIVER-HELD rows as a new snapshot version without a
+        Spark job: the rows are written with pyarrow straight into the
+        new data dir, then the manifest commits exactly like ``write``.
+
+        For metadata-sized tables (per-round lineage/metrics: O(tasks)
+        rows the driver already holds) this is the honest shape — an
+        Iceberg writer commits its metadata driver-side too. It also
+        sidesteps a measured PySpark overhead: writing a
+        local-list-backed DataFrame runs the Python-RDD scan inside
+        the write job (~4s fixed latency per call on this box, even
+        warm — the round-4 bench's 'manifest commit' latency was
+        mostly THIS), while the pyarrow write is sub-millisecond.
+        Types are mapped from the table schema (the subset metadata
+        tables use); reads via ``read()`` see one file exactly as if
+        Spark had written it."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {"integer": pa.int32(), "long": pa.int64(),
+               "string": pa.string(), "double": pa.float64(),
+               "boolean": pa.bool_(), "binary": pa.binary()}
+        fields = []
+        for f in self.schema.fields:
+            name = f.dataType.typeName()
+            if name not in _PA:
+                raise TypeError(
+                    f"write_rows supports flat metadata schemas only; "
+                    f"{self.name}.{f.name} is {name}")
+            fields.append(pa.field(f.name, _PA[name]))
+        schema = pa.schema(fields)
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        table = pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type)
+             for c, f in zip(cols, fields)], schema=schema)
+
+        m = self._manifest()
+        dname = f"d{m['next_dir']:06d}"
+        ddir = self.dir / dname
+        if ddir.exists():  # leftover from a crashed, uncommitted write
+            shutil.rmtree(ddir)
+        ddir.mkdir(parents=True)
+        pq.write_table(table, ddir / "part-00000.parquet")
+        new_v = m["current"] + 1
+        prev = self._dirs_for(m, m["current"]) if mode == "append" else []
+        m["versions"][str(new_v)] = prev + [dname]
+        m["current"] = new_v
+        m["next_dir"] += 1
+        self._commit(m)
+        return new_v
+
+    def read_rows(self, version: int | None = None):
+        """Driver-side read of a version via pyarrow (no Spark job) —
+        the read complement of ``write_rows`` for metadata-sized
+        tables. Returns one pyarrow Table (column access by name;
+        works on Spark-written versions too)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        m = self._manifest()
+        v = m["current"] if version is None else version
+        tables = []
+        for e in self._dirs_for(m, v):
+            base = self.dir / self._entry_dir(e)
+            roots = ([base / p for p in e["parts"]]
+                     if isinstance(e, dict) else [base])
+            for r in roots:
+                for f in sorted(Path(r).rglob("*.parquet")):
+                    tables.append(pq.read_table(f))
+        if not tables:
+            return pa.table(
+                {f.name: [] for f in self.schema.fields})
+        return pa.concat_tables(tables, promote_options="permissive")
+
     def write_replacing_parts(self, df: DataFrame, parts: list[str],
                               partition_by: list[str]) -> int:
         """Commit a new version where ``df`` REPLACES the named hive
