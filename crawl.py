@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="disable round pipelining (next round's gate/"
                         "schedule pass overlapping this round's commit "
                         "barrier); results are identical either way")
+    p.add_argument("--extract-events", action="store_true",
+                   help="also commit a typed race-event snapshot per "
+                        "round (schema.org SportsEvent JSON-LD + "
+                        "results tables, operators/structured.py)")
     p.add_argument("--no-verify-state", action="store_true",
                    help="skip the pre-resume state-dir integrity check "
                         "(tools/fsck_state.py) — e.g. on stores with "
@@ -83,7 +87,8 @@ def main(argv: list[str] | None = None) -> int:
                     resume=not args.fresh, n_salts=args.salts,
                     gc_keep=args.gc_keep, budget_scale=args.budget_scale,
                     pipeline_rounds=not args.no_pipeline,
-                    verify_state=not args.no_verify_state)
+                    verify_state=not args.no_verify_state,
+                    extract_events=args.extract_events)
     wall = time.time() - t0
     out = {
         "web": str(web),

@@ -202,6 +202,14 @@ class CrawlContext:
     # the fetch seam (class Transport above): defaults to the page
     # store; swap in an HTTP transport to deploy against a live web
     transport: Transport | None = None
+    # typed race-event mining (the reference's payload): when enabled,
+    # each round also commits an `events` snapshot of
+    # race_event_records over the round's fetched pages. Opt-in: the
+    # event pass re-reads the fetched slice (html never survives the
+    # text-extraction Arrow pass), which for the page-store transport
+    # is one extra pruned store read per round.
+    events: SnapshotTable | None = None
+    extract_events: bool = False
     # two-phase visit-sequencing kicks in above this many scheduled rows
     # per round (below it, a single-window seq is one cheap exchange)
     seq_rows_per_task: int = 500_000
@@ -242,7 +250,8 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
                lineage_gauges: bool = True,
                budget_scale: int = 1,
                membership_join: str = "auto",
-               transport: Transport | None = None) -> CrawlContext:
+               transport: Transport | None = None,
+               extract_events: bool = False) -> CrawlContext:
     web = Path(web_dir)
     state = Path(state_dir)
     state.mkdir(parents=True, exist_ok=True)
@@ -314,6 +323,8 @@ def open_crawl(spark: SparkSession, web_dir: str | Path,
         transport=(transport if transport is not None else
                    PageStoreTransport(pages, pages_bucketed,
                                       pages_n_buckets)),
+        events=SnapshotTable(spark, state, "events", schemas.EVENTS),
+        extract_events=extract_events,
         use_bloom=use_bloom,
         bloom_m_bits=bloom_m_bits,
         bloom_k=bloom_k,
@@ -392,7 +403,8 @@ def bootstrap(ctx: CrawlContext) -> None:
     segments would union into round 0's pending view, and the round-0
     scheduled/extracted appends would land ON TOP of the old tables,
     silently mixing two crawls."""
-    for t in (ctx.scheduled, ctx.extracted, ctx.lineage, ctx.bloom):
+    for t in (ctx.scheduled, ctx.extracted, ctx.lineage, ctx.bloom,
+              ctx.events):
         if t.current_version() > 0:
             t.rollback(0)
     fv = ctx.frontier.versions()
@@ -435,6 +447,7 @@ def bootstrap(ctx: CrawlContext) -> None:
         "frontier_v": ctx.frontier.versions(),
         "scheduled_v": 0, "extracted_v": 0, "lineage_v": 0,
         "bloom_v": ctx.bloom.current_version(),
+        "events_v": 0,
     })
 
 
@@ -557,7 +570,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     # per-round file count directly becomes next round's read fan-in
     ncoal = max(1, min(32, n_sched // 100_000 + 1))
 
-    commit_pool = ThreadPoolExecutor(5)
+    commit_pool = ThreadPoolExecutor(6)
     try:
         return _run_round_commits(ctx, rnd, commit_pool, sched, base,
                                   seq_parts, n_sched, sched_hist, ncoal)
@@ -828,7 +841,26 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
     # f_sched (submitted before the extraction pass) joins the barrier.
     # The pool itself is shut down by run_round's finally, which spans
     # from pool creation through here.
+    def _commit_events() -> None:
+        # typed race-event mining (opt-in): one native regex/from_json
+        # pass over the round's fetched slice — no Python, and the
+        # event rows that leave the scan are skinny typed records
+        from data_crawler_spark.operators.structured import \
+            race_event_records
+        with _stage("write_events"):
+            fetched_ev = ctx.transport.fetch(
+                sched.select(F.col("url"), F.col("depth")))
+            ev = race_event_records(fetched_ev.select("url", "html"))
+            ctx.events.write(
+                ev.select("url", F.lit(rnd).alias("round"), "event_name",
+                          "start_date", "location_name", "distance_km",
+                          "n_finishers", "winner", "winner_time_s")
+                .coalesce(ncoal),
+                mode="append")
+
     f_ext = commit_pool.submit(_commit_extracted)
+    f_ev = (commit_pool.submit(_commit_events)
+            if ctx.extract_events else None)
     f_fb = commit_pool.submit(_commit_frontier_bloom)
     f_lin = commit_pool.submit(_commit_lineage, (f_fb, f_sched))
 
@@ -862,7 +894,8 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
              if ctx.pipeline_rounds else None)
     try:
         with _stage("commit_barrier"):
-            for f in (f_sched, f_ext, f_fb, f_lin):
+            for f in (f_sched, f_ext, f_fb, f_lin,
+                      *((f_ev,) if f_ev is not None else ())):
                 f.result()
     except BaseException:
         # best-effort release of the prefetch's caches while the commit
@@ -884,6 +917,7 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
         "extracted_v": ctx.extracted.current_version(),
         "lineage_v": ctx.lineage.current_version(),
         "bloom_v": ctx.bloom.current_version(),
+        "events_v": ctx.events.current_version(),
     })
     if f_pre is not None:
         # stage the prefetched next-round plan (reads only committed
@@ -918,7 +952,8 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
               membership_join: str = "auto",
               pipeline_rounds: bool = True,
               verify_state: bool = True,
-              transport: Transport | None = None) -> dict:
+              transport: Transport | None = None,
+              extract_events: bool = False) -> dict:
     """Drive rounds to quiescence (or max_rounds). Resumable: picks up
     from the last committed checkpoint when ``resume`` and one exists.
 
@@ -945,7 +980,8 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
                      lineage_gauges=lineage_gauges,
                      budget_scale=budget_scale,
                      membership_join=membership_join,
-                     transport=transport)
+                     transport=transport,
+                     extract_events=extract_events)
     ctx.pipeline_rounds = pipeline_rounds
     cp = ctx.checkpoint.load() if resume else None
     if cp is None:
@@ -961,6 +997,7 @@ def run_crawl(spark: SparkSession, web_dir: str | Path, state_dir: str | Path,
         ctx.extracted.rollback(cp.get("extracted_v", 0))
         ctx.lineage.rollback(cp.get("lineage_v", 0))
         ctx.bloom.rollback(cp.get("bloom_v", 0))
+        ctx.events.rollback(cp.get("events_v", 0))
         start = cp["round"]
     total = 0
     for rnd in range(start, max_rounds):

@@ -37,14 +37,15 @@ from pathlib import Path
 
 # (table dir name, checkpoint key) — frontier_v is a nested dict
 TABLES = ("frontier", "frontier_delta", "frontier_removed",
-          "scheduled", "extracted", "lineage", "bloom")
+          "scheduled", "extracted", "lineage", "bloom", "events")
 _CP_KEYS = {"frontier": ("frontier_v", "base"),
             "frontier_delta": ("frontier_v", "delta"),
             "frontier_removed": ("frontier_v", "removed"),
             "scheduled": ("scheduled_v",),
             "extracted": ("extracted_v",),
             "lineage": ("lineage_v",),
-            "bloom": ("bloom_v",)}
+            "bloom": ("bloom_v",),
+            "events": ("events_v",)}
 
 
 def _entry_dir(entry) -> str:
@@ -173,10 +174,15 @@ def fsck_state(state_dir: str | os.PathLike) -> dict:
                         continue
             if v is None:
                 # crawl.py resumes with cp.get(key, 0) — a missing key
-                # is tolerated, not damage
-                out["warnings"].append(
-                    f"checkpoint lacks version for {t} "
-                    f"(resume assumes 0 — table would reset)")
+                # is tolerated, not damage. Only worth flagging when
+                # the table actually holds commits a reset would lose
+                # (optional tables like `events` are absent from most
+                # states and checkpoints by design).
+                rep = out["tables"][t]
+                if rep["present"] and (rep["current"] or 0) > 0:
+                    out["warnings"].append(
+                        f"checkpoint lacks version for {t} "
+                        f"(resume assumes 0 — table would reset)")
                 continue
             rep = out["tables"][t]
             cur = rep["current"] or 0

@@ -63,6 +63,22 @@ EXTRACTED = StructType([
     StructField("round", IntegerType(), False),
 ])
 
+# typed race-event records mined per round from fetched pages
+# (operators/structured.py race_event_records — the reference's actual
+# payload, /root/reference/README.md:2): schema.org SportsEvent JSON-LD
+# fields + the parsed results-table aggregate
+EVENTS = StructType([
+    StructField("url", StringType(), False),
+    StructField("round", IntegerType(), False),
+    StructField("event_name", StringType(), True),
+    StructField("start_date", StringType(), True),
+    StructField("location_name", StringType(), True),
+    StructField("distance_km", DoubleType(), True),
+    StructField("n_finishers", LongType(), True),
+    StructField("winner", StringType(), True),
+    StructField("winner_time_s", LongType(), True),
+])
+
 BLOOM = StructType([
     StructField("bucket", IntegerType(), False),
     StructField("m_bits", LongType(), False),
