@@ -148,7 +148,8 @@ def main() -> int:
     # phantom regression on the round-4 record. The burner ceiling
     # brackets the section; its worst leg vs the nominal sets the
     # record's own contamination flag.
-    from bench.burner import burn_seconds
+    sys.path.insert(0, str(REPO / "bench"))  # bench/ is not a package
+    from burner import burn_seconds
 
     # nominal ceiling for this box (min across the interleaved windows
     # of rounds 3-5 sweeps in BENCH/BASELINE.md); keyed by core count

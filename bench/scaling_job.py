@@ -110,8 +110,31 @@ def main() -> int:
             best = min(best, time.time() - t0)
         return best
 
+    def warm_files(*roots) -> None:
+        """Flush pending writeback and pull the given files/trees into
+        the OS page cache BEFORE a timed leg. The big-state copytree
+        writes multiple GB whose writeback otherwise steals the single
+        virtio disk DURING the measured round and evicts the web store
+        — measured as a 194s-vs-286s swing of the SAME 8-core design-
+        point round purely on cache state (round 5). All legs at every
+        core count therefore run in the same warm-store regime; the
+        one-disk cold path is a sandbox artifact a real cluster (a
+        disk per node) does not have."""
+        import os
+        os.sync()
+        buf = bytearray(1 << 22)
+        for root in roots:
+            p = Path(root)
+            files = ([p] if p.is_file()
+                     else sorted(f for f in p.rglob("*") if f.is_file()))
+            for f in files:
+                with open(f, "rb", buffering=0) as fh:
+                    while fh.readinto(buf):
+                        pass
+
     pages = spark.read.parquet(str(web / "pages.parquet"))
     n_pages = pages.count()
+    warm_files(web)  # every ceiling/job leg measures warm-store
     # IO ceiling: force-read the html column (the store's bulk) with a
     # trivial native aggregate - no engine code, no Python
     scan_s = timed_min(
@@ -138,6 +161,10 @@ def main() -> int:
                 # measured design-point round
                 shutil.rmtree(state)
                 shutil.copytree(args.big_state, state)
+                # the copy dirtied GBs of page cache: flush + re-warm
+                # web AND state so the measured round never competes
+                # with its own setup's writeback
+                warm_files(web, state)
                 t0 = time.time()
                 res_big = run_crawl(spark, web, state,
                                     max_rounds=args.big_rounds, resume=True,
