@@ -35,6 +35,41 @@ def test_prefix_sum_partial_sampling_regime(spark):
             rel[0].unpersist()
 
 
+def test_prefix_sum_survives_cache_eviction(spark):
+    """Round-6 torture test for the round-5 driver flake
+    (shard01_token_shards hash_match=false): under a long-lived session
+    the boundary pin must hold even when every CacheManager entry is
+    dropped between the subtotal collect (which runs at construction
+    time) and the assignment materialization — a cheap simulation of
+    memory-pressure eviction mid-query. The eager localCheckpoint is
+    immune (not a CacheManager entry, no recompute path); the old
+    MEMORY_AND_DISK persist pin was not."""
+    from pyspark.sql import Window
+
+    n = 20_000
+    df = (spark.range(n, numPartitions=3)
+          .select(F.col("id").alias("k"),
+                  (F.pmod(F.col("id") * 2654435761, F.lit(997)) + 1)
+                  .alias("v")))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {r.k: r.e for r in
+            df.withColumn("e", F.coalesce(F.sum("v").over(w), F.lit(0)))
+            .collect()}
+    for _ in range(3):
+        rel = []
+        # construction runs the checkpoint + subtotal collect ...
+        out = exclusive_prefix_sum(df, [F.asc("k")], F.col("v"),
+                                   "e", 8, release_into=rel)
+        # ... now drop every cached plan before the assignment pass
+        spark.catalog.clearCache()
+        got = {r.k: r.e for r in out.collect()}
+        assert got == want
+        # and a SECOND materialization of the same frame must agree
+        got2 = {r.k: r.e for r in out.collect()}
+        assert got2 == want
+        rel[0].unpersist(blocking=True)
+
+
 def test_prefix_sum_releases_checkpoint(spark):
     """release_into hands back exactly the checkpointed frame; draining
     it leaves no persistent RDDs behind."""
