@@ -206,11 +206,17 @@ def results_table_rows(pages: DataFrame, url_col: str = "url",
     rows = F.regexp_extract_all(tbl, F.lit(_TR_RE), 1)
     cells = lambda r: F.transform(  # noqa: E731
         F.regexp_extract_all(r, F.lit(_CELL_RE), 1), _cell_text)
-    hdr = F.transform(cells(F.element_at(rows, 1)), F.lower)
+    # try_element_at (not element_at): under ANSI mode (default-on in
+    # Spark 4) element_at ABORTS the job on any out-of-range index — a
+    # rows-less table here, a ragged data row (colspan, malformed HTML)
+    # in col_at below. The oracle (oracle/events.py results_rows)
+    # returns None for both shapes; try_element_at matches it.
+    hdr = F.transform(cells(F.try_element_at(rows, F.lit(1))), F.lower)
 
     def col_at(row_cells: Column, name: str) -> Column:
         pos = F.array_position(hdr, name)
-        return F.when(pos > 0, F.element_at(row_cells, pos.cast("int")))
+        return F.when(pos > 0,
+                      F.try_element_at(row_cells, pos.cast("int")))
 
     parsed = (pages
               .filter(tbl != "")

@@ -89,6 +89,25 @@ def _page(i: int) -> tuple[str, bytes]:
 
 N = 60
 PAGES = [_page(i) for i in range(N)]
+# ragged/degenerate tables (ADVICE r5): a data row SHORTER than the
+# header (colspan/malformed HTML — ANSI element_at aborted the job
+# here), one longer than the header, and a header-only table; the
+# oracle yields None cells / no rows for these, and Spark must match
+# instead of crashing
+PAGES += [
+    ("https://ragged.test/r1.html",
+     b'<html><body><table class="results">'
+     b"<tr><th>Place</th><th>Bib</th><th>Name</th><th>Time</th></tr>"
+     b"<tr><td>1</td><td>101</td><td>A Runner</td><td>1:02:03</td></tr>"
+     b"<tr><td>2</td></tr>"  # ragged: 1 cell vs 4-col header
+     b"<tr><td>3</td><td>103</td><td>C Runner</td><td>2:03:04</td>"
+     b"<td>extra</td></tr>"  # longer than the header
+     b"</table></body></html>"),
+    ("https://ragged.test/hdr-only.html",
+     b'<html><body><table class="results">'
+     b"<tr><th>Place</th><th>Name</th><th>Time</th></tr>"
+     b"</table></body></html>"),
+]
 
 
 @pytest.fixture(scope="module")
