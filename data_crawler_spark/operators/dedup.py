@@ -170,23 +170,39 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     j = np.arange(n_hashes, dtype=np.uint64)
 
     def sig_partition(batches):
-        # partitions are hash-disjoint in id_col; accumulate per-batch
-        # pandas groupby().min() frames (C-vectorized) and merge once
-        parts = []
+        # partitions are hash-disjoint in id_col, and a doc's shingle
+        # rows are CONTIGUOUS within a batch (explode order) — so the
+        # per-batch component mins come from ONE minimum.reduceat pass
+        # over id-run boundaries instead of a hash groupby of the full
+        # n_shingles x 64 frame (round 6; the groupby was ~40% of the
+        # signature pass). Runs split by batch boundaries (or
+        # non-adjacent multi-row ids under unique_ids=False) repeat an
+        # id across the run list; one pandas groupby over the tiny
+        # run-level frame (O(docs/partition) rows, not O(shingles))
+        # merges them — and is skipped when runs are already unique.
+        rids, rmins = [], []
         for pdf in batches:
+            if not len(pdf):
+                continue
             h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
             h1 = splitmix64_np(h)
             h2 = splitmix64_np(h1) | np.uint64(1)
             with np.errstate(over="ignore"):
-                g = h1[:, None] + j[None, :] * h2[:, None]
-            frame = pd.DataFrame(g.astype(np.int64))
-            frame.index = pd.Index(pdf[id_col].to_numpy(), name=id_col)
-            parts.append(frame.groupby(level=0).min())
-        if not parts:
+                g = (h1[:, None] + j[None, :] * h2[:, None]) \
+                    .astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            starts = np.concatenate(
+                ([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
+            rids.append(ids[starts])
+            rmins.append(np.minimum.reduceat(g, starts, axis=0))
+        if not rids:
             return
-        mins = pd.concat(parts).groupby(level=0).min()
-        yield pd.DataFrame({id_col: mins.index.to_numpy(),
-                            "sig": list(mins.to_numpy())})
+        frame = pd.DataFrame(np.concatenate(rmins))
+        frame.index = pd.Index(np.concatenate(rids), name=id_col)
+        if not frame.index.is_unique:
+            frame = frame.groupby(level=0).min()
+        yield pd.DataFrame({id_col: frame.index.to_numpy(),
+                            "sig": list(frame.to_numpy())})
 
     id_dt = df.schema[id_col].dataType.simpleString()
     return hashed.mapInPandas(sig_partition,
@@ -220,8 +236,17 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     bands appear once per band): callers whose downstream is naturally
     idempotent per pair — like the verify join in minhash_near_dups —
     dedup the much smaller verified output instead, saving a full
-    shuffle+aggregate over the candidate-pair stream."""
-    exploded = banded(sigs, id_col, n_bands, rows_per_band)
+    shuffle+aggregate over the candidate-pair stream.
+
+    The signature frame is materialized once (eager localCheckpoint,
+    round 6): the self-join's two differently-aliased sides otherwise
+    each re-run the WHOLE upstream signature pipeline (tokenize +
+    shingle + hash + the mapInPandas min pass) — measured as a full
+    second signature sweep at sf1.0; plan-time exchange reuse does not
+    unify the aliased subtrees. Signatures are O(ids x n_hashes x 8B),
+    a vanishing fraction of the corpus they summarize."""
+    exploded = banded(sigs.localCheckpoint(eager=True),
+                      id_col, n_bands, rows_per_band)
     left = exploded.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = exploded.select(F.col(id_col).alias("id_b"), "band", "bh")
     pairs = (
@@ -550,7 +575,25 @@ def hamming_near_dups(hashes: DataFrame, id_col: str = "doc_id",
     the default (max_hamming+1) guarantees; recall is structural, not
     probabilistic, unlike MinHash banding. More chunks = shorter keys
     = bigger buckets, so at high ``max_hamming`` expect the candidate
-    set (and the one shuffle) to grow — the standard tradeoff."""
+    stream (the join's enumeration) to grow — the standard tradeoff.
+
+    Input contract: ONE row per id (every in-repo caller passes a
+    signature table keyed by id).
+
+    Round-6 plan shape (measured at sf1.0, where 50k templated docs
+    enumerate ~530M bucket pairs for 9.3M true neighbors): the
+    signature frame is materialized ONCE (eager localCheckpoint —
+    before, each join side re-ran the whole upstream pipeline), and the
+    candidate stream is consumed entirely INSIDE the join's codegen
+    stage: hamming filter first, then multi-chunk collisions are
+    dropped by keeping each pair only at its FIRST agreeing chunk — a
+    pure function of h_a^h_b, so no ``distinct`` (which previously
+    shuffled the full half-billion-row candidate stream) remains.
+    Nothing leaves the join but true neighbor rows. (A numpy
+    per-bucket XOR/popcount kernel was measured 2-4x SLOWER than the
+    streaming sort-merge join here — O(block×bucket) matrix traffic vs
+    codegen row streaming — and a SHUFFLE_HASH hint slower still; see
+    OPTIMIZATION_r06.md.)"""
     n_chunks = n_chunks if n_chunks is not None else max_hamming + 1
     if not 1 <= n_chunks <= 64:
         raise ValueError(f"n_chunks must be in [1, 64], got {n_chunks}")
@@ -569,25 +612,39 @@ def hamming_near_dups(hashes: DataFrame, id_col: str = "doc_id",
     # all-ones mask is -1 as a signed long — 2**64-1 overflows the
     # Java long literal
     masks = [(1 << w) - 1 if w < 64 else -1 for w in widths]
+    # one materialization of the (id, hash) table: both join sides read
+    # these blocks instead of re-running the upstream pipeline (SimHash
+    # votes, pHash decode) once per side — plan-time exchange reuse
+    # does not cover the two differently-aliased subtrees
+    sigs = hashes.select(F.col(id_col), h).localCheckpoint(eager=True)
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned(h, offs[c])
                  .bitwiseAND(F.lit(masks[c])).alias("ck"))
         for c in range(n_chunks)
     ])
-    ex = (hashes.select(F.col(id_col), h.alias("_h"),
-                        F.explode(chunks).alias("b"))
+    ex = (sigs.select(F.col(id_col), h.alias("_h"),
+                      F.explode(chunks).alias("b"))
           .select(id_col, "_h", "b.chunk", "b.ck"))
     left = ex.select(F.col(id_col).alias("id_a"),
                      F.col("_h").alias("h_a"), "chunk", "ck")
     right = ex.select(F.col(id_col).alias("id_b"),
                       F.col("_h").alias("h_b"), "chunk", "ck")
-    cands = (left.join(right, ["chunk", "ck"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "h_a", "h_b").distinct())
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (cands.withColumn("hamming", ham)
+    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    # the pair's first agreeing chunk: never NULL for a surviving pair
+    # (hamming <= max_hamming < n_chunks guarantees an agreeing chunk)
+    first_chunk = F.when(
+        F.shiftrightunsigned(xor, offs[0])
+        .bitwiseAND(F.lit(masks[0])) == 0, F.lit(0))
+    for c in range(1, n_chunks):
+        first_chunk = first_chunk.when(
+            F.shiftrightunsigned(xor, offs[c])
+            .bitwiseAND(F.lit(masks[c])) == 0, F.lit(c))
+    return (left.join(right, ["chunk", "ck"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", F.bit_count(xor))
             .filter(F.col("hamming") <= max_hamming)
+            .filter(F.col("chunk") == first_chunk)
             .select("id_a", "id_b", "hamming"))
 
 
