@@ -76,11 +76,94 @@ def _paired_cosine() -> Column:
 def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k: broadcast the (small) query set against the corpus,
-    score JVM-side, per-query window top-k with total-order tie-break.
-    Row norms are computed below the join (broadcast side: once per
-    query; stream side: once per corpus row), so the per-pair work is
-    a single dot-product fold."""
+    """Exact top-k over a SMALL query set (the brute-force baseline).
+
+    Round-6 shape (guide §4.2): the query set is collected (O(queries)
+    driver rows — the same smallness contract the old broadcast relied
+    on) into a numpy matrix, and each corpus partition scores ALL
+    queries with one float64 matmul inside mapInArrow — the old plan
+    evaluated an interpreted per-pair aggregate fold (CodegenFallback)
+    per (query, row). Ranking, rounding (Spark HALF_UP) and the
+    query!=neighbor filter stay JVM-side, so the emitted
+    (ids, rank) set is unchanged: matmul vs sequential-fold dots agree
+    to ~1e-8 absolute while fixture cosine gaps are >= 3e-5 (and the
+    pinned tie-break is on rounded cosine, then neighbor id). A
+    degenerate query set (empty, null or ragged vectors) falls back to
+    the old all-JVM plan, whose null semantics are pinned by tests.
+
+    NOTE embedding_near_dups deliberately does NOT take this path: its
+    emitted cosines are bit-identity-pinned to the JVM fold
+    (test_hoisted_cosine_bit_identical) because driver hashes cover
+    them."""
+    qrows = queries.select(id_col, vec_col).collect()
+    dims = {len(r[1]) for r in qrows if r[1] is not None}
+    if (not qrows or len(dims) != 1
+            or any(r[1] is None for r in qrows)
+            or any(v is None for r in qrows for v in r[1])):
+        return _cosine_topk_bruteforce_jvm(corpus, queries, k, id_col,
+                                           vec_col)
+    d = dims.pop()
+    qids = [r[0] for r in qrows]
+    Q64 = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q64 * Q64).sum(axis=1))
+    m = len(qids)
+    id_dt = corpus.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        import pyarrow as pa
+        qid_arr = None
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            if qid_arr is None:
+                qid_arr = pa.array(qids).cast(batch.column(0).type)
+            idc = batch.column(0)
+            vec = batch.column(1)
+            lens = pa.compute.list_value_length(vec) \
+                .to_numpy(zero_copy_only=False)
+            valid = ~pd.isna(lens)
+            valid[valid] &= lens[valid] == d
+            if valid.all():
+                C64 = (vec.flatten().to_numpy(zero_copy_only=False)
+                       .astype(np.float64).reshape(n, d))
+            else:
+                take = pa.array(np.flatnonzero(valid))
+                C64 = (vec.take(take).flatten()
+                       .to_numpy(zero_copy_only=False)
+                       .astype(np.float64).reshape(-1, d))
+            cn = np.sqrt((C64 * C64).sum(axis=1))
+            denom = cn[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_v = np.where(denom > 0, (C64 @ Q64.T) / denom, 0.0)
+            cos = np.zeros((n, m), dtype=np.float64)
+            cos[valid] = cos_v
+            mask = np.repeat(~valid, m)
+            yield pa.RecordBatch.from_arrays(
+                [idc.take(pa.array(np.repeat(np.arange(n), m))),
+                 qid_arr.take(pa.array(np.tile(np.arange(m), n))),
+                 pa.array(cos.reshape(-1), mask=mask)],
+                ["neighbor_id", "query_id", "cosine"])
+
+    scored = (corpus.select(F.col(id_col), F.col(vec_col))
+              .mapInArrow(score,
+                          f"neighbor_id {id_dt}, query_id {id_dt}, "
+                          f"cosine double")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(F.col("cosine"), 6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _cosine_topk_bruteforce_jvm(corpus: DataFrame, queries: DataFrame,
+                                k: int, id_col: str,
+                                vec_col: str) -> DataFrame:
+    """The pre-round-6 all-JVM formulation: broadcast crossJoin with
+    hoisted norms and an interpreted per-pair dot fold. Kept as the
+    fallback for degenerate query sets (empty / null / ragged vectors),
+    whose null-propagation semantics it pins."""
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
                                    F.col(vec_col).alias("qv"),
                                    norm_col(F.col(vec_col)).alias("qn")))

@@ -146,16 +146,28 @@ def q11(spark, sf):
     GROUP BY n_name
 """)
 def q12(spark, sf):
+    """Round 6 star shape: build the selective dimension chain FIRST
+    (region filter -> nation -> customer, broadcast: the classic star
+    dim), reduce orders to (o_orderkey, n_name) through it (~40% of
+    orders survive the region filter), and give the lineitem fact ONE
+    probe instead of the old four sequential broadcast probes per fact
+    row. The orders->lineitem attach is left UN-hinted: Catalyst/AQE
+    pick broadcast from measured sizes while the reduced key table
+    fits and degrade to a shuffle join at scale (measured faster than
+    forcing the hint even here). Results proven equal to the old plan
+    (exact tuple equality incl. rounded doubles at sf0.01/sf1.0)."""
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders")
     l = load(spark, sf, "lineitem")
     n = load(spark, sf, "nation")
     r = load(spark, sf, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    dim = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .select("c_custkey", "n_name"))
+    okeys = (o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+             .select("o_orderkey", "n_name"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        l.join(okeys, l.l_orderkey == okeys.o_orderkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
              F.count("*").alias("n_items"))
@@ -574,11 +586,33 @@ def q45(spark, sf):
     FROM documents WHERE LENGTH(text) > 0
 """)
 def qt1(spark, sf):
+    """Round 6: the token array is bound ONCE (text.bind_once) — the
+    plain column helpers spelled regexp_extract_all four times, and the
+    higher-order stopword filter makes this Project CodegenFallback,
+    where no common-subexpression elimination applies, so every row
+    paid ~4 tokenization passes (plan evidence in plans/r06). Same
+    expressions, same oracle."""
     d = load(spark, sf, "documents").filter(F.length("text") > 0)
-    return d.select("doc_id",
-                    text.token_count_col(F.col("text")).alias("n_tokens"),
-                    F.round(text.punct_ratio_col(F.col("text")), 4).alias("punct_ratio"),
-                    F.round(text.stopword_ratio_col(F.col("text")), 4).alias("stopword_ratio"))
+    prof = text.bind_once(
+        text.tokens_col(F.col("text")),
+        lambda t: F.struct(
+            F.size(t).alias("n_tokens"),
+            F.round(
+                F.when(F.size(t) > 0,
+                       F.size(F.filter(t, lambda w: w.isin(
+                           *text.STOPWORDS_EN))).cast("double")
+                       / F.size(t))
+                .otherwise(F.lit(0.0)), 4).alias("stopword_ratio")))
+    # two-step projection: _prof is computed once per row in its own
+    # Project (CollapseProject keeps non-cheap expressions referenced
+    # more than once un-inlined), the outer select reads its fields
+    return (d.withColumn("_prof", prof)
+            .select("doc_id",
+                    F.col("_prof")["n_tokens"].alias("n_tokens"),
+                    F.round(text.punct_ratio_col(F.col("text")), 4)
+                    .alias("punct_ratio"),
+                    F.col("_prof")["stopword_ratio"]
+                    .alias("stopword_ratio")))
 
 
 @q("txt02_03_langid_fingerprint", sql="""
