@@ -273,7 +273,22 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     Thresholds are the published ones; word = whitespace-delimited run
     (the paper's definition), unlike tokens_col's WORD_RE stream."""
     t = F.col(text_col)
-    words = ws_split_col(t)   # Python str.split(): no phantom empties
+    # Round 6: the word and line arrays are computed ONCE into staged
+    # columns — this Project is CodegenFallback (higher-order
+    # functions), and spelling the split in every metric re-ran it per
+    # output column; the metrics below reference the cheap attributes.
+    staged = df.select(
+        "*",
+        ws_split_col(t).alias("_g_ws"),   # Python str.split(): no phantom empties
+        # ws_strip_col (Python str.strip()): F.trim strips only ASCII
+        # spaces, so CRLF pages kept '\r' and tab-indented bullets were
+        # never detected.
+        F.filter(F.transform(F.split(t, "\n"),
+                             lambda l: ws_strip_col(l)),
+                 lambda l: F.length(l) > 0).alias("_g_lines"),
+    )
+    words = F.col("_g_ws")
+    lines = F.col("_g_lines")
     n_words = F.size(words)
     total_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
     mean_wl = F.when(n_words > 0,
@@ -281,12 +296,6 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     sym_ratio = F.when(n_words > 0,
                        F.regexp_count(t, F.lit(_SYMBOL_RE)).cast("double")
                        / n_words).otherwise(F.lit(0.0))
-    # ws_strip_col (Python str.strip()): F.trim strips only ASCII
-    # spaces, so CRLF pages kept '\r' and tab-indented bullets were
-    # never detected.
-    lines = F.filter(F.transform(F.split(t, "\n"),
-                                 lambda l: ws_strip_col(l)),
-                     lambda l: F.length(l) > 0)
     n_lines = F.size(lines)
     def _is_bullet(l):
         pred = F.lit(False)
@@ -304,12 +313,15 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     alpha_frac = F.when(n_words > 0,
                         alpha.cast("double") / n_words).otherwise(F.lit(0.0))
-    low = F.lower(t)
-    stop_hits = sum(
-        (F.when(low.rlike(r"(^|\s)" + s + r"(\s|$)"), 1).otherwise(0)
-         for s in GOPHER_STOPWORDS),
-        F.lit(0),
-    )
+    # stop_hits: number of distinct stopwords present. Previously one
+    # full-text regex scan PER stopword (rlike (^|\s)s(\s|$)); a
+    # stopword matches that regex iff it appears as a token of
+    # split(lowered, "\s+") — Java's \s both times, single-word
+    # stopwords — so ONE split + one array_intersect computes the same
+    # count (round 6; pinned against the regex form in tests).
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.split(F.lower(t), r"\s+")),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
     rules = {
         "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
         "rule_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
@@ -322,8 +334,8 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     keep = F.lit(True)
     for expr in rules.values():
         keep = keep & expr
-    return df.select(
-        "*",
+    return staged.select(
+        *[F.col(c) for c in df.columns],
         n_words.alias("n_words"),
         F.round(mean_wl, 4).alias("mean_word_len"),
         F.round(sym_ratio, 4).alias("symbol_ratio"),

@@ -196,6 +196,35 @@ def test_gopher_rules_vs_reference(spark):
     assert got[12]["n_words"] == 64                  # NBSP splits words
 
 
+def test_gopher_stop_hits_matches_regex_form(spark):
+    """Round-6 pin: n_stop_hits is now one split + array_intersect; it
+    must count exactly what the old per-stopword Java-regex scan
+    ((^|\\s)s(\\s|$) over the lowered text) counted, including edge
+    placement, repeated stopwords (distinct-count semantics), NBSP
+    (NOT Java \\s) and punctuation-glued words (no match)."""
+    from pyspark.sql import functions as F
+
+    from data_crawler_spark.operators.text import (GOPHER_STOPWORDS,
+                                                   gopher_rules)
+
+    samples = [
+        "the start", "end with the", "the", "THE UPPER", "x the y",
+        "the the the of of", "the. of, and;", "no stop words here",
+        "nb the sp", "tab\tthe\tsep", "crlf\r\nthe\r\nsep",
+        "", "   ", "athe theb", "of\nthe\nand",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "doc_id long, text string")
+    low = F.lower(F.col("text"))
+    regex_hits = sum(
+        (F.when(low.rlike(r"(^|\s)" + s + r"(\s|$)"), 1).otherwise(0)
+         for s in GOPHER_STOPWORDS), F.lit(0))
+    want = {r.doc_id: r.h for r in
+            df.select("doc_id", regex_hits.alias("h")).collect()}
+    got = {r.doc_id: r.n_stop_hits for r in gopher_rules(df).collect()}
+    assert got == want
+
+
 def test_gopher_rules_native_plan(spark):
     """The filter is a pure map: no exchange, no Python eval."""
     from data_crawler_spark.operators.text import gopher_rules
