@@ -106,13 +106,19 @@ def jsonld_typed_records(pages: DataFrame, schema: str,
         graph,
         F.when(F.startswith(F.ltrim(raw), F.lit("[")), raw)
         .otherwise(F.concat(F.lit("["), raw, F.lit("]"))))
+    # `arr` is staged into its own projection (round 6): the validity
+    # gate + parse referenced it twice, re-running the @graph probe per
+    # reference (these Projects are CodegenFallback territory where
+    # common-subexpression elimination is unreliable)
     return (pages
             .select(F.col(url_col).alias("url"),
                     F.posexplode(jsonld_col(F.col(html_col)))
                     .alias("block_idx", "raw"))
+            .select("url", "block_idx", arr.alias("_arr"))
             .select("url", "block_idx",
-                    F.when(F.try_parse_json(arr).isNotNull(),
-                           F.from_json(arr, f"array<struct<{schema}>>"))
+                    F.when(F.try_parse_json(F.col("_arr")).isNotNull(),
+                           F.from_json(F.col("_arr"),
+                                       f"array<struct<{schema}>>"))
                     .alias("objs"))
             .filter(F.col("objs").isNotNull())
             .select("url", "block_idx",
@@ -203,9 +209,19 @@ def results_table_rows(pages: DataFrame, url_col: str = "url",
     the map, nothing but the typed rows leaves the scan."""
     s = F.col(html_col).cast("string")
     tbl = F.regexp_extract(s, _RESULTS_TABLE_RE, 1)
-    rows = F.regexp_extract_all(tbl, F.lit(_TR_RE), 1)
     cells = lambda r: F.transform(  # noqa: E731
         F.regexp_extract_all(r, F.lit(_CELL_RE), 1), _cell_text)
+
+    # Round-6 staging: the table/row regex chain is extracted ONCE into
+    # `_rows` — the old single projection re-derived the table regex
+    # for the filter, the header and the explode (CodegenFallback, no
+    # reliable CSE). The `tbl != ''` pre-filter is gone: a page whose
+    # `_rows` is empty explodes into nothing, which is the same output
+    # (and dodges the pushed-down-filter duplicate evaluation).
+    staged = pages.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract_all(tbl, F.lit(_TR_RE), 1).alias("_rows"))
+    rows = F.col("_rows")
     # try_element_at (not element_at): under ANSI mode (default-on in
     # Spark 4) element_at ABORTS the job on any out-of-range index — a
     # rows-less table here, a ragged data row (colspan, malformed HTML)
@@ -218,9 +234,8 @@ def results_table_rows(pages: DataFrame, url_col: str = "url",
         return F.when(pos > 0,
                       F.try_element_at(row_cells, pos.cast("int")))
 
-    parsed = (pages
-              .filter(tbl != "")
-              .select(F.col(url_col).alias("url"), hdr.alias("_hdr"),
+    parsed = (staged
+              .select("url", hdr.alias("_hdr"),
                       F.explode(F.slice(
                           rows, 2, F.greatest(F.size(rows) - 1, F.lit(0))))
                       .alias("_row"))

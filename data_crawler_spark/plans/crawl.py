@@ -844,13 +844,18 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
     def _commit_events() -> None:
         # typed race-event mining (opt-in): one native regex/from_json
         # pass over the round's fetched slice — no Python, and the
-        # event rows that leave the scan are skinny typed records
+        # event rows that leave the scan are skinny typed records.
+        # Reuses the round's ONE transport.fetch plan (ADVICE r5: a
+        # second fetch() call per round broke the one-call-per-
+        # politeness-round contract and could double a live
+        # transport's per-host budget). NOTE each Spark ACTION still
+        # re-evaluates the plan: the PageStore join is idempotent; a
+        # live HTTP transport must memoize the round's responses
+        # behind its fetch() seam for extract_events to be coherent.
         from data_crawler_spark.operators.structured import \
             race_event_records
         with _stage("write_events"):
-            fetched_ev = ctx.transport.fetch(
-                sched.select(F.col("url"), F.col("depth")))
-            ev = race_event_records(fetched_ev.select("url", "html"))
+            ev = race_event_records(fetched.select("url", "html"))
             ctx.events.write(
                 ev.select("url", F.lit(rnd).alias("round"), "event_name",
                           "start_date", "location_name", "distance_km",

@@ -1164,9 +1164,13 @@ def ev01(spark, sf):
                F.concat(F.lit('<script type="application/ld+json">'),
                         block, F.lit("</script>"))).otherwise(F.lit("")),
         F.lit("</head><body>"), table, F.lit("</body></html>"))
+    # materialize the synthesized pages once (round 6):
+    # race_event_records reads its input twice (JSON-LD branch +
+    # results-table branch), and the concat-heavy synthesis ran per
+    # branch; the checkpoint makes each branch a scan of ~1KB rows
     pages = c.select(
         F.concat(F.lit("https://ev"), s(k), F.lit(".race.test/e"))
-        .alias("url"), html.alias("html"))
+        .alias("url"), html.alias("html")).localCheckpoint(eager=True)
     from data_crawler_spark.operators.structured import race_event_records
     return race_event_records(pages)
 
