@@ -100,8 +100,18 @@ def jsonld_typed_records(pages: DataFrame, schema: str,
     explodes — html never leaves the page scan."""
     raw = F.col("raw")
     # @graph envelope -> its array; bare array -> itself; single
-    # object -> wrapped in [] so one from_json covers all three
-    graph = F.get_json_object(raw, "$['@graph']")
+    # object -> wrapped in [] so one from_json covers all three.
+    # The @graph branch is gated on the extracted value being a JSON
+    # ARRAY (ADVICE r5): a dict-valued @graph is NOT an envelope — the
+    # oracle keeps the outer dict as the (typeless, hence dropped)
+    # record, and from_json would otherwise coerce the lone object
+    # into a 1-element array and emit it. Known convention gap, by
+    # design: non-object members of a record ARRAY ([{...}, "x"])
+    # occupy a rec_idx here (null obj, filtered by typed consumers)
+    # but are filtered before enumeration in oracle/events.py.
+    graph_raw = F.get_json_object(raw, "$['@graph']")
+    graph = F.when(F.startswith(F.ltrim(graph_raw), F.lit("[")),
+                   graph_raw)
     arr = F.coalesce(
         graph,
         F.when(F.startswith(F.ltrim(raw), F.lit("[")), raw)

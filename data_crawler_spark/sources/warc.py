@@ -364,6 +364,15 @@ def _export_sink(src: DataFrame, out_dir: str | Path, base_ext: str,
                 return out / f"part-{pid:05d}{suffix}"
             return out / f"part-{pid:05d}-{seq:04d}{suffix}"
 
+        # hard-killed attempt hygiene (ADVICE r5): an attempt killed
+        # before the except-block runs (executor death) can leave
+        # part-<pid>-NNNN files behind; a retry that rotates FEWER
+        # files would never overwrite the higher-seq leftovers, and a
+        # reader globbing the directory cannot tell them from output.
+        # Delete this partition id's files up front so the retry's own
+        # writes are the only part-<pid> files that can exist.
+        for stale in out.glob(f"part-{pid:05d}*{suffix}"):
+            stale.unlink(missing_ok=True)
         # stream records straight to the open file — buffering a whole
         # partition's encoded records (plus a joined second copy) peaks
         # at >2x the output file size per task, a multi-GB OOM risk at

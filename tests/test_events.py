@@ -107,6 +107,14 @@ PAGES += [
      b'<html><body><table class="results">'
      b"<tr><th>Place</th><th>Name</th><th>Time</th></tr>"
      b"</table></body></html>"),
+    # dict-valued @graph is NOT an envelope (ADVICE r5): the oracle
+    # keeps the outer dict (typeless -> dropped); Spark must not
+    # coerce the lone inner object into a 1-element record array
+    ("https://graphdict.test/e.html",
+     b'<html><head><script type="application/ld+json">'
+     b'{"@graph": {"@type": "SportsEvent", "name": "Lone", '
+     b'"distance": "10K"}}'
+     b"</script></head><body></body></html>"),
 ]
 
 
