@@ -1066,23 +1066,25 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                      .groupBy(F.col("dst").alias("node"))
                      .agg(F.min("comp").alias("ncomp")))
             stepped = (labels.join(neigh, "node", "left")
-                       .select("node", F.least("comp", "ncomp").alias("comp")))
+                       .select("node", F.col("comp").alias("_old"),
+                               F.least("comp", "ncomp").alias("comp")))
             # pointer jump: comp <- label(comp). comp is always a vertex
             # id, and labels are min-monotone (label(c) <= c), so the
             # jump can only lower the label and never leaves the
             # component.
             jump = stepped.select(F.col("node").alias("comp"),
                                   F.col("comp").alias("jcomp"))
-            new_labels = (stepped.join(jump, "comp", "left")
-                          .select("node",
-                                  F.coalesce(F.least("jcomp", "comp"),
-                                             F.col("comp")).alias("comp"))
-                          .localCheckpoint())
-            changed = (new_labels.alias("n")
-                       .join(labels.alias("o"), "node")
-                       .filter(F.col("n.comp") != F.col("o.comp"))
-                       .limit(1).count())
-            labels = new_labels
+            # the change flag rides INTO the checkpoint (round 6): the
+            # convergence probe is then a filter over materialized
+            # blocks instead of a per-iteration alias-join job
+            new_comp = F.coalesce(F.least("jcomp", "comp"),
+                                  F.col("comp"))
+            stamped = (stepped.join(jump, "comp", "left")
+                       .select("node", new_comp.alias("comp"),
+                               (new_comp != F.col("_old")).alias("_chg"))
+                       .localCheckpoint())
+            changed = stamped.filter(F.col("_chg")).limit(1).count()
+            labels = stamped.select("node", "comp")
             if changed == 0:
                 return labels.select(F.col("node").alias(id_col),
                                      F.col("comp").alias("cluster_id"))
