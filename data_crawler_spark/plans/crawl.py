@@ -364,6 +364,37 @@ def _persist(df: DataFrame, level: str | None = None) -> DataFrame:
     return df.persist(getattr(StorageLevel, name))
 
 
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Round-scoped materialization that also TRUNCATES the logical
+    plan (localCheckpoint), unlike _persist. Round 6, event-log
+    measured: every ACTION that references the round's link pipeline
+    re-runs Catalyst analysis over the huge native canonicalize/URL
+    expression trees — ~0.6-0.9s of driver-only time per action at
+    measurement scale (the no-job gaps in the round timeline; execution
+    itself is milliseconds there). Checkpointed frames plan as a
+    Scan ExistingRDD, so the tree is analyzed once per round instead of
+    once per consumer. Blocks are MEMORY_AND_DISK; lineage is gone, so
+    a lost block fails loudly instead of recomputing (local mode:
+    only process death loses blocks — same blast radius as the
+    checkpoint already pinning the two-phase seq)."""
+    return df.localCheckpoint(eager=True)
+
+
+def _release(df: DataFrame) -> None:
+    """Free a round-scoped frame produced by _persist OR _checkpoint:
+    cache unpersist for the former, underlying-RDD unpersist for the
+    latter (checkpointed frames are not CacheManager entries). Best
+    effort — a miss merely waits for the ContextCleaner."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 class _stage:
     __slots__ = ("name", "t0")
 
@@ -489,9 +520,11 @@ def _plan_round(ctx: CrawlContext, frontier: DataFrame):
     if seq_parts > 1:
         base = _persist(base)
     seq_rel: list = []
-    sched = _persist(with_crawl_seq(base, num_partitions=seq_parts,
-                                    release_into=seq_rel),
-                     "MEMORY_AND_DISK")
+    # _checkpoint (not _persist): the gate+schedule+seq tree is
+    # re-analyzed by every consumer action otherwise (scheduled write,
+    # fetch join, tombstones) — see _checkpoint's rationale
+    sched = _checkpoint(with_crawl_seq(base, num_partitions=seq_parts,
+                                       release_into=seq_rel))
     return base, sched, seq_parts, seq_rel
 
 
@@ -504,7 +537,7 @@ def _drop_planned(ctx: CrawlContext) -> None:
         return
     _, base, sched, seq_parts, _ = ctx._planned_next
     ctx._planned_next = None
-    sched.unpersist()
+    _release(sched)
     if seq_parts > 1:
         base.unpersist()
 
@@ -550,7 +583,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
             # a failed histogram pass must not pin the planning caches
             # (sched/base persists + the seq boundary pin, which
             # _plan_round's subtotal collect already filled)
-            sched.unpersist()
+            _release(sched)
             if seq_parts > 1:
                 base.unpersist()
             for c in seq_rel:
@@ -561,7 +594,7 @@ def run_round(ctx: CrawlContext, rnd: int) -> int:
     n_sched = sum(int(r["count"]) for r in sched_hist)
     ctx.last_n_sched = n_sched
     if n_sched == 0:
-        sched.unpersist()
+        _release(sched)
         if seq_parts > 1:
             base.unpersist()
         return 0
@@ -670,8 +703,8 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
     # component).
     round_caches = []
     if bloom_path:
-        cand = _persist(new_cand.withColumn("url_hash", F.xxhash64("url")),
-                        "MEMORY_AND_DISK")
+        cand = _checkpoint(
+            new_cand.withColumn("url_hash", F.xxhash64("url")))
         round_caches.append(cand)
         # probe pass: candidate urls that MIGHT be discovered.
         # Duplicate urls are harmless in the semi-join build, and bloom
@@ -885,7 +918,7 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
             with _stage("prefetch_next_gate"):
                 hist = _sched_hist(nsched)
         except BaseException:
-            nsched.unpersist()
+            _release(nsched)
             if nparts > 1:
                 nbase.unpersist()
             for c in nrel:
@@ -936,9 +969,9 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
         except Exception:
             ctx._planned_next = None
     enriched.unpersist()
-    sched.unpersist()
+    _release(sched)
     for c in round_caches:
-        c.unpersist()
+        _release(c)
     if seq_parts > 1:
         base.unpersist()
     if ctx.gc_keep:
