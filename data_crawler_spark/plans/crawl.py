@@ -364,7 +364,7 @@ def _persist(df: DataFrame, level: str | None = None) -> DataFrame:
     return df.persist(getattr(StorageLevel, name))
 
 
-def _checkpoint(df: DataFrame) -> DataFrame:
+def _checkpoint(df: DataFrame, level: str | None = None) -> DataFrame:
     """Round-scoped materialization that also TRUNCATES the logical
     plan (localCheckpoint), unlike _persist. Round 6, event-log
     measured: every ACTION that references the round's link pipeline
@@ -373,11 +373,18 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     measurement scale (the no-job gaps in the round timeline; execution
     itself is milliseconds there). Checkpointed frames plan as a
     Scan ExistingRDD, so the tree is analyzed once per round instead of
-    once per consumer. Blocks are MEMORY_AND_DISK; lineage is gone, so
-    a lost block fails loudly instead of recomputing (local mode:
-    only process death loses blocks — same blast radius as the
-    checkpoint already pinning the two-phase seq)."""
-    return df.localCheckpoint(eager=True)
+    once per consumer. Lineage is gone, so a lost block fails loudly
+    instead of recomputing (local mode: only process death loses
+    blocks — same blast radius as the checkpoint already pinning the
+    two-phase seq). ``level`` follows _persist's storage-level rule:
+    text-bearing frames (enriched) take the DISK_ONLY default to keep
+    the single fat JVM's old gen flat (see _persist's measured GC
+    history); skinny frames pass "MEMORY_AND_DISK"."""
+    from pyspark import StorageLevel
+
+    name = level or os.environ.get("DCS_CACHE_LEVEL", "DISK_ONLY")
+    return df.localCheckpoint(eager=True,
+                              storageLevel=getattr(StorageLevel, name))
 
 
 def _release(df: DataFrame) -> None:
@@ -524,7 +531,8 @@ def _plan_round(ctx: CrawlContext, frontier: DataFrame):
     # re-analyzed by every consumer action otherwise (scheduled write,
     # fetch join, tombstones) — see _checkpoint's rationale
     sched = _checkpoint(with_crawl_seq(base, num_partitions=seq_parts,
-                                       release_into=seq_rel))
+                                       release_into=seq_rel),
+                        "MEMORY_AND_DISK")
     return base, sched, seq_parts, seq_rel
 
 
@@ -642,21 +650,15 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
     # contract: sched is already budget-capped per host.
     fetched = ctx.transport.fetch(sched.select(F.col("url"),
                                                F.col("depth")))
-    enriched = _persist(extract_enrich_arrow(fetched))
-    # The cache must materialize at full parallelism BEFORE the
-    # extracted write: that write coalesces to few files, and
-    # coalesce() is narrow — if it ran the cache-filling pass, the
-    # whole Arrow extraction would serialize into ncoal tasks. On the
-    # bloom path the maybe-set histogram job below consumes enriched
-    # (links -> cand -> probe) and fills the cache as a side effect, so
-    # the dedicated count job is SKIPPED — one serial per-round action
-    # fewer (the fetch/extract wall time then lands in the maybe_set
-    # profile stage). The n_fetched gauge moves into the concurrent
-    # lineage commit (a cache-drain count, only when gauges are on).
+    # _checkpoint (round 6, was _persist + a fill-under-the-histogram
+    # dance): eager materialization runs at full parallelism BEFORE the
+    # extracted write's coalesce exactly like the old cache-fill did,
+    # AND truncates the plan, so the extracted write / links pipeline /
+    # lineage gauge stop re-running Catalyst analysis over the fetch
+    # join + Arrow extraction tree per action (see _checkpoint).
+    with _stage("fetch_extract"):
+        enriched = _checkpoint(extract_enrich_arrow(fetched))
     bloom_path = ctx.use_bloom and ctx.bloom.current_version() > 0
-    if not bloom_path:
-        with _stage("fetch_extract"):
-            enriched.count()
     extracted = enriched.select(
         "url", "warc_ts", "text", "lang",
         F.length("text").cast("long").alias("n_chars"),
@@ -704,7 +706,8 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
     round_caches = []
     if bloom_path:
         cand = _checkpoint(
-            new_cand.withColumn("url_hash", F.xxhash64("url")))
+            new_cand.withColumn("url_hash", F.xxhash64("url")),
+            "MEMORY_AND_DISK")
         round_caches.append(cand)
         # probe pass: candidate urls that MIGHT be discovered.
         # Duplicate urls are harmless in the semi-join build, and bloom
@@ -968,7 +971,7 @@ def _run_round_commits(ctx: CrawlContext, rnd: int,
             ctx._planned_next = f_pre.result()
         except Exception:
             ctx._planned_next = None
-    enriched.unpersist()
+    _release(enriched)
     _release(sched)
     for c in round_caches:
         _release(c)
